@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers (the TPU-native replacement for DDP/NCCL).
+
+The reference's only parallelism is single-node data parallelism via
+``torch.distributed`` + NCCL (`train/main.py:181-190,261-262,326-327`). On TPU
+that becomes: one ``jax.sharding.Mesh`` over all chips, batch sharded on the
+'data' axis, parameters replicated, and XLA inserts the gradient all-reduce
+over ICI automatically when the jitted train step consumes sharded batches
+with replicated params. Metrics come back replicated — no explicit collective
+code is needed for pure DP; ``lax.psum`` appears only inside ``shard_map``
+custom paths.
+
+For multi-host slices call ``jax.distributed.initialize()`` first; everything
+here uses ``jax.devices()`` and works unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    """1-D data mesh over the first ``n_devices`` devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_parallel_shardings(mesh: Mesh, axis_name: str = "data"):
+    """(batch_sharding, replicated_sharding) for a 1-D data mesh."""
+    batch = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    return batch, repl
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a host batch with its leading dim sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

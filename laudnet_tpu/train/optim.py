@@ -1,0 +1,53 @@
+"""Optimizer factory with backbone/masker parameter groups.
+
+The reference splits parameters into backbone vs masker groups with separate
+LR multipliers (`models/laud_resnet.py:365-401`) and drives SGD with nesterov
+momentum and uniform weight decay (`utils/hyperparams.py:44-62`). Here that
+becomes an optax pipeline: a masked scale for the lr_mult split + injectable
+per-step learning rate (the schedule is computed inside the train step).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+
+def is_masker_path(path) -> bool:
+    """True if a param path belongs to a gating head (name contains 'masker')."""
+    return any("masker" in str(k) for k in path)
+
+
+def param_group_labels(params) -> Any:
+    """Label pytree: 'masker' for gating-head params, 'backbone' otherwise."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "masker" if is_masker_path(path) else "backbone", params
+    )
+
+
+def make_sgd(params, *, momentum=0.9, nesterov=True, weight_decay=5e-5,
+             backbone_lr_mult=1.0, masker_lr_mult=1.0):
+    """SGD + nesterov + decoupled-into-gradient weight decay (torch-style:
+    ``g += wd * p`` before momentum), with per-group LR multipliers.
+
+    The returned optimizer expects the LR via ``optax.inject_hyperparams`` —
+    update the ``learning_rate`` hyperparam each step, or wrap in a schedule.
+    """
+    labels = param_group_labels(params)
+
+    def group(mult):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.trace(decay=momentum, nesterov=nesterov),
+            optax.scale(mult),
+        )
+
+    grouped = optax.multi_transform(
+        {"backbone": group(backbone_lr_mult), "masker": group(masker_lr_mult)},
+        labels,
+    )
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(grouped, optax.scale(-learning_rate))
+    )(learning_rate=0.0)

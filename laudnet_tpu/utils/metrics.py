@@ -1,0 +1,40 @@
+"""Metrics helpers (reference `utils/utils.py:20-59,227-246`)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+class AverageMeter:
+    """Running average (host-side)."""
+
+    def __init__(self, name: str = "", fmt: str = ":f"):
+        self.name, self.fmt = name, fmt
+        self.reset()
+
+    def reset(self):
+        self.val = self.sum = self.count = 0.0
+        self.avg = 0.0
+
+    def update(self, val, n=1):
+        val = float(val)
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+    def __str__(self):
+        return f"{self.name} {self.val:{self.fmt[1:]}} ({self.avg:{self.fmt[1:]}})"
+
+
+def topk_accuracy(logits, labels, topk=(1,)):
+    """Top-k accuracy in percent, per the reference's `accuracy()`."""
+    import jax
+
+    maxk = max(topk)
+    _, pred = jax.lax.top_k(logits, maxk)
+    correct = pred == labels[:, None]
+    return tuple(
+        100.0 * jnp.mean(jnp.any(correct[:, :k], axis=1).astype(jnp.float32))
+        for k in topk
+    )

@@ -1,0 +1,18 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+This is the JAX-native way to exercise multi-chip sharding without hardware
+(SURVEY.md §4). Must set flags before jax initializes its backends.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
