@@ -1,0 +1,201 @@
+"""End-to-end numerical parity vs the reference PyTorch implementation.
+
+These tests import the reference (read-only, at /root/reference) as a *test
+oracle*: a freshly initialised reference LAUD-ResNet is converted through
+:mod:`laudnet_tpu.convert` and both models must produce the same eval-mode
+logits, masks, sparsities, and FLOPs on the same input. This pins the exact
+semantics BASELINE.json demands (per-image mask parity, top-1 parity) without
+needing the released checkpoints.
+
+Skipped automatically when the reference tree is unavailable.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF_PATH = "/root/reference/imagenet_classification"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_PATH), reason="reference tree not mounted"
+)
+
+if os.path.isdir(REF_PATH):
+    # Load the reference modules directly (its package __init__ needs
+    # torchvision, which isn't installed); build a synthetic package so the
+    # relative `.utils` import inside laud_resnet resolves.
+    import importlib.util
+    import types
+
+    import torch
+
+    torch.manual_seed(0)
+
+    _pkg = types.ModuleType("refmodels")
+    _pkg.__path__ = [os.path.join(REF_PATH, "models")]
+    sys.modules["refmodels"] = _pkg
+
+    def _load(name):
+        spec = importlib.util.spec_from_file_location(
+            f"refmodels.{name}", os.path.join(REF_PATH, "models", f"{name}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refmodels.{name}"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    _load("utils")
+    ref_laud = _load("laud_resnet")
+
+from laudnet_tpu.convert import convert_resnet_state_dict
+from laudnet_tpu.models import laud_resnet as our_laud
+
+
+CONFIGS = [
+    dict(
+        id="spatial-g4",
+        dyn_mode=["spatial"] * 4,
+        mask_spatial_granularity=[4, 4, 2, 1],
+        channel_dyn_granularity=[1, 1, 1, 1],
+        channel_masker=["MLP"] * 4,
+        channel_masker_layers=[1, 1, 1, 1],
+    ),
+    dict(
+        id="layer",
+        dyn_mode=["layer"] * 4,
+        mask_spatial_granularity=[16, 8, 4, 2],
+        channel_dyn_granularity=[1, 1, 1, 1],
+        channel_masker=["MLP"] * 4,
+        channel_masker_layers=[1, 1, 1, 1],
+    ),
+    dict(
+        id="channel-mlp2",
+        dyn_mode=["channel"] * 4,
+        mask_spatial_granularity=[1, 1, 1, 1],
+        channel_dyn_granularity=[2, 2, 2, 2],
+        channel_masker=["MLP"] * 4,
+        channel_masker_layers=[2, 2, 2, 2],
+    ),
+    dict(
+        id="both-convlinear",
+        dyn_mode=["both"] * 4,
+        mask_spatial_granularity=[4, 4, 2, 1],
+        channel_dyn_granularity=[2, 2, 2, 2],
+        channel_masker=["conv_linear"] * 4,
+        channel_masker_layers=[2, 2, 2, 2],
+    ),
+]
+
+
+def build_pair(cfg, input_size=64, num_classes=10):
+    """Reference model (torch, eval) + converted flax variables + our model."""
+    torch.manual_seed(42)
+    ref = ref_laud.ResNet(
+        ref_laud.Bottleneck,
+        [1, 1, 1, 1],
+        num_classes=num_classes,
+        input_size=input_size,
+        spatial_mask_channel_group=[1, 1, 1, 1],
+        mask_spatial_granularity=cfg["mask_spatial_granularity"],
+        channel_dyn_granularity=cfg["channel_dyn_granularity"],
+        dyn_mode=cfg["dyn_mode"],
+        channel_masker=cfg["channel_masker"],
+        channel_masker_layers=cfg["channel_masker_layers"],
+        lr_mult=1.0,
+    )
+    ref.eval()
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_resnet_state_dict(
+        state, channel_masker_layers=cfg["channel_masker_layers"][0]
+    )
+
+    ours = our_laud.LAUDResNet(
+        layers=(1, 1, 1, 1),
+        num_classes=num_classes,
+        input_size=input_size,
+        spatial_mask_channel_group=(1, 1, 1, 1),
+        mask_spatial_granularity=tuple(cfg["mask_spatial_granularity"]),
+        channel_dyn_granularity=tuple(cfg["channel_dyn_granularity"]),
+        dyn_mode=tuple(cfg["dyn_mode"]),
+        channel_masker=tuple(cfg["channel_masker"]),
+        channel_masker_layers=tuple(cfg["channel_masker_layers"]),
+    )
+    return ref, ours, variables
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=[c["id"] for c in CONFIGS])
+def test_eval_forward_parity(cfg):
+    ref, ours, variables = build_pair(cfg)
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+
+    with torch.no_grad():
+        out = ref(torch.from_numpy(x), temperature=0.1)
+    ref_logits, ref_s3, ref_s2, ref_s1, ref_ch, ref_fp, ref_flops = out
+
+    got = ours.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                     0.1, training=False)
+
+    np.testing.assert_allclose(
+        np.asarray(got.logits), ref_logits.numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.flops_perc), ref_fp.numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(got.flops), float(ref_flops), rtol=1e-5
+    )
+    for stage in range(4):
+        np.testing.assert_allclose(
+            np.asarray(got.spatial_s3[stage]),
+            ref_s3[stage].numpy(), rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.spatial_s2[stage]),
+            ref_s2[stage].numpy(), rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.spatial_s1[stage]),
+            ref_s1[stage].numpy(), rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.channel_s[stage]),
+            ref_ch[stage].numpy(), rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_eval_mask_parity_per_image():
+    """The BASELINE gate: per-image eval masks must match bit-for-bit.
+
+    We compare the spatial masker decisions on a shared block input by
+    extracting the reference block-0 masker and our converted one.
+    """
+    cfg = CONFIGS[0]
+    ref, ours, variables = build_pair(cfg)
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((4, 64, 16, 16)).astype(np.float32)
+
+    ref_block = ref.layer1[0]
+    with torch.no_grad():
+        ref_mask, _, _ = ref_block.masker_spatial(
+            torch.from_numpy(x), temperature=0.1
+        )
+
+    from laudnet_tpu.models.maskers import SpatialMasker
+
+    masker = SpatialMasker(mask_channel_group=1, mask_size=ref_block.mask_size)
+    sub_vars = {
+        "params": variables["params"]["layer1_0"]["masker_spatial"],
+    }
+    our_mask, _, _ = masker.apply(
+        sub_vars, jnp.asarray(x.transpose(0, 2, 3, 1)), 0.1, training=False
+    )
+    np.testing.assert_array_equal(
+        np.asarray(our_mask)[..., 0], ref_mask.numpy()[:, 0]
+    )
