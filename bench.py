@@ -1,0 +1,123 @@
+"""Headline benchmark: LAUD-ResNet101 eval throughput vs dense ResNet-101.
+
+Runs on whatever `jax.devices()[0]` is (the driver provides one real TPU
+chip). Prints ONE JSON line:
+``{"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}`` where
+``vs_baseline`` is LAUD img/s divided by dense ResNet-101 img/s on the same
+chip — the reference's headline claim is LAUD-R101 target-0.5 beating dense
+R101 wall-clock (BASELINE.md north star).
+
+Currently benches the dense-masked eval path (correctness oracle); the
+block-sparse inference engine will replace it as the LAUD number improves.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Persistent compile cache: TPU compiles here are remote and slow (30-120 s);
+# caching makes repeated bench runs take seconds instead of minutes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BATCH = 128
+SIZE = 224
+DTYPE = jnp.bfloat16
+CHAIN = 10  # forwards chained inside one jit (amortizes host<->TPU latency)
+REPEATS = 2
+
+
+def _throughput(step_fn, x) -> float:
+    """Measure img/s of ``step_fn(x) -> logits`` by chaining CHAIN calls
+    inside one jit with a data dependency (the tunneled TPU here does not
+    synchronize on block_until_ready, so a scalar readback per chain is the
+    only reliable fence; the chain amortizes the ~20 ms round-trip)."""
+
+    @jax.jit
+    def chained(x):
+        def body(i, carry):
+            x, acc = carry
+            logits = step_fn(x)
+            s = logits[0, 0].astype(jnp.float32)
+            # Data dependency: numerically a no-op, but un-CSE-able.
+            x = x + (s * 1e-20).astype(x.dtype)
+            return (x, acc + s)
+
+        _, acc = jax.lax.fori_loop(0, CHAIN, body, (x, jnp.float32(0.0)))
+        return acc
+
+    float(chained(x))  # compile + warm
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(chained(x))
+        best = min(best, (time.perf_counter() - t0) / CHAIN)
+    return BATCH / best
+
+
+def _cast(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def main():
+    from laudnet_tpu.models import resnet101, uni_resnet101
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH, SIZE, SIZE, 3)), DTYPE)
+
+    # LAUD-ResNet101 channel-2222 (the released-checkpoint config family).
+    laud = uni_resnet101(
+        dyn_mode=("channel",) * 4,
+        channel_dyn_granularity=(2, 2, 2, 2),
+        channel_masker=("MLP",) * 4,
+        channel_masker_layers=(2, 2, 2, 2),
+    )
+    laud_vars = jax.jit(
+        lambda: laud.init(
+            {"params": jax.random.PRNGKey(0)}, x.astype(jnp.float32), 1.0,
+            training=False,
+        )
+    )()
+    laud_vars = _cast(laud_vars, DTYPE)
+
+    laud_ips = _throughput(
+        lambda x: laud.apply(
+            laud_vars, x, jnp.asarray(0.1, DTYPE), training=False
+        ).logits,
+        x,
+    )
+
+    dense = resnet101()
+    dense_vars = jax.jit(
+        lambda: dense.init(
+            {"params": jax.random.PRNGKey(0)}, x.astype(jnp.float32),
+            training=False,
+        )
+    )()
+    dense_vars = _cast(dense_vars, DTYPE)
+    dense_ips = _throughput(
+        lambda x: dense.apply(dense_vars, x, training=False), x
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip LAUD-ResNet101 channel-2222 eval bs128 bf16",
+                "value": round(laud_ips, 1),
+                "unit": "img/s",
+                "vs_baseline": round(laud_ips / dense_ips, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Functional train/eval steps for LAUD training (KD + sparsity + CE).
+
+TPU-native rebuild of the reference trainer hot loop (`train/main.py:527-604`):
+one jitted ``train_step`` contains the per-iteration LR schedule, Gumbel
+temperature annealing, student forward (Gumbel-ST masks, BN updates), frozen
+teacher forward, the composite loss ``lambda_act * sparsity + CE + alpha_kd *
+KD``, and the SGD update. ``epoch``/``step`` enter as traced values so a
+single compilation serves the whole run; under a data mesh the batch arrives
+sharded and XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from laudnet_tpu.train import losses, schedules
+from laudnet_tpu.utils.metrics import topk_accuracy
+
+
+@flax.struct.dataclass
+class TrainConfig:
+    num_epochs: int = flax.struct.field(pytree_node=False, default=100)
+    steps_per_epoch: int = flax.struct.field(pytree_node=False, default=1000)
+    base_lr: float = flax.struct.field(pytree_node=False, default=0.08)
+    lr_min: float = flax.struct.field(pytree_node=False, default=0.0)
+    scheduler: str = flax.struct.field(pytree_node=False, default="cosine")
+    warmup_epochs: int = flax.struct.field(pytree_node=False, default=0)
+    # Gumbel temperature (reference defaults: train_scripts.sh)
+    t0: float = flax.struct.field(pytree_node=False, default=5.0)
+    t_last: float = flax.struct.field(pytree_node=False, default=0.1)
+    t_last_epoch: int = flax.struct.field(pytree_node=False, default=100)
+    temp_scheduler: str = flax.struct.field(pytree_node=False, default="exp")
+    # Loss weights
+    lambda_act: float = flax.struct.field(pytree_node=False, default=10.0)
+    alpha_kd: float = flax.struct.field(pytree_node=False, default=0.5)
+    t_kd: float = flax.struct.field(pytree_node=False, default=4.0)
+    label_smooth: float = flax.struct.field(pytree_node=False, default=0.0)
+    target_rate: float = flax.struct.field(pytree_node=False, default=0.5)
+    full_flops: float = flax.struct.field(pytree_node=False, default=4.1e9)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, optimizer, sample_batch, *, rng,
+                       temperature=5.0) -> TrainState:
+    variables = model.init(
+        {"params": rng}, sample_batch, temperature, training=False
+    )
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_train_step(model, teacher_model, teacher_variables, optimizer,
+                    cfg: TrainConfig) -> Callable:
+    """Build the jittable train step. ``teacher_variables`` is a frozen
+    (params, batch_stats) variables dict; the teacher runs in eval mode
+    (reference wraps it in DDP but never updates it, `train/main.py:290-295,
+    570-573`)."""
+
+    def train_step(state: TrainState, images, labels, gumbel_rng):
+        step = state.step
+        lr = schedules.lr_at(
+            step, base_lr=cfg.base_lr, total_epochs=cfg.num_epochs,
+            steps_per_epoch=cfg.steps_per_epoch, scheduler=cfg.scheduler,
+            warmup_epochs=cfg.warmup_epochs, lr_min=cfg.lr_min,
+        )
+        temp = schedules.gumbel_temperature_at(
+            step, t0=cfg.t0, t_last=cfg.t_last, t_last_epoch=cfg.t_last_epoch,
+            steps_per_epoch=cfg.steps_per_epoch,
+            temp_scheduler=cfg.temp_scheduler,
+        )
+        epoch = step.astype(jnp.float32) / cfg.steps_per_epoch
+        rng = jax.random.fold_in(gumbel_rng, step)
+
+        teacher_logits = teacher_model.apply(
+            teacher_variables, images, training=False
+        )
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, temp, training=True,
+                rngs={"gumbel": rng}, mutable=["batch_stats"],
+            )
+            loss_flops = losses.sparsity_bounds(
+                epoch, out.flops_perc, out.flops,
+                target=cfg.target_rate, num_epochs=cfg.num_epochs,
+                full_flops=cfg.full_flops,
+            )
+            total, parts = losses.total_train_loss(
+                out.logits, teacher_logits, labels, loss_flops,
+                lambda_act=cfg.lambda_act, alpha_kd=cfg.alpha_kd,
+                t_kd=cfg.t_kd, label_smooth=cfg.label_smooth,
+            )
+            aux = dict(
+                parts,
+                batch_stats=mutated["batch_stats"],
+                logits=out.logits,
+                act_rate=out.flops_perc.mean(),
+                flops=out.flops,
+            )
+            return total, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        top1, top5 = topk_accuracy(aux["logits"], labels, topk=(1, 5))
+        metrics = {
+            "loss": loss,
+            "loss_cls": aux["loss_cls"],
+            "loss_kd": aux["loss_kd"],
+            "loss_flops": aux["loss_flops"],
+            "act_rate": aux["act_rate"],
+            "flops": aux["flops"],
+            "lr": lr,
+            "temperature": temp,
+            "top1": top1,
+            "top5": top5,
+        }
+        new_state = TrainState(
+            step=step + 1,
+            params=params,
+            batch_stats=aux["batch_stats"],
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg: TrainConfig) -> Callable:
+    """Eval forward at the final temperature (deterministic masks,
+    reference `train/main.py:607-757`)."""
+
+    def eval_step(params, batch_stats, images, labels):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, cfg.t_last, training=False,
+        )
+        top1, top5 = topk_accuracy(out.logits, labels, topk=(1, 5))
+        stats = {
+            "top1": top1,
+            "top5": top5,
+            "act_rate": out.flops_perc.mean(),
+            "flops": out.flops,
+            "spatial_s3": out.spatial_s3,
+            "spatial_s2": out.spatial_s2,
+            "spatial_s1": out.spatial_s1,
+            "channel_s": out.channel_s,
+        }
+        return stats
+
+    return eval_step
