@@ -89,7 +89,21 @@ class LAUDBottleneck(nn.Module):
     channel_masker: str = "conv_linear"
     channel_masker_layers: int = 2
     reduction: int = 16
+    execution: str = "dense"  # 'dense' | 'sparse' (eval-time patch gather)
+    patch_capacity: float = 1.0  # fraction of patch slots kept in sparse mode
+    collect_stats: bool = True  # False: skip s1/s2 dilation bookkeeping (inference)
     param_dtype: Any = jnp.float32
+
+    def _sparse_eligible(self, training: bool) -> bool:
+        """Sparse gather/scatter path: eval-only, spatial mode, stride-1,
+        single mask group, real patch grid (not layer mode)."""
+        return (
+            self.execution == "sparse"
+            and not training
+            and self.dyn_mode == "spatial"
+            and self.stride == 1
+            and self.spatial_mask_channel_group == 1
+        )
 
     @nn.compact
     def __call__(self, x, temperature, *, training: bool):
@@ -145,6 +159,7 @@ class LAUDBottleneck(nn.Module):
                 param_dtype=self.param_dtype,
             )(x, temperature, training=training)
 
+        spatial_mask3_small = spatial_mask3  # pre-upsample (B, m, m, g) mask
         if self.dyn_mode != "channel":
             # Upsample the coarse conv3-output mask to full resolution, then
             # dilate backwards through conv2 (1x1-equivalent: group OR) and
@@ -152,109 +167,116 @@ class LAUDBottleneck(nn.Module):
             spatial_mask3 = masking.upsample_mask_nearest(
                 spatial_mask3, self.output_size
             )
-            spatial_mask2 = masking.expand_mask(spatial_mask3, stride=1, padding=0)
-            s2 = spatial_mask2.astype(jnp.float32).mean()
-            spatial_mask1 = masking.expand_mask(
-                spatial_mask2, stride=self.stride, padding=1
-            )
-            s1 = spatial_mask1.astype(jnp.float32).mean()
+            if self.collect_stats:
+                spatial_mask2 = masking.expand_mask(
+                    spatial_mask3, stride=1, padding=0
+                )
+                s2 = spatial_mask2.astype(jnp.float32).mean()
+                spatial_mask1 = masking.expand_mask(
+                    spatial_mask2, stride=self.stride, padding=1
+                )
+                s1 = spatial_mask1.astype(jnp.float32).mean()
+            else:
+                # Inference fast path: the dilated input-side masks feed only
+                # the FLOPs bookkeeping, never the compute. Approximate both
+                # densities by s3 (exact at granularity 1; upper-bounded
+                # otherwise) to skip two dilation passes per block.
+                s2 = s3
+                s1 = s3
 
         sparse_flops = f32(channel_mask_flops + spatial_mask_flops)
         dense_flops = f32(channel_mask_flops + spatial_mask_flops)
 
-        # --- main path (dense compute x 0/1 masks) ------------------------
-        out = nn.Conv(
-            width,
-            (1, 1),
-            use_bias=False,
-            kernel_init=he_normal_fan_out(),
-            name="conv1",
-            param_dtype=self.param_dtype,
-        )(x)
-        if self.dyn_mode in ("channel", "both"):
-            out = masking.apply_channel_mask(out, channel_mask)
-        out = nn.BatchNorm(
+        bn = lambda name: nn.BatchNorm(
             use_running_average=not training,
             momentum=0.9,
             epsilon=1e-5,
-            name="bn1",
+            name=name,
             param_dtype=self.param_dtype,
-        )(out)
-        out = nn.relu(out)
-        hw = out.shape[1] * out.shape[2]
-        dense_flops += conv1_fpp * hw
-        sparse_flops += conv1_fpp * hw * channel_s * s1
+        )
+        conv1 = nn.Conv(
+            width, (1, 1), use_bias=False, kernel_init=he_normal_fan_out(),
+            name="conv1", param_dtype=self.param_dtype,
+        )
+        conv3 = nn.Conv(
+            out_planes, (1, 1), use_bias=False, kernel_init=he_normal_fan_out(),
+            name="conv3", param_dtype=self.param_dtype,
+        )
 
-        out = nn.Conv(
-            width,
-            (3, 3),
-            strides=self.stride,
-            padding=self.dilation,
-            kernel_dilation=self.dilation,
-            feature_group_count=self.group_width,
-            use_bias=False,
-            kernel_init=he_normal_fan_out(),
-            name="conv2",
-            param_dtype=self.param_dtype,
-        )(out)
-        if self.dyn_mode in ("channel", "both"):
-            out = masking.apply_channel_mask(out, channel_mask)
-        out = nn.BatchNorm(
-            use_running_average=not training,
-            momentum=0.9,
-            epsilon=1e-5,
-            name="bn2",
-            param_dtype=self.param_dtype,
-        )(out)
-        out = nn.relu(out)
-        hw = out.shape[1] * out.shape[2]
-        dense_flops += conv2_fpp * hw
-        sparse_flops += conv2_fpp * hw * channel_s**2 * s2
-
-        out = nn.Conv(
-            out_planes,
-            (1, 1),
-            use_bias=False,
-            kernel_init=he_normal_fan_out(),
-            name="conv3",
-            param_dtype=self.param_dtype,
-        )(out)
-        out = nn.BatchNorm(
-            use_running_average=not training,
-            momentum=0.9,
-            epsilon=1e-5,
-            name="bn3",
-            param_dtype=self.param_dtype,
-        )(out)
-        if self.dyn_mode in ("layer", "spatial", "both"):
-            out = masking.apply_spatial_mask(out, spatial_mask3)
-        hw = out.shape[1] * out.shape[2]
-        dense_flops += conv3_fpp * hw
-        sparse_flops += conv3_fpp * hw * channel_s * s3
+        # FLOPs bookkeeping (reference `laud_resnet.py:120-141`); spatial
+        # sizes are static so this is identical for both execution paths.
+        in_hw = (self.output_size * self.stride) ** 2
+        out_hw = self.output_size**2
+        dense_flops += conv1_fpp * in_hw + conv2_fpp * out_hw + conv3_fpp * out_hw
+        sparse_flops += conv1_fpp * in_hw * channel_s * s1
+        sparse_flops += conv2_fpp * out_hw * channel_s**2 * s2
+        sparse_flops += conv3_fpp * out_hw * channel_s * s3
 
         identity = x
         if self.has_downsample:
             identity = nn.Conv(
-                out_planes,
-                (1, 1),
-                strides=self.stride,
-                use_bias=False,
-                kernel_init=he_normal_fan_out(),
-                name="downsample_conv",
+                out_planes, (1, 1), strides=self.stride, use_bias=False,
+                kernel_init=he_normal_fan_out(), name="downsample_conv",
                 param_dtype=self.param_dtype,
             )(x)
-            identity = nn.BatchNorm(
-                use_running_average=not training,
-                momentum=0.9,
-                epsilon=1e-5,
-                name="downsample_bn",
-                param_dtype=self.param_dtype,
-            )(identity)
-            ds_hw = identity.shape[1] * identity.shape[2]
-            dense_flops += inplanes * out_planes * ds_hw
-            sparse_flops += inplanes * out_planes * ds_hw
+            identity = bn("downsample_bn")(identity)
+            dense_flops += inplanes * out_planes * out_hw
+            sparse_flops += inplanes * out_planes * out_hw
 
-        out = nn.relu(out + identity)
+        if self._sparse_eligible(training):
+            # Sparse execution: the TPU realization of the reference's
+            # *simulated* gather->conv->scatter pipeline
+            # (`DyNetSimulator/eval_example.py:31-60`): conv1 stays dense,
+            # conv2+conv3 run only on fixed-capacity gathered patches, and
+            # the results scatter-add onto the identity.
+            from laudnet_tpu.ops import sparse as sp
+
+            patch = self.mask_spatial_granularity
+            m = mask_size
+            capacity = max(1, min(m * m, -(-int(self.patch_capacity * m * m))))
+
+            x1 = nn.relu(bn("bn1")(conv1(x)))
+
+            cells = spatial_mask3_small[..., 0]  # (B, m, m) pre-upsample
+            idx, valid = sp.select_patches(cells, capacity)
+            g = sp.gather_patches(x1, idx, patch, halo=1)
+            b_, k_, ph, pw, cg = g.shape
+            gflat = g.reshape(b_ * k_, ph, pw, cg)
+            gflat = nn.Conv(
+                width, (3, 3), padding="VALID",
+                feature_group_count=self.group_width, use_bias=False,
+                kernel_init=he_normal_fan_out(), name="conv2",
+                param_dtype=self.param_dtype,
+            )(gflat)
+            gflat = nn.relu(bn("bn2")(gflat))
+            gflat = conv3(gflat)
+            gflat = bn("bn3")(gflat)
+            patches = gflat.reshape(b_, k_, patch, patch, out_planes)
+            out = sp.scatter_patches_add(identity, patches, idx, valid, patch)
+        else:
+            out = conv1(x)
+            if self.dyn_mode in ("channel", "both"):
+                out = masking.apply_channel_mask(out, channel_mask)
+            out = nn.relu(bn("bn1")(out))
+
+            out = nn.Conv(
+                width, (3, 3), strides=self.stride, padding=self.dilation,
+                kernel_dilation=self.dilation,
+                feature_group_count=self.group_width, use_bias=False,
+                kernel_init=he_normal_fan_out(), name="conv2",
+                param_dtype=self.param_dtype,
+            )(out)
+            if self.dyn_mode in ("channel", "both"):
+                out = masking.apply_channel_mask(out, channel_mask)
+            out = nn.relu(bn("bn2")(out))
+
+            out = conv3(out)
+            out = bn("bn3")(out)
+            if self.dyn_mode in ("layer", "spatial", "both"):
+                out = masking.apply_spatial_mask(out, spatial_mask3)
+            out = out + identity
+
+        out = nn.relu(out)
 
         stats = BlockStats(
             spatial_s3=s3,
@@ -285,6 +307,9 @@ class LAUDResNet(nn.Module):
     channel_masker: Sequence[str] = ("MLP",) * 4
     channel_masker_layers: Sequence[int] = (1, 1, 1, 1)
     reduction_ratio: Sequence[int] = (16, 16, 16, 16)
+    execution: str = "dense"  # 'dense' | 'sparse' eval fast path
+    patch_capacity: Sequence[float] = (1.0, 1.0, 1.0, 1.0)  # per stage
+    collect_stats: bool = True
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -351,6 +376,9 @@ class LAUDResNet(nn.Module):
                     channel_masker=self.channel_masker[s],
                     channel_masker_layers=self.channel_masker_layers[s],
                     reduction=self.reduction_ratio[s],
+                    execution=self.execution,
+                    patch_capacity=self.patch_capacity[s],
+                    collect_stats=self.collect_stats,
                     name=f"layer{s + 1}_{b}",
                     param_dtype=self.param_dtype,
                 )(x, temperature, training=training)

@@ -6,3 +6,13 @@ VMEM tiling, HBM bandwidth, XLA dispatch overhead) the reference lacks.
 """
 
 from laudnet_tpu.sim.report import SimulationReport  # noqa: F401
+from laudnet_tpu.sim.hardware import (  # noqa: F401
+    GPU_PRESETS,
+    TPU_PRESETS,
+    DeviceSpec,
+    TPUSpec,
+)
+from laudnet_tpu.sim.roofline import Predictor  # noqa: F401
+from laudnet_tpu.sim.dynamic import DynamicPredictor  # noqa: F401
+from laudnet_tpu.sim.tpu import TPUPredictor, tpu_predict_network  # noqa: F401
+from laudnet_tpu.sim.models import predict_network, MODEL_GEOMETRY  # noqa: F401

@@ -1,0 +1,244 @@
+"""TPU latency model — the hardware model the reference lacks.
+
+Models *our* execution engine on a TPU chip (MXU systolic array + VPU + HBM
++ XLA fusion), not the GPU gather/scatter kernels: under XLA everything in a
+jit is one executable, so per-op cost is ``max(FLOPs/effective_MXU,
+bytes/HBM_BW) + fusion_overhead`` where effective MXU throughput is derated
+by 128-lane channel alignment and sublane row alignment, and the dynamic
+paths are costed at their **static capacity** (the TPU engine computes
+``capacity`` patch slots regardless of realized density — predictability by
+construction, the property LAUDNet's granularity analysis is after).
+
+Calibration anchors (measured on v5e through this repo's bench harness):
+8192^3 bf16 matmul ~139/197 TFLOP/s; ResNet-101 bs128 bf16 conv stack
+~120/197 -> sustained_frac 0.70 with alignment derates on top.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from laudnet_tpu.sim.hardware import TPUSpec
+from laudnet_tpu.sim.models import MODEL_GEOMETRY, BlockGeom
+from laudnet_tpu.sim.report import SimulationReport
+from laudnet_tpu.sim.tiles import ceil_eff
+
+
+class TPUPredictor:
+    """Analytic latency model of this framework's ops on one TPU chip."""
+
+    def __init__(self, spec: TPUSpec, dtype_bytes: int = 2):
+        self.spec = spec
+        self.dtype_bytes = dtype_bytes
+
+    # --- core cost model ---------------------------------------------------
+
+    def _mxu_eff(self, rows: float, cin: int, cout: int) -> float:
+        """Utilization of the systolic array: contraction and output channel
+        dims pad to 128 lanes; row dim pads to 8 sublanes."""
+        d = self.spec.mxu_dim
+        return (ceil_eff(cin, d) * ceil_eff(cout, d) * ceil_eff(rows, 8))
+
+    def _op(self, flops: float, bytes_moved: float, mxu_eff: float = 1.0,
+            cfg: Optional[dict] = None) -> SimulationReport:
+        s = self.spec
+        peak = s.peak_bf16 if self.dtype_bytes == 2 else s.peak_fp32
+        compute = flops / (peak * s.sustained_frac * max(mxu_eff, 1e-3))
+        memory = bytes_moved / s.mem_bandwidth
+        return SimulationReport(
+            latency=max(compute, memory) + s.fusion_overhead,
+            compute_latency=compute,
+            memory_latency=memory,
+            cfg=[cfg or {}],
+        )
+
+    def _vpu(self, elems: float, reads: int = 2) -> SimulationReport:
+        s = self.spec
+        bytes_moved = elems * (reads + 1) * self.dtype_bytes
+        return SimulationReport(
+            latency=max(elems / s.vpu_flops, bytes_moved / s.mem_bandwidth),
+            compute_latency=elems / s.vpu_flops,
+            memory_latency=bytes_moved / s.mem_bandwidth,
+            cfg=[dict(op="vpu")],
+        )
+
+    # --- operators (per image geometry x batch) ----------------------------
+
+    def conv(self, cin, cout, inh, inw, ks, groups=1, stride=1,
+             fused_epilogue=True) -> SimulationReport:
+        """Dense conv. BN/ReLU/mask-multiply epilogues are fused by XLA and
+        ride in the same HBM pass (fused_epilogue)."""
+        b = self.spec.batch_size
+        outh, outw = inh // stride, inw // stride
+        flops = 2 * b * (cin // groups) * cout * outh * outw * ks * ks
+        bytes_moved = self.dtype_bytes * (
+            b * cin * inh * inw
+            + (cin // groups) * cout * ks * ks
+            + b * cout * outh * outw
+        )
+        rows = b * outh * outw
+        return self._op(flops, bytes_moved,
+                        self._mxu_eff(rows, cin // groups, cout),
+                        dict(op="conv", cin=cin, cout=cout, ks=ks))
+
+    def fc(self, cin, cout) -> SimulationReport:
+        return self.conv(cin, cout, 1, 1, 1)
+
+    def global_avg_pool(self, c, h, w) -> SimulationReport:
+        return self._vpu(self.spec.batch_size * c * h * w, reads=1)
+
+    def add(self, c, h, w) -> SimulationReport:
+        """Residual add: XLA fuses it into the producing conv's epilogue, so
+        the only extra HBM traffic is one read of the identity tensor."""
+        s = self.spec
+        elems = s.batch_size * c * h * w
+        mem = elems * self.dtype_bytes / s.mem_bandwidth
+        return SimulationReport(
+            latency=max(elems / s.vpu_flops, mem),
+            compute_latency=elems / s.vpu_flops,
+            memory_latency=mem,
+            cfg=[dict(op="fused_add")],
+        )
+
+    def se(self, c, h, w, reduction=4) -> SimulationReport:
+        mid = max(int(c // reduction), 1)
+        return (self.global_avg_pool(c, h, w) + self.fc(c, mid)
+                + self.fc(mid, c) + self.add(c, h, w))
+
+    def masker(self, cin, mask_size, h, w, spatial=True,
+               hid=16, n_groups=1) -> SimulationReport:
+        """Gating head: pooled map + tiny conv/MLP — VPU + one skinny matmul."""
+        pool = self._vpu(self.spec.batch_size * cin * h * w, reads=1)
+        proj = self.conv(cin, max(2 * n_groups, 2), mask_size, mask_size, 1)
+        return pool + proj
+
+    # --- capacity-based dynamic ops (this framework's engine) -------------
+
+    def gather_patches(self, c, h, w, granul, capacity_frac,
+                       halo=1) -> SimulationReport:
+        """XLA gather of (capacity) windows with halo: pure HBM traffic."""
+        b = self.spec.batch_size
+        cells = (h // granul) * (w // granul)
+        k = max(1, math.ceil(capacity_frac * cells))
+        size = granul + 2 * halo
+        moved = b * k * size * size * c * self.dtype_bytes
+        # read source once + write gathered buffer (+ later re-read by conv)
+        bytes_moved = b * c * h * w * self.dtype_bytes + 2 * moved
+        return SimulationReport(
+            latency=bytes_moved / self.spec.mem_bandwidth
+            + self.spec.fusion_overhead,
+            memory_latency=bytes_moved / self.spec.mem_bandwidth,
+            compute_latency=0.0,
+            cfg=[dict(op="gather", k=k)],
+        )
+
+    def patch_conv(self, cin, cout, granul, capacity_frac, cells, ks,
+                   halo_in=True) -> SimulationReport:
+        """Conv over gathered patches: rows = B*K*granul^2."""
+        b = self.spec.batch_size
+        k = max(1, math.ceil(capacity_frac * cells))
+        size = granul + 2 * (1 if halo_in and ks == 3 else 0)
+        flops = 2 * b * k * granul * granul * cin * cout * ks * ks
+        bytes_moved = self.dtype_bytes * (
+            b * k * size * size * cin
+            + cin * cout * ks * ks
+            + b * k * granul * granul * cout
+        )
+        rows = b * k * granul * granul
+        return self._op(flops, bytes_moved, self._mxu_eff(rows, cin, cout),
+                        dict(op="patch_conv", k=k, ks=ks))
+
+    def scatter_add_patches(self, c, h, w, granul,
+                            capacity_frac) -> SimulationReport:
+        b = self.spec.batch_size
+        cells = (h // granul) * (w // granul)
+        k = max(1, math.ceil(capacity_frac * cells))
+        moved = b * k * granul * granul * c * self.dtype_bytes
+        bytes_moved = 2 * b * c * h * w * self.dtype_bytes + moved
+        return SimulationReport(
+            latency=bytes_moved / self.spec.mem_bandwidth
+            + self.spec.fusion_overhead,
+            memory_latency=bytes_moved / self.spec.mem_bandwidth,
+            compute_latency=0.0,
+            cfg=[dict(op="scatter_add", k=k)],
+        )
+
+
+def tpu_static_block(p: TPUPredictor, g: BlockGeom) -> SimulationReport:
+    inh = g.h * g.stride
+    rep = p.conv(g.cin, g.width, inh, inh, 1)
+    rep = rep + p.conv(g.width, g.width, inh, inh, 3, groups=g.groups,
+                       stride=g.stride)
+    if g.se_ratio:
+        rep = rep + p.se(g.width, g.h, g.h, reduction=int(1 / g.se_ratio))
+    rep = rep + p.conv(g.width, g.cout, g.h, g.h, 1)
+    if g.has_downsample:
+        rep = rep + p.conv(g.cin, g.cout, inh, inh, 1, stride=g.stride)
+    rep = rep + p.add(g.cout, g.h, g.h)
+    return rep
+
+
+def tpu_spatial_block(p: TPUPredictor, g: BlockGeom, granul: int,
+                      capacity: float) -> SimulationReport:
+    """Our sparse engine: dense conv1, gather, patch conv2+conv3, scatter."""
+    inh = g.h * g.stride
+    cells = (g.h // granul) ** 2
+    rep = p.masker(g.cin, g.h // granul, inh, inh)
+    rep = rep + p.conv(g.cin, g.width, inh, inh, 1)
+    if g.stride != 1:
+        # stride-2 blocks run dense in the current engine
+        rep = rep + p.conv(g.width, g.width, inh, inh, 3, stride=2,
+                           groups=g.groups)
+        rep = rep + p.conv(g.width, g.cout, g.h, g.h, 1)
+    else:
+        rep = rep + p.gather_patches(g.width, g.h, g.h, granul, capacity)
+        rep = rep + p.patch_conv(g.width, g.width, granul, capacity, cells, 3)
+        rep = rep + p.patch_conv(g.width, g.cout, granul, capacity, cells, 1,
+                                 halo_in=False)
+        rep = rep + p.scatter_add_patches(g.cout, g.h, g.h, granul, capacity)
+    if g.has_downsample:
+        rep = rep + p.conv(g.cin, g.cout, inh, inh, 1, stride=g.stride)
+    if g.stride != 1:
+        rep = rep + p.add(g.cout, g.h, g.h)
+    return rep
+
+
+def tpu_predict_network(p: TPUPredictor, model: str, mode: str = "static",
+                        act_rates: Optional[Sequence[float]] = None,
+                        granularity: Optional[Sequence[int]] = None
+                        ) -> SimulationReport:
+    blocks = MODEL_GEOMETRY[model]
+    n = len(blocks)
+    act_rates = list(act_rates) if act_rates is not None else [1.0] * n
+    granularity = list(granularity) if granularity is not None else [4] * n
+    total = SimulationReport()
+    for g, rate, gran in zip(blocks, act_rates, granularity):
+        if mode == "static":
+            total = total + tpu_static_block(p, g)
+        elif mode == "spatial":
+            total = total + tpu_spatial_block(p, g, min(gran, g.h), rate)
+        elif mode == "channel":
+            # channel mode runs dense on TPU today (masks fuse for free)
+            total = total + tpu_static_block(p, g) + p.masker(
+                g.cin, 1, g.h * g.stride, g.h * g.stride, spatial=False
+            )
+        elif mode == "layer":
+            masker = p.masker(g.cin, 1, g.h * g.stride, g.h * g.stride)
+            body = tpu_static_block(p, g)
+            total = total + masker + body.scaled(
+                rate if p.spec.batch_size == 1 else 1.0
+            )
+        else:
+            raise ValueError(mode)
+    # Under one jit, DMA and MXU overlap across the whole executable: the
+    # network is bound by the larger of total compute and total traffic,
+    # plus per-fusion scheduling overheads (one per recorded op).
+    n_ops = len(total.cfg)
+    return SimulationReport(
+        latency=max(total.compute_latency, total.memory_latency)
+        + n_ops * p.spec.fusion_overhead,
+        compute_latency=total.compute_latency,
+        memory_latency=total.memory_latency,
+        cfg=total.cfg,
+    )
