@@ -124,6 +124,86 @@ def convert_resnet_state_dict(
     return {"params": params, "batch_stats": batch_stats}
 
 
+def convert_regnet_state_dict(
+    state: Mapping[str, np.ndarray],
+    *,
+    channel_masker_layers: int = 2,
+) -> Dict[str, Any]:
+    """Convert a (LAUD-)RegNet torch state dict to flax variables.
+
+    Reference layout (`laud_regnet.py`): ``stem.0/1``,
+    ``trunk_output.blockS.blockS-B.{proj.0/1, f.{a,b,c}.{0,1}, f.se.fc1/fc2,
+    f.masker_*}``, ``fc``. Ours: ``stem_conv/stem_bn``,
+    ``stage{S}_{B}/{proj_conv, proj_bn, a_conv, a_bn, ..., se/fc1, ...}``.
+    """
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+
+    def emit(collection, path, value):
+        (_set(params, path, value) if collection == "params"
+         else _set(batch_stats, path, value))
+
+    unmapped = []
+    for key, value in state.items():
+        if "num_batches_tracked" in key:
+            continue
+        parts = key.split(".")
+        scope: Tuple[str, ...] = ()
+        if parts[0] == "stem":
+            name = {"0": "stem_conv", "1": "stem_bn"}[parts[1]]
+            if name == "stem_conv":
+                emit("params", ("stem_conv", "kernel"), _CONV_W[1](value))
+            else:
+                e = _bn_entries("stem_bn", parts[2], value)
+                if e:
+                    emit(e[0], e[1], e[2])
+            continue
+        if parts[0] == "trunk_output":
+            stage = parts[1].replace("block", "")  # 'blockS' -> S
+            blk = parts[2].split("-")[1]
+            scope = (f"stage{stage}_{blk}",)
+            rest = parts[3:]
+            if rest[0] == "proj":
+                if rest[1] == "0":
+                    emit("params", scope + ("proj_conv", "kernel"),
+                         _CONV_W[1](value))
+                else:
+                    e = _bn_entries("proj_bn", rest[2], value)
+                    if e:
+                        emit(e[0], scope + e[1], e[2])
+                continue
+            assert rest[0] == "f", key
+            rest = rest[1:]
+            if rest[0] in ("a", "b", "c"):
+                sub = rest[0]
+                if rest[1] == "0":
+                    emit("params", scope + (f"{sub}_conv", "kernel"),
+                         _CONV_W[1](value))
+                else:
+                    e = _bn_entries(f"{sub}_bn", rest[2], value)
+                    if e:
+                        emit(e[0], scope + e[1], e[2])
+                continue
+            if rest[0] == "se":
+                emit("params", scope + ("se", rest[1],
+                                        "kernel" if rest[2] == "weight" else "bias"),
+                     _CONV_W[1](value) if rest[2] == "weight" else value)
+                continue
+            name = ".".join(rest)
+            if _convert_leaf(name, value, scope, emit, channel_masker_layers):
+                continue
+            unmapped.append(key)
+            continue
+        name = ".".join(parts)
+        if _convert_leaf(name, value, scope, emit, channel_masker_layers):
+            continue
+        unmapped.append(key)
+
+    if unmapped:
+        raise KeyError(f"unmapped regnet keys: {unmapped[:10]}")
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def _convert_leaf(name, value, scope, emit, mlp_layers) -> bool:
     # --- backbone convs / bns / fc -------------------------------------
     m = re.fullmatch(r"(conv\d)\.weight", name)
