@@ -12,6 +12,14 @@ from laudnet_tpu.models.laud_resnet import (
     uni_resnet101,
 )
 from laudnet_tpu.models.resnet import ResNet, resnet50, resnet101
+from laudnet_tpu.models.laud_vit import (
+    LAUDViT,
+    LAUDViTBlock,
+    LAUDViTOutput,
+    laud_deit_small,
+    laud_deit_tiny,
+    laud_t2t_vit_19_backbone,
+)
 from laudnet_tpu.models.laud_regnet import (
     LAUDRegNet,
     LAUDRegNetBlock,

@@ -1,0 +1,257 @@
+"""LAUD-ViT: vision transformer with token / head / block (layer) skipping.
+
+The reference repo only *simulates* its ViT paradigms (README points to the
+external AdaViT repo for training; `DyNetSimulator/adavit/simulate_adavit.py`
+has the latency model). This module is a native, TPU-first implementation of
+the three paradigms on a DeiT-style backbone:
+
+* **token skipping** — a per-token binary gate; masked tokens are excluded
+  from attention via additive key masking and contribute nothing to the
+  residual stream. Shapes stay static (the mask is dense 0/1); the
+  fixed-capacity top-k *selection* path is the serving-time optimization.
+* **head skipping** — a per-head binary gate multiplying each head's output
+  (equivalently: gathered qkv/proj rows at serving time).
+* **block skipping** — per-sample gates on the attention and MLP residual
+  branches (AdaViT's layer policy).
+
+All gates are Gumbel-ST trained / argmax eval, reusing
+:mod:`laudnet_tpu.ops.gating`. The policy heads follow AdaViT: one shared
+linear on the class token emits layer+head logits; a per-token linear emits
+token logits. FLOPs bookkeeping mirrors the simulator's cost model
+(`simulate_adavit.py:77-147`) so the same sparsity losses apply.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from laudnet_tpu.ops import gating
+
+
+@flax.struct.dataclass
+class ViTBlockStats:
+    token_density: jnp.ndarray
+    head_density: jnp.ndarray
+    attn_density: jnp.ndarray  # layer gate on the attention branch
+    mlp_density: jnp.ndarray  # layer gate on the MLP branch
+    flops_perc: jnp.ndarray
+    sparse_flops: jnp.ndarray
+
+
+@flax.struct.dataclass
+class LAUDViTOutput:
+    logits: jnp.ndarray
+    token_density: jnp.ndarray  # (depth,)
+    head_density: jnp.ndarray
+    attn_density: jnp.ndarray
+    mlp_density: jnp.ndarray
+    flops_perc: jnp.ndarray  # (depth,)
+    flops: jnp.ndarray
+
+
+class LAUDViTBlock(nn.Module):
+    """Transformer block with the three gating paradigms."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    token_skip: bool = True
+    head_skip: bool = True
+    layer_skip: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, token_mask, temperature, *, training: bool):
+        b, l, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        hidden = int(d * self.mlp_ratio)
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        one = f32(1.0)
+
+        key = lambda: self.make_rng("gumbel") if training else None
+        cls = x[:, 0]
+
+        # --- policy heads (AdaViT: linear heads on the class token) -----
+        attn_keep = mlp_keep = one
+        attn_gate = mlp_gate = None
+        policy_flops = 0
+        if self.layer_skip:
+            logits = nn.Dense(4, name="layer_policy",
+                              param_dtype=self.param_dtype)(cls)
+            pair = logits.reshape(b, 2, 2)  # (B, on/off, [attn, mlp])
+            gate = gating.binary_gate(pair, temperature, training=training,
+                                      key=key())
+            attn_gate, mlp_gate = gate[:, 0], gate[:, 1]
+            attn_keep, mlp_keep = attn_gate.mean(), mlp_gate.mean()
+            policy_flops += d * 4
+
+        head_mask = None
+        head_density = one
+        if self.head_skip:
+            hlogits = nn.Dense(2 * h, name="head_policy",
+                               param_dtype=self.param_dtype)(cls)
+            head_mask = gating.binary_gate(
+                hlogits.reshape(b, 2, h), temperature, training=training,
+                key=key(),
+            )  # (B, H)
+            head_density = head_mask.mean()
+            policy_flops += d * 2 * h
+
+        if self.token_skip:
+            tlogits = nn.Dense(2, name="token_policy",
+                               param_dtype=self.param_dtype)(x)
+            tmask = gating.binary_gate(
+                tlogits.reshape(b, l, 2, 1), temperature, training=training,
+                key=key(),
+            )[..., 0]  # (B, L)
+            # class token always kept; gates compose across depth
+            tmask = tmask.at[:, 0].set(1.0)
+            token_mask = token_mask * tmask
+            policy_flops += l * d * 2
+        token_density = token_mask.mean()
+
+        # --- attention branch -------------------------------------------
+        y = nn.LayerNorm(name="norm1", param_dtype=self.param_dtype)(x)
+        qkv = nn.Dense(3 * d, name="qkv", param_dtype=self.param_dtype)(y)
+        qkv = qkv.reshape(b, l, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, L, dh)
+
+        scale = dh**-0.5
+        attn = (q @ k.transpose(0, 1, 3, 2)) * scale  # (B, H, L, L)
+        # exclude skipped tokens as keys
+        neg = jnp.asarray(-1e9, attn.dtype)
+        attn = attn + (1.0 - token_mask[:, None, None, :]) * neg
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = attn @ v  # (B, H, L, dh)
+        if head_mask is not None:
+            out = out * head_mask[:, :, None, None]
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        out = nn.Dense(d, name="proj", param_dtype=self.param_dtype)(out)
+        out = out * token_mask[:, :, None]  # skipped tokens don't update
+        if attn_gate is not None:
+            out = out * attn_gate[:, None, None]
+        x = x + out
+
+        # --- MLP branch ----------------------------------------------------
+        y = nn.LayerNorm(name="norm2", param_dtype=self.param_dtype)(x)
+        y = nn.Dense(hidden, name="fc1", param_dtype=self.param_dtype)(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(d, name="fc2", param_dtype=self.param_dtype)(y)
+        y = y * token_mask[:, :, None]
+        if mlp_gate is not None:
+            y = y * mlp_gate[:, None, None]
+        x = x + y
+
+        # --- FLOPs bookkeeping (simulator cost model) ----------------------
+        def block_flops(tok, hd, ak, mk):
+            qkv_f = 3 * l * d * d * hd
+            attn_f = 2 * h * (l * tok) ** 2 * dh * hd
+            proj_f = (l * tok) * d * d * hd * hd
+            mlp_f = (l * tok) * d * hidden * (hd + 1.0)
+            return ak * (qkv_f + attn_f + proj_f) + mk * mlp_f
+
+        sparse = f32(policy_flops) + block_flops(
+            token_density, head_density, attn_keep, mlp_keep
+        )
+        dense = f32(policy_flops) + block_flops(one, one, one, one)
+
+        stats = ViTBlockStats(
+            token_density=token_density,
+            head_density=head_density,
+            attn_density=attn_keep,
+            mlp_density=mlp_keep,
+            flops_perc=sparse / dense,
+            sparse_flops=sparse,
+        )
+        return x, token_mask, stats
+
+
+class LAUDViT(nn.Module):
+    """DeiT-style LAUD-ViT (token/head/block skipping)."""
+
+    depth: int = 12
+    dim: int = 384
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    patch_size: int = 16
+    num_classes: int = 1000
+    token_skip: bool = True
+    head_skip: bool = True
+    layer_skip: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temperature, *, training: bool = False):
+        b, hh, ww, c = x.shape
+        # patchify
+        x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
+                    strides=self.patch_size, name="patch_embed",
+                    param_dtype=self.param_dtype)(x)
+        n = x.shape[1] * x.shape[2]
+        x = x.reshape(b, n, self.dim)
+        flops = jnp.asarray(
+            c * self.dim * self.patch_size**2 * n, jnp.float32
+        )
+
+        cls = self.param(
+            "cls_token", jax.nn.initializers.truncated_normal(0.02),
+            (1, 1, self.dim), self.param_dtype,
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x],
+                            axis=1)
+        pos = self.param(
+            "pos_embed", jax.nn.initializers.truncated_normal(0.02),
+            (1, n + 1, self.dim), self.param_dtype,
+        )
+        x = x + pos
+
+        token_mask = jnp.ones((b, n + 1), x.dtype)
+        stats_all = []
+        for i in range(self.depth):
+            x, token_mask, st = LAUDViTBlock(
+                dim=self.dim, num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio, token_skip=self.token_skip,
+                head_skip=self.head_skip, layer_skip=self.layer_skip,
+                name=f"block_{i}", param_dtype=self.param_dtype,
+            )(x, token_mask, temperature, training=training)
+            stats_all.append(st)
+            flops += st.sparse_flops
+
+        x = nn.LayerNorm(name="norm", param_dtype=self.param_dtype)(x)
+        logits = nn.Dense(self.num_classes, name="head",
+                          param_dtype=self.param_dtype)(x[:, 0])
+        flops += self.dim * self.num_classes
+
+        stack = lambda f: jnp.stack([f(s) for s in stats_all])
+        return LAUDViTOutput(
+            logits=logits,
+            token_density=stack(lambda s: s.token_density),
+            head_density=stack(lambda s: s.head_density),
+            attn_density=stack(lambda s: s.attn_density),
+            mlp_density=stack(lambda s: s.mlp_density),
+            flops_perc=stack(lambda s: s.flops_perc),
+            flops=flops,
+        )
+
+
+def laud_deit_small(**kwargs) -> LAUDViT:
+    """LAUD-DeiT-S: 12 blocks, dim 384, 6 heads (BASELINE config #4)."""
+    return LAUDViT(depth=12, dim=384, num_heads=6, mlp_ratio=4.0, **kwargs)
+
+
+def laud_deit_tiny(**kwargs) -> LAUDViT:
+    return LAUDViT(depth=12, dim=192, num_heads=3, mlp_ratio=4.0, **kwargs)
+
+
+def laud_t2t_vit_19_backbone(**kwargs) -> LAUDViT:
+    """The T2T-ViT-19 transformer trunk geometry (dim 448, 7 heads, 14
+    blocks, mlp ratio 3) with the LAUD paradigms; the tokens-to-token stem is
+    approximated by the conv patchifier (the paradigms and costs live in the
+    trunk, which is what LAUDNet gates)."""
+    return LAUDViT(depth=14, dim=448, num_heads=7, mlp_ratio=3.0, **kwargs)

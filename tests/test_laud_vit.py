@@ -1,0 +1,90 @@
+"""LAUD-ViT tests: shapes, gating semantics, density accounting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laudnet_tpu.models.laud_vit import LAUDViT, laud_deit_tiny
+
+
+def tiny_vit(**kw):
+    d = dict(depth=2, dim=64, num_heads=4, mlp_ratio=2.0, patch_size=8,
+             num_classes=10)
+    d.update(kw)
+    return LAUDViT(**d)
+
+
+def test_forward_eval_shapes():
+    m = tiny_vit()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    out = m.apply(v, x, 0.1, training=False)
+    assert out.logits.shape == (2, 10)
+    assert out.token_density.shape == (2,)
+    assert out.flops_perc.shape == (2,)
+    fp = np.asarray(out.flops_perc)
+    assert (fp > 0).all() and (fp <= 1.0 + 1e-6).all()
+
+
+def test_training_uses_gumbel_and_is_differentiable():
+    m = tiny_vit()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+
+    def loss(params):
+        out = m.apply({"params": params}, x, 5.0, training=True,
+                      rngs={"gumbel": jax.random.PRNGKey(2)})
+        return (out.flops_perc.mean() - 0.5) ** 2 + 0.0 * out.logits.sum()
+
+    g = jax.grad(loss)(v["params"])
+    tp = g["block_0"]["token_policy"]["kernel"]
+    assert float(jnp.abs(tp).sum()) > 0
+
+
+def test_masked_tokens_do_not_affect_output():
+    """Zeroing a token's mask must make the block output independent of that
+    token's content (key-masked attention + residual gating)."""
+    m = tiny_vit(layer_skip=False, head_skip=False, token_skip=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+
+    from laudnet_tpu.models.laud_vit import LAUDViTBlock
+
+    blk = LAUDViTBlock(dim=64, num_heads=4, mlp_ratio=2.0, token_skip=False,
+                       head_skip=False, layer_skip=False)
+    tokens = jax.random.normal(jax.random.PRNGKey(2), (1, 17, 64))
+    bv = blk.init({"params": jax.random.PRNGKey(3)}, tokens,
+                  jnp.ones((1, 17)), 1.0, training=False)
+
+    mask = jnp.ones((1, 17)).at[0, 5].set(0.0)
+    out1, _, _ = blk.apply(bv, tokens, mask, 1.0, training=False)
+    tokens2 = tokens.at[0, 5].set(123.0)
+    out2, _, _ = blk.apply(bv, tokens2, mask, 1.0, training=False)
+    # all other token positions unaffected by token 5's content
+    np.testing.assert_allclose(
+        np.asarray(out1[0, :5]), np.asarray(out2[0, :5]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1[0, 6:]), np.asarray(out2[0, 6:]), atol=1e-5
+    )
+
+
+def test_all_gates_open_gives_flops_perc_one():
+    m = tiny_vit(token_skip=False, head_skip=False, layer_skip=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    out = m.apply(v, x, 0.1, training=False)
+    np.testing.assert_allclose(np.asarray(out.flops_perc), 1.0, atol=1e-6)
+
+
+def test_head_mask_zeroes_head_contribution():
+    from laudnet_tpu.models.laud_vit import LAUDViTBlock
+
+    blk = LAUDViTBlock(dim=64, num_heads=4, mlp_ratio=2.0, token_skip=False,
+                       head_skip=True, layer_skip=False)
+    tokens = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 64))
+    bv = blk.init({"params": jax.random.PRNGKey(3)}, tokens,
+                  jnp.ones((2, 9)), 1.0, training=False)
+    out, _, st = blk.apply(bv, tokens, jnp.ones((2, 9)), 0.1, training=False)
+    assert 0.0 <= float(st.head_density) <= 1.0
