@@ -28,23 +28,27 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BATCH = 128
 SIZE = 224
 DTYPE = jnp.bfloat16
-CHAIN = 10  # forwards chained inside one jit (amortizes host<->TPU latency)
-REPEATS = 2
+CHAIN = 30  # forwards chained inside one jitted fori_loop
+REPEATS = 3
+
+_loop_overhead = [None]
 
 
-def _throughput(step_fn, x) -> float:
-    """Measure img/s of ``step_fn(x) -> logits`` by chaining CHAIN calls
-    inside one jit with a data dependency (the tunneled TPU here does not
-    synchronize on block_until_ready, so a scalar readback per chain is the
-    only reliable fence; the chain amortizes the ~20 ms round-trip)."""
+def _chain_time(step_fn, x) -> float:
+    """Seconds per call of ``step_fn(x) -> logits``.
+
+    Methodology (this tunneled TPU does not synchronize on
+    block_until_ready and has ~20 ms readback round-trips): chain CHAIN
+    calls inside one jitted fori_loop with a data dependency, fence with a
+    scalar readback, and subtract the separately calibrated per-iteration
+    loop overhead (~0.25-0.9 ms on the axon relay)."""
 
     @jax.jit
     def chained(x):
         def body(i, carry):
             x, acc = carry
-            logits = step_fn(x)
-            s = logits[0, 0].astype(jnp.float32)
-            # Data dependency: numerically a no-op, but un-CSE-able.
+            y = step_fn(x)
+            s = y.reshape(-1)[0].astype(jnp.float32)
             x = x + (s * 1e-20).astype(x.dtype)
             return (x, acc + s)
 
@@ -57,7 +61,13 @@ def _throughput(step_fn, x) -> float:
         t0 = time.perf_counter()
         float(chained(x))
         best = min(best, (time.perf_counter() - t0) / CHAIN)
-    return BATCH / best
+    return best
+
+
+def _throughput(step_fn, x) -> float:
+    if _loop_overhead[0] is None:
+        _loop_overhead[0] = _chain_time(lambda x: x[0, 0, 0, :], x)
+    return BATCH / max(_chain_time(step_fn, x) - _loop_overhead[0], 1e-9)
 
 
 def _cast(tree, dtype):

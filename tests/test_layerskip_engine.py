@@ -1,0 +1,48 @@
+"""Layer-skip inference engine: parity with the dense-masked linen graph."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laudnet_tpu.infer import build_layer_skip_resnet
+from laudnet_tpu.models import laud_resnet
+
+
+def test_layerskip_matches_dense_masked_graph():
+    model = laud_resnet.LAUDResNet(
+        layers=(2, 2, 2, 2), num_classes=10, input_size=64,
+        dyn_mode=("layer",) * 4,
+        mask_spatial_granularity=(16, 8, 4, 2),
+        channel_masker=("MLP",) * 4, channel_masker_layers=(1, 1, 1, 1),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                           training=False)
+
+    # Bias some gates shut so the cond actually skips blocks.
+    params = variables["params"]
+    rng = np.random.default_rng(3)
+    for scope in list(params):
+        if scope.startswith("layer") and rng.random() < 0.5:
+            bias = params[scope]["masker_spatial"]["conv"]["bias"]
+            params[scope]["masker_spatial"]["conv"]["bias"] = (
+                bias.at[0].set(-5.0).at[1].set(5.0)
+            )
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
+
+    want = model.apply(variables, x, 0.1, training=False)
+    fwd = build_layer_skip_resnet(variables, layers=(2, 2, 2, 2))
+    got_logits, n_run = jax.jit(fwd)(x)
+
+    np.testing.assert_allclose(
+        np.asarray(got_logits[0]), np.asarray(want.logits[0]),
+        rtol=1e-4, atol=1e-4,
+    )
+    # some but not all blocks ran (gates were biased shut randomly)
+    total_blocks = 8
+    kept = int(n_run)
+    expected_kept = int(np.asarray(jnp.concatenate(
+        [s for s in want.spatial_s3]
+    )).sum())
+    assert kept == expected_kept
+    assert 0 < kept < total_blocks
