@@ -78,8 +78,9 @@ class TPUSpec:
     unit; ``fusion_overhead`` replaces kernel launch time — the per-fused-
     region scheduling cost inside one XLA executable (measured, not 8 us).
     ``sustained_frac`` is the measured fraction of peak a well-tiled conv
-    stack achieves (calibrated on v5e: 8192^3 matmul ~139/197 TFLOPs,
-    ResNet-101 stack ~120/197).
+    stack achieves (calibrated on v5e with overhead-corrected timing:
+    ResNet-101 bs128 bf16 = 14.1 ms/batch = 141 TFLOP/s sustained; combined
+    with the per-op MXU alignment derates this gives 0.85).
     """
 
     name: str
@@ -102,6 +103,7 @@ TPU_PRESETS = {
     "v5e": TPUSpec(
         "v5e", peak_bf16=197e12, peak_fp32=49e12, vpu_flops=4e12,
         mem_bandwidth=819e9, vmem_bytes=128e6, batch_size=128,
+        sustained_frac=0.85,
     ),
     # v5p: 459 bf16 TFLOPs, 95 GB HBM @ 2765 GB/s.
     "v5p": TPUSpec(
