@@ -1,0 +1,70 @@
+"""Checkpoint save/resume via orbax (reference `utils/utils.py:8-17`,
+`train/main.py:330-399,484-503`).
+
+Stores the full :class:`~laudnet_tpu.train.trainer.TrainState` (params, BN
+stats, optimizer state, step) plus host metadata (epoch, metric histories,
+current Gumbel temperature). ``model_best`` mirrors the reference's
+``model_best.pth.tar`` copy; auto-resume picks up the latest step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 2):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state, metadata: Optional[Dict[str, Any]] = None,
+             is_best: bool = False):
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+            ),
+        )
+        self._mgr.wait_until_finished()
+        if metadata is not None:
+            with open(os.path.join(self.directory, f"meta_{step}.json"), "w") as f:
+                json.dump(metadata, f)
+        if is_best:
+            with open(os.path.join(self.directory, "best.json"), "w") as f:
+                json.dump({"step": step, **(metadata or {})}, f)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, abstract_state) -> Tuple[Any, Dict[str, Any]]:
+        """Restore the latest checkpoint. ``abstract_state`` is a pytree of
+        ShapeDtypeStructs (e.g. ``jax.eval_shape(create_fn)``)."""
+        step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract_state),
+            ),
+        )
+        meta_path = os.path.join(self.directory, f"meta_{step}.json")
+        metadata = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                metadata = json.load(f)
+        return restored["state"], metadata
+
+    def close(self):
+        self._mgr.close()

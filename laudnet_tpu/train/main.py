@@ -1,0 +1,329 @@
+"""LAUD ImageNet training CLI (reference `train/main.py`).
+
+TPU-native single-controller trainer: one process drives all local devices
+through a jitted data-parallel train step (no mp.spawn/DDP — the mesh +
+sharded batches replace NCCL, SURVEY.md §2.6). Supports the reference's
+experiment surface: per-stage dash-separated dynamic configs, Gumbel
+temperature schedules, FLOPs-targeted sparsity loss with KD, recipe presets
+via python config files, auto-resume, CSV metric logs and per-stage density
+dumps.
+
+Run without ``--data_url`` to smoke-train on synthetic data::
+
+    python -m laudnet_tpu.train.main --arch uni_resnet50 \
+        --dyn_mode spatial-spatial-spatial-spatial \
+        --mask_spatial_granularity 4-4-2-1 --target_rate 0.5 \
+        --epochs 1 --steps_per_epoch 5 --batch_size 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="LAUDNet-TPU ImageNet training")
+    p.add_argument("--arch", default="uni_resnet50",
+                   choices=["uni_resnet50", "uni_resnet101"])
+    p.add_argument("--config", default=None,
+                   help="python config file selecting hyperparams_set_index")
+    p.add_argument("--hyperparams_set_index", type=int, default=None)
+    p.add_argument("--train_url", default="./output")
+    p.add_argument("--data_url", default=None,
+                   help="ImageNet root with train/ and val/; synthetic if unset")
+    # dynamic config (dash-separated per stage, reference `main.py:111-134`)
+    p.add_argument("--dyn_mode", default="spatial-spatial-spatial-spatial")
+    p.add_argument("--mask_spatial_granularity", default="4-4-2-1")
+    p.add_argument("--channel_dyn_granularity", default="1-1-1-1")
+    p.add_argument("--spatial_mask_channel_group", default="1-1-1-1")
+    p.add_argument("--channel_masker", default="MLP-MLP-MLP-MLP")
+    p.add_argument("--channel_masker_layers", default="1-1-1-1")
+    p.add_argument("--masker_reduction", default="16-16-16-16")
+    # gumbel temperature
+    p.add_argument("--t0", type=float, default=5.0)
+    p.add_argument("--t_last", type=float, default=0.1)
+    p.add_argument("--t_last_epoch", type=int, default=None)
+    p.add_argument("--temp_scheduler", default="exp",
+                   choices=["exp", "linear", "cosine"])
+    # sparsity + KD (reference defaults from train_scripts.sh)
+    p.add_argument("--target_rate", type=float, default=0.5)
+    p.add_argument("--lambda_act", type=float, default=10.0)
+    p.add_argument("--T_kd", type=float, default=4.0)
+    p.add_argument("--alpha_kd", type=float, default=0.5)
+    p.add_argument("--lr_mult", type=float, default=1.0)
+    # checkpoints
+    p.add_argument("--finetune_from", default=None,
+                   help="torch .pth[.tar] with static weights (strict=False)")
+    p.add_argument("--teacher_path", default=None)
+    p.add_argument("--evaluate_from", default=None)
+    # overrides / smoke knobs
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--steps_per_epoch", type=int, default=None,
+                   help="only for synthetic data")
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--num_classes", type=int, default=1000)
+    p.add_argument("--print_freq", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def _stage_list(spec: str, cast=str):
+    return tuple(cast(v) for v in spec.split("-"))
+
+
+def main(argv=None):
+    from laudnet_tpu import models
+    from laudnet_tpu.data import (
+        DataLoader, ImageFolderDataset, eval_transform, synthetic_batches,
+        train_transform,
+    )
+    from laudnet_tpu.parallel import make_mesh, data_parallel_shardings
+    from laudnet_tpu.train import optim
+    from laudnet_tpu.train.checkpoint import CheckpointManager
+    from laudnet_tpu.train.hyperparams import get_hyperparams
+    from laudnet_tpu.train.trainer import (
+        TrainConfig, create_train_state, make_eval_step, make_train_step,
+    )
+    from laudnet_tpu.utils.config import Config
+    from laudnet_tpu.utils.flops import resnet_full_flops
+    from laudnet_tpu.utils.logging_utils import Logger
+    from laudnet_tpu.utils.metrics import AverageMeter
+
+    args = parse_args(argv)
+    set_index = args.hyperparams_set_index
+    if args.config:
+        cfg = Config.fromfile(args.config)
+        set_index = cfg.train_cfg["hyperparams_set_index"]
+    recipe = get_hyperparams(set_index if set_index is not None else 2)
+    epochs = args.epochs or recipe.epochs
+    batch_size = args.batch_size or recipe.batch_size
+    t_last_epoch = args.t_last_epoch or epochs
+
+    os.makedirs(args.train_url, exist_ok=True)
+    log = Logger(os.path.join(args.train_url, "train.log"))
+    log(f"devices: {jax.devices()}")
+
+    layers = (3, 4, 6, 3) if args.arch == "uni_resnet50" else (3, 4, 23, 3)
+    model_ctor = getattr(models, args.arch)
+    model = model_ctor(
+        num_classes=args.num_classes,
+        input_size=args.input_size,
+        dyn_mode=_stage_list(args.dyn_mode),
+        mask_spatial_granularity=_stage_list(args.mask_spatial_granularity, int),
+        channel_dyn_granularity=_stage_list(args.channel_dyn_granularity, int),
+        spatial_mask_channel_group=_stage_list(args.spatial_mask_channel_group, int),
+        channel_masker=_stage_list(args.channel_masker),
+        channel_masker_layers=_stage_list(args.channel_masker_layers, int),
+        reduction_ratio=_stage_list(args.masker_reduction, int),
+    )
+    teacher = models.ResNet(layers=layers, num_classes=args.num_classes)
+
+    # data
+    if args.data_url:
+        train_ds = ImageFolderDataset(
+            os.path.join(args.data_url, "train"),
+            train_transform(args.input_size),
+        )
+        val_ds = ImageFolderDataset(
+            os.path.join(args.data_url, "val"), eval_transform(args.input_size)
+        )
+        train_loader = DataLoader(train_ds, batch_size, seed=args.seed)
+        val_loader = DataLoader(val_ds, batch_size, shuffle=False,
+                                drop_last=False)
+        steps_per_epoch = len(train_loader)
+    else:
+        steps_per_epoch = args.steps_per_epoch or 10
+        log("no --data_url: training on synthetic data (smoke mode)")
+
+    full_flops = resnet_full_flops(layers, input_size=args.input_size,
+                                   num_classes=args.num_classes)
+    log(f"full_flops (dense multiply-adds): {full_flops / 1e9:.3f} G")
+
+    cfg = TrainConfig(
+        num_epochs=epochs, steps_per_epoch=steps_per_epoch,
+        base_lr=recipe.lr, lr_min=recipe.lr_min, scheduler=recipe.scheduler,
+        warmup_epochs=recipe.warmup_epochs,
+        t0=args.t0, t_last=args.t_last, t_last_epoch=t_last_epoch,
+        temp_scheduler=args.temp_scheduler,
+        lambda_act=args.lambda_act, alpha_kd=args.alpha_kd, t_kd=args.T_kd,
+        label_smooth=recipe.label_smooth, target_rate=args.target_rate,
+        full_flops=full_flops,
+    )
+
+    mesh = make_mesh()
+    batch_sh, repl = data_parallel_shardings(mesh)
+    rng = jax.random.PRNGKey(args.seed)
+    sample = jnp.zeros((batch_size, args.input_size, args.input_size, 3),
+                       jnp.float32)
+
+    variables = jax.jit(
+        lambda: model.init({"params": rng}, sample, 1.0, training=False)
+    )()
+    if args.finetune_from:
+        from laudnet_tpu.convert import convert_resnet_state_dict, load_pth_tar
+
+        loaded = convert_resnet_state_dict(load_pth_tar(args.finetune_from))
+        variables = _merge_loose(variables, loaded)
+        log(f"loaded finetune weights from {args.finetune_from}")
+
+    teacher_vars = jax.jit(
+        lambda: teacher.init({"params": rng}, sample, training=False)
+    )()
+    if args.teacher_path:
+        from laudnet_tpu.convert import convert_resnet_state_dict, load_pth_tar
+
+        teacher_vars = _merge_loose(
+            teacher_vars,
+            convert_resnet_state_dict(load_pth_tar(args.teacher_path)),
+        )
+        log(f"loaded teacher from {args.teacher_path}")
+
+    optimizer = optim.make_sgd(
+        variables["params"],
+        momentum=recipe.momentum, nesterov=recipe.nesterov,
+        weight_decay=recipe.weight_decay,
+        backbone_lr_mult=args.lr_mult, masker_lr_mult=1.0,
+    )
+    state = create_train_state(model, optimizer, sample, rng=rng)
+    state = state.replace(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    state = jax.device_put(state, repl)
+    teacher_vars = jax.device_put(teacher_vars, repl)
+
+    ckpt = CheckpointManager(os.path.join(args.train_url, "ckpt"))
+    if ckpt.latest_step() is not None:
+        state, meta = ckpt.restore(jax.eval_shape(lambda s: s, state))
+        state = jax.device_put(state, repl)
+        log(f"auto-resumed from step {int(state.step)}")
+
+    train_step = jax.jit(
+        make_train_step(model, teacher, teacher_vars, optimizer, cfg),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(make_eval_step(model, cfg))
+
+    csv_path = os.path.join(args.train_url, "log.txt")
+    if not os.path.exists(csv_path):
+        with open(csv_path, "w", newline="") as f:
+            csv.writer(f).writerow(
+                ["epoch", "train_top1", "train_loss", "val_top1", "val_top5",
+                 "act_rate", "gflops", "lr", "temperature"]
+            )
+
+    best_top1 = -1.0
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, epochs):
+        meters = {k: AverageMeter(k) for k in
+                  ("loss", "top1", "act_rate", "flops")}
+        batches = (
+            train_loader.epoch(epoch) if args.data_url
+            else synthetic_batches(batch_size, args.input_size,
+                                   args.num_classes, steps_per_epoch,
+                                   seed=epoch)
+        )
+        t0 = time.time()
+        m = {}
+        for i, (images, labels) in enumerate(batches):
+            images = jax.device_put(jnp.asarray(images), batch_sh)
+            labels = jax.device_put(jnp.asarray(labels), batch_sh)
+            state, m = train_step(state, images, labels, rng)
+            if i % args.print_freq == 0:
+                m_host = jax.device_get(m)
+                for k in meters:
+                    meters[k].update(float(m_host[k]), len(labels))
+                log(f"epoch {epoch} [{i}/{steps_per_epoch}] "
+                    f"loss {meters['loss'].avg:.4f} top1 {meters['top1'].avg:.2f} "
+                    f"act {meters['act_rate'].avg:.3f} "
+                    f"lr {float(m_host['lr']):.5f} T {float(m_host['temperature']):.3f}")
+        train_time = time.time() - t0
+
+        # validation
+        val_top1 = val_top5 = act = gflops = 0.0
+        n_val = 0
+        val_batches = (
+            val_loader.epoch(0) if args.data_url
+            else synthetic_batches(batch_size, args.input_size,
+                                   args.num_classes, 2, seed=10_000)
+        )
+        density_rows = None
+        for images, labels in val_batches:
+            images = jax.device_put(jnp.asarray(images), batch_sh)
+            labels = jax.device_put(jnp.asarray(labels), batch_sh)
+            s = jax.device_get(
+                eval_step(state.params, state.batch_stats, images, labels)
+            )
+            bsz = len(labels)
+            val_top1 += float(s["top1"]) * bsz
+            val_top5 += float(s["top5"]) * bsz
+            act += float(s["act_rate"]) * bsz
+            gflops += float(s["flops"]) / 1e9 * bsz
+            n_val += bsz
+            density_rows = np.stack([
+                np.concatenate([np.asarray(v) for v in s["spatial_s3"]]),
+                np.concatenate([np.asarray(v) for v in s["spatial_s2"]]),
+                np.concatenate([np.asarray(v) for v in s["spatial_s1"]]),
+                np.concatenate([np.asarray(v) for v in s["channel_s"]]),
+            ])
+        val_top1, val_top5 = val_top1 / n_val, val_top5 / n_val
+        act, gflops = act / n_val, gflops / n_val
+        log(f"epoch {epoch}: val top1 {val_top1:.3f} top5 {val_top5:.3f} "
+            f"act_rate {act:.3f} GFLOPs {gflops:.3f} ({train_time:.1f}s train)")
+
+        np.savetxt(os.path.join(args.train_url, "all_density_latest.txt"),
+                   density_rows)
+        with open(csv_path, "a", newline="") as f:
+            m_host = jax.device_get(m)
+            csv.writer(f).writerow(
+                [epoch, meters["top1"].avg, meters["loss"].avg, val_top1,
+                 val_top5, act, gflops, float(m_host["lr"]),
+                 float(m_host["temperature"])]
+            )
+
+        is_best = val_top1 > best_top1
+        if is_best:
+            best_top1 = val_top1
+            np.savetxt(os.path.join(args.train_url, "all_density_best.txt"),
+                       density_rows)
+            with open(os.path.join(args.train_url, "best_result.txt"), "w") as f:
+                f.write(f"{best_top1:.6f}\t{act:.6f}\t{gflops:.6f}")
+        ckpt.save(int(state.step), jax.device_get(state),
+                  metadata={"epoch": epoch, "val_top1": val_top1},
+                  is_best=is_best)
+    ckpt.close()
+    log(f"done; best top1 {best_top1:.3f}")
+    return best_top1
+
+
+def _merge_loose(variables, loaded):
+    """strict=False load: copy loaded leaves that exist in the target
+    (reference `main.py:281` semantics — maskers stay fresh)."""
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if k in dst:
+                if isinstance(v, dict):
+                    merge(dst[k], v)
+                elif dst[k].shape == v.shape:
+                    dst[k] = jnp.asarray(v, dst[k].dtype)
+        return dst
+
+    out = jax.tree_util.tree_map(lambda x: x, variables)  # copy containers
+    out = jax.device_get(out)
+    for coll in loaded:
+        if coll in out:
+            merge(out[coll], loaded[coll])
+    return out
+
+
+if __name__ == "__main__":
+    main()
