@@ -1,0 +1,6 @@
+from laudnet_tpu.detection.backbone import LAUDDetBackbone
+from laudnet_tpu.detection.fpn import FPN
+from laudnet_tpu.detection.retinanet import RetinaNet, RetinaNetHead
+from laudnet_tpu.detection.losses import loss_sparse
+
+__all__ = ["LAUDDetBackbone", "FPN", "RetinaNet", "RetinaNetHead", "loss_sparse"]

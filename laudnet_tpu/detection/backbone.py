@@ -1,0 +1,128 @@
+"""LAUD-ResNet detection backbone (reference `lad_mmdet_resnet.py`).
+
+Multi-scale feature extractor with the reference's detector contract
+(`mmdetection-3.3.0/.../lad_mmdet_resnet.py:736-754`): forward returns
+``(features, additional, model_configs)`` where ``features`` are the
+requested stage outputs, ``additional`` carries sparsities and
+sparse/dense FLOPs (feeding the detector's ``loss_sparse`` and the
+eval-with-info accounting), and ``model_configs`` carries
+``dyn_mode``/``sparsity_target``.
+
+Detection-specific behaviors reproduced: **fixed Gumbel temperature**
+(`lad_mmdet_resnet.py:679-682` — detectors never anneal), optional frozen
+stages, and ``norm_eval`` (BN always uses running stats,
+`lad_mmdet_resnet.py:753-762`). Variable input sizes are handled by
+deriving mask sizes from the actual feature resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from laudnet_tpu.models.laud_resnet import EXPANSION, LAUDBottleneck, he_normal_fan_out
+
+
+class LAUDDetBackbone(nn.Module):
+    """LAUD-ResNet backbone for detectors. ``dyn_mode`` per stage in
+    {'channel', 'layer', 'static'} (the modes the mmdet reference supports,
+    `lad_mmdet_resnet.py:161-176`); spatial masks need fixed input sizes so
+    detection uses channel/layer gating."""
+
+    layers: Sequence[int] = (3, 4, 23, 3)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    frozen_stages: int = -1  # reference semantics: freeze stem + stages <= n
+    norm_eval: bool = True
+    temperature: float = 0.1  # fixed (configs use temperature_0=0.1)
+    sparsity_target: float = 0.5
+    dyn_mode: Sequence[str] = ("channel",) * 4
+    channel_dyn_granularity: Sequence[int] = (2, 2, 2, 2)
+    channel_masker: Sequence[str] = ("MLP",) * 4
+    channel_masker_layers: Sequence[int] = (2, 2, 2, 2)
+    reduction_ratio: Sequence[int] = (16, 16, 16, 16)
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        bn_training = training and not self.norm_eval
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    kernel_init=he_normal_fan_out(), name="conv1",
+                    param_dtype=self.param_dtype)(x)
+        x = nn.BatchNorm(use_running_average=not bn_training, momentum=0.9,
+                         epsilon=1e-5, name="bn1",
+                         param_dtype=self.param_dtype)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        sparse_flops = jnp.float32(0.0)
+        dense_flops = jnp.float32(0.0)
+        channel_s, layer_s, flops_perc = [], [], []
+        inplanes = 64
+        for s in range(4):
+            planes = 64 * (2**s)
+            stage_training = bn_training and s + 1 > self.frozen_stages
+            mode = self.dyn_mode[s]
+            for b in range(self.layers[s]):
+                stride = (2 if s > 0 else 1) if b == 0 else 1
+                has_ds = b == 0 and (stride != 1 or inplanes != planes * EXPANSION)
+                out_size = x.shape[1] // stride
+                name = f"layer{s + 1}_{b}"
+                if mode == "static":
+                    x, st = self._static_block(
+                        x, planes, stride, has_ds, name, stage_training
+                    )
+                else:
+                    x, st = LAUDBottleneck(
+                        planes=planes, stride=stride, has_downsample=has_ds,
+                        output_size=out_size,
+                        dyn_mode=mode,  # 'channel' or 'layer'
+                        channel_dyn_granularity=self.channel_dyn_granularity[s],
+                        channel_masker=self.channel_masker[s],
+                        channel_masker_layers=self.channel_masker_layers[s],
+                        reduction=self.reduction_ratio[s],
+                        name=name,
+                        param_dtype=self.param_dtype,
+                    )(x, self.temperature, training=stage_training)
+                    channel_s.append(st.channel_s)
+                    layer_s.append(st.spatial_s3)
+                    flops_perc.append(st.flops_perc)
+                    sparse_flops += st.sparse_flops
+                    dense_flops += st.sparse_flops / jnp.maximum(
+                        st.flops_perc, 1e-9
+                    )
+                inplanes = planes * EXPANSION
+                if s + 1 <= self.frozen_stages:
+                    x = jax.lax.stop_gradient(x)
+            if s in self.out_indices:
+                outs.append(x)
+
+        additional = {
+            "flops": sparse_flops,
+            "dense_flops": dense_flops,
+            "flops_perc": jnp.stack(flops_perc) if flops_perc else jnp.ones(1),
+            "channel_sparsity": jnp.stack(channel_s) if channel_s else jnp.ones(1),
+            "layer_sparsity": jnp.stack(layer_s) if layer_s else jnp.ones(1),
+        }
+        model_configs = {
+            "dyn_mode": tuple(self.dyn_mode),
+            "sparsity_target": self.sparsity_target,
+        }
+        return tuple(outs), additional, model_configs
+
+    def _static_block(self, x, planes, stride, has_ds, name, training):
+        from laudnet_tpu.models.resnet import Bottleneck
+
+        out = Bottleneck(planes=planes, stride=stride, has_downsample=has_ds,
+                         name=name, param_dtype=self.param_dtype)(
+            x, training=training
+        )
+        from laudnet_tpu.models.laud_resnet import BlockStats
+
+        one = jnp.float32(1.0)
+        return out, BlockStats(one, one, one, one, one, jnp.float32(0.0))
