@@ -4,31 +4,34 @@ This is the TPU realization of the dynamic convolution the reference only
 simulates (`DyNetSimulator/hardware_models/multi_cores.py:181-337`): for each
 *active* patch of the spatial mask, compute
 
-    conv2 (3x3, VALID over a haloed window) -> BN -> ReLU ->
-    conv3 (1x1) -> BN -> (+ identity window) -> write back
+    conv2 (3x3, VALID over a haloed window) -> BN -> ReLU -> conv3 (1x1) -> BN
 
-entirely in VMEM — gathered windows never materialize in HBM, which is what
-makes this faster than the XLA gather/scatter pipeline (whose intermediate
-(B, K, G+2, G+2, C) buffers triple the HBM traffic; measured 2-4x slower
-than dense on v5e).
+entirely in VMEM and scatter the result into a zero-initialized buffer; the
+residual add + final ReLU run as one fused XLA epilogue
+(``relu(identity + scattered)`` — inactive cells correctly reduce to
+``relu(identity)``). Gathered windows never materialize in HBM, which is
+what makes this faster than the XLA gather/scatter pipeline (measured 2-4x
+slower than dense on v5e due to intermediate buffers).
 
 Static shapes via fixed capacity: every image contributes exactly K patch
 slots (active cells first, via stable top-k); invalid slots are skipped with
 predicated writes.
 
+Pipelining: input windows are double-buffered across grid steps (step i
+starts step i+1's DMAs before computing), and output writes are
+double-buffered with exact semaphore matching against each step's valid
+pattern, so neither input nor output DMA latency sits on the critical path
+— only issue cost does.
+
 Mosaic layout notes (probed empirically on v5e):
 * HBM->VMEM window DMAs with arbitrary window sizes require the channel axis
-  pre-split as ``(..., C // 128, 128)`` — plain ``(win, win, C)`` copies only
-  compile when ``win % 8 == 0`` and ``C == 128``/``256``-at-win8. We
-  therefore view all spatial tensors as 5-D with a 128-lane minor axis
-  (channels are zero-padded up to a multiple of 128 when needed).
+  pre-split as ``(..., C // 128, 128)``; bf16 additionally needs >= 2x128
+  channels. Channels are zero-padded accordingly (free on the MXU, which
+  pads to 128 lanes anyway).
 * bf16 ``concatenate`` of shifted window slices fails to lower; the 3x3 conv
-  is instead computed as nine accumulated matmuls (one per kernel tap),
-  which lowers cleanly for all dtypes.
+  is computed as nine accumulated matmuls (one per kernel tap) instead.
 
-BN at eval folds into per-channel affines (see :func:`fold_bn`); the final
-residual ReLU runs as one fused XLA epilogue outside the kernel (it must
-also cover inactive cells, which hold the raw identity via aliasing).
+BN at eval folds into per-channel affines (see :func:`fold_bn`).
 """
 
 from __future__ import annotations
@@ -62,45 +65,63 @@ def _pad_channels(x):
 
 
 def _kernel(idx_ref, valid_ref,  # scalar prefetch (SMEM)
-            x_ref, id_ref, w2_ref, a2_ref, b2_ref, w3_ref, a3_ref, b3_ref,
-            out_ref,
-            xwin, iwin, owin, in_sems, id_sems, out_sems,
+            x_ref, z_ref, w2_ref, a2_ref, b2_ref, w3_ref, a3_ref, b3_ref,
+            out_ref,  # z_ref is the zeros initializer aliased into out_ref
+            xwin, owin, in_sems, out_sems,
             *, patches_per_step: int, patch: int, n_cells: int,
             cells_w: int, c_in: int, c_out: int):
-    """One grid step: DMA P windows in, 9-tap matmuls, DMA P results out."""
     p_count = patches_per_step
     g = patch
     step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    slot = step % 2
 
-    def coords(p):
-        flat = idx_ref[step * p_count + p]
+    def coords(step_v, p):
+        flat = idx_ref[step_v * p_count + p]
         b = flat // n_cells
         cell = flat % n_cells
         return b, (cell // cells_w) * g, (cell % cells_w) * g
 
-    def in_dmas(p):
-        b, r0, c0 = coords(p)
-        return (
-            pltpu.make_async_copy(
-                x_ref.at[b, pl.ds(r0, g + 2), pl.ds(c0, g + 2), :, :],
-                xwin.at[p], in_sems.at[p],
-            ),
-            pltpu.make_async_copy(
-                id_ref.at[b, pl.ds(r0, g), pl.ds(c0, g), :, :],
-                iwin.at[p], id_sems.at[p],
-            ),
+    def in_dma(step_v, slot_v, p):
+        b, r0, c0 = coords(step_v, p)
+        return pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(r0, g + 2), pl.ds(c0, g + 2), :, :],
+            xwin.at[slot_v, p], in_sems.at[slot_v, p],
         )
 
+    def out_dma(step_v, slot_v, p):
+        b, r0, c0 = coords(step_v, p)
+        return pltpu.make_async_copy(
+            owin.at[slot_v, p],
+            out_ref.at[b, pl.ds(r0, g), pl.ds(c0, g), :, :],
+            out_sems.at[slot_v, p],
+        )
+
+    # --- input pipeline: prime step 0, prefetch step+1 -------------------
+    @pl.when(step == 0)
+    def _():
+        for p in range(p_count):
+            in_dma(step, slot, p).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        for p in range(p_count):
+            in_dma(step + 1, (step + 1) % 2, p).start()
+
     for p in range(p_count):
-        for dma in in_dmas(p):
-            dma.start()
-    for p in range(p_count):
-        for dma in in_dmas(p):
-            dma.wait()
+        in_dma(step, slot, p).wait()
+
+    # --- output slot reuse: wait step-2's writes on this slot ------------
+    @pl.when(step >= 2)
+    def _():
+        for p in range(p_count):
+            @pl.when(valid_ref[(step - 2) * p_count + p] > 0)
+            def _():
+                out_dma(step - 2, slot, p).wait()
 
     # --- conv2 as nine accumulated taps (bf16-safe, no concat) ----------
     rows = p_count * g * g
-    xv = xwin[:].reshape(p_count, g + 2, g + 2, c_in)
+    xv = xwin[slot].reshape(p_count, g + 2, g + 2, c_in)
     acc = jnp.zeros((rows, w2_ref.shape[-1]), jnp.float32)
     for ki in range(3):
         for kj in range(3):
@@ -110,26 +131,30 @@ def _kernel(idx_ref, valid_ref,  # scalar prefetch (SMEM)
     h = acc * a2_ref[:] + b2_ref[:]
     h = jnp.maximum(h, 0.0).astype(xwin.dtype)
 
-    # --- conv3 (1x1) + folded BN + residual -----------------------------
+    # --- conv3 (1x1) + folded BN ------------------------------------------
     y = jnp.dot(h, w3_ref[:], preferred_element_type=jnp.float32)
     y = y * a3_ref[:] + b3_ref[:]
-    y = y.reshape(p_count, g, g, c_out)
-    y = y + iwin[:].reshape(p_count, g, g, c_out).astype(jnp.float32)
-    owin[:] = y.astype(out_ref.dtype).reshape(owin.shape)
+    owin[slot] = y.astype(out_ref.dtype).reshape(owin.shape[1:])
 
-    # --- scatter: write active patches back ------------------------------
+    # --- scatter: start async writes for valid patches --------------------
     for p in range(p_count):
-        b, r0, c0 = coords(p)
-
         @pl.when(valid_ref[step * p_count + p] > 0)
         def _():
-            dma = pltpu.make_async_copy(
-                owin.at[p],
-                out_ref.at[b, pl.ds(r0, g), pl.ds(c0, g), :, :],
-                out_sems.at[p],
-            )
-            dma.start()
-            dma.wait()
+            out_dma(step, slot, p).start()
+
+    # --- drain at the end --------------------------------------------------
+    @pl.when(step == n_steps - 1)
+    def _():
+        @pl.when(step >= 1)
+        def _():
+            for p in range(p_count):
+                @pl.when(valid_ref[(step - 1) * p_count + p] > 0)
+                def _():
+                    out_dma(step - 1, (step - 1) % 2, p).wait()
+        for p in range(p_count):
+            @pl.when(valid_ref[step * p_count + p] > 0)
+            def _():
+                out_dma(step, slot, p).wait()
 
 
 def _rows_target(patch: int) -> int:
@@ -140,7 +165,7 @@ def _rows_target(patch: int) -> int:
 @functools.partial(jax.jit, static_argnames=("patch", "capacity"))
 def masked_bottleneck_tail(x1, identity, mask_cells, w2, a2, b2, w3, a3, b3,
                            *, patch: int, capacity: int):
-    """Run the fused sparse tail. Returns relu(scattered + identity).
+    """Run the fused sparse tail. Returns relu(identity + scattered).
 
     ``x1``: (B, H, W, C) conv1 output (post bn1/relu), stride-1 block.
     ``identity``: (B, H, W, Co) residual input (post-downsample if any).
@@ -173,13 +198,12 @@ def masked_bottleneck_tail(x1, identity, mask_cells, w2, a2, b2, w3, a3, b3,
     # --- channel-split 5-D views (Mosaic DMA alignment, see module doc) --
     x_p = _pad_channels(jnp.pad(x1, ((0, 0), (1, 1), (1, 1), (0, 0))))
     c_pad = x_p.shape[-1]
-    id_p = _pad_channels(identity)
-    co_pad = id_p.shape[-1]
+    co_pad = _pad_channels(identity[:1, :1, :1]).shape[-1]
     x5 = x_p.reshape(b, hh + 2, ww + 2, c_pad // LANES, LANES)
-    id5 = id_p.reshape(b, hh, ww, co_pad // LANES, LANES)
+    zeros5 = jnp.zeros((b, hh, ww, co_pad // LANES, LANES), identity.dtype)
 
-    # weights: (9, C_pad, Co2_pad) taps; conv2 keeps the true C outputs but
-    # pads them to LANES so the conv3 matmul stays aligned.
+    # weights: (9, C_pad, C2_pad) taps; conv2 output padded to LANES so the
+    # conv3 matmul stays aligned.
     w2p = jnp.pad(
         w2, ((0, 0), (0, 0), (0, c_pad - c), (0, (-c) % LANES))
     ).reshape(9, c_pad, c + ((-c) % LANES))
@@ -195,7 +219,7 @@ def masked_bottleneck_tail(x1, identity, mask_cells, w2, a2, b2, w3, a3, b3,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x (5-D)
-            pl.BlockSpec(memory_space=pl.ANY),  # identity (5-D)
+            pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased to output)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 taps
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a2
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
@@ -206,20 +230,15 @@ def masked_bottleneck_tail(x1, identity, mask_cells, w2, a2, b2, w3, a3, b3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM(
-                (p_per_step, patch + 2, patch + 2, c_pad // LANES, LANES),
+                (2, p_per_step, patch + 2, patch + 2, c_pad // LANES, LANES),
                 x1.dtype,
             ),
             pltpu.VMEM(
-                (p_per_step, patch, patch, co_pad // LANES, LANES),
+                (2, p_per_step, patch, patch, co_pad // LANES, LANES),
                 identity.dtype,
             ),
-            pltpu.VMEM(
-                (p_per_step, patch, patch, co_pad // LANES, LANES),
-                identity.dtype,
-            ),
-            pltpu.SemaphoreType.DMA((p_per_step,)),
-            pltpu.SemaphoreType.DMA((p_per_step,)),
-            pltpu.SemaphoreType.DMA((p_per_step,)),
+            pltpu.SemaphoreType.DMA((2, p_per_step)),
+            pltpu.SemaphoreType.DMA((2, p_per_step)),
         ],
     )
 
@@ -236,12 +255,12 @@ def masked_bottleneck_tail(x1, identity, mask_cells, w2, a2, b2, w3, a3, b3,
     out5 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(id5.shape, identity.dtype),
-        input_output_aliases={3: 0},  # identity (after 2 prefetch + x) -> out
+        out_shape=jax.ShapeDtypeStruct(zeros5.shape, identity.dtype),
+        input_output_aliases={3: 0},  # zeros (after 2 prefetch + x) -> out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(flat_idx, valid, x5, id5, w2p.astype(x1.dtype),
+    )(flat_idx, valid, x5, zeros5, w2p.astype(x1.dtype),
       row(a2, c_mid), row(b2, c_mid), w3p.astype(x1.dtype),
       row(a3, co_pad), row(b3, co_pad))
 
-    out = out5.reshape(b, hh, ww, co_pad)[..., :co]
-    return jnp.maximum(out, 0.0)
+    scattered = out5.reshape(b, hh, ww, co_pad)[..., :co]
+    return jnp.maximum(identity + scattered, 0.0)

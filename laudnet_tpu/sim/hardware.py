@@ -93,6 +93,10 @@ class TPUSpec:
     sustained_frac: float = 0.70
     mxu_dim: int = 128
     batch_size: int = 128
+    # Per-DMA issue cost for dynamically-indexed Pallas window copies
+    # (measured on v5e: total kernel time tracks 3 * B * K DMAs at ~0.27 us
+    # each regardless of patches-per-step or double buffering).
+    dma_issue_overhead: float = 0.27e-6
 
     def with_batch(self, batch_size: int) -> "TPUSpec":
         return replace(self, batch_size=batch_size)

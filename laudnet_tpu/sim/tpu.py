@@ -179,9 +179,44 @@ def tpu_static_block(p: TPUPredictor, g: BlockGeom) -> SimulationReport:
     return rep
 
 
+def tpu_pallas_spatial_block(p: TPUPredictor, g: BlockGeom, granul: int,
+                             capacity: float) -> SimulationReport:
+    """The fused Pallas engine (`ops/pallas/masked_block.py`): dense conv1 +
+    masker, then per-patch fused conv2+conv3 in VMEM. Latency = per-patch
+    DMA issue cost (2 window DMAs: in + out) + MXU patch compute + the
+    zeros-init/residual epilogue — no HBM materialization of gathers."""
+    s = p.spec
+    inh = g.h * g.stride
+    rep = p.masker(g.cin, max(g.h // granul, 1), inh, inh)
+    rep = rep + p.conv(g.cin, g.width, inh, inh, 1)
+    if g.stride != 1:
+        rep = rep + p.conv(g.width, g.width, inh, inh, 3, stride=2,
+                           groups=g.groups)
+        rep = rep + p.conv(g.width, g.cout, g.h, g.h, 1)
+        if g.has_downsample:
+            rep = rep + p.conv(g.cin, g.cout, inh, inh, 1, stride=g.stride)
+        return rep + p.add(g.cout, g.h, g.h)
+
+    cells = (g.h // granul) ** 2
+    k = max(1, math.ceil(capacity * cells))
+    rep = rep + p.patch_conv(g.width, g.width, granul, capacity, cells, 3)
+    rep = rep + p.patch_conv(g.width, g.cout, granul, capacity, cells, 1,
+                             halo_in=False)
+    dma = 2 * s.batch_size * k * s.dma_issue_overhead
+    # epilogue: zeros init + relu(identity + scattered) fused pass
+    epilogue = 3 * s.batch_size * g.cout * g.h * g.h * p.dtype_bytes \
+        / s.mem_bandwidth
+    if g.has_downsample:
+        rep = rep + p.conv(g.cin, g.cout, inh, inh, 1, stride=g.stride)
+    return rep + SimulationReport(latency=dma + epilogue,
+                                  memory_latency=dma + epilogue,
+                                  cfg=[dict(op="pallas_overhead", k=k)])
+
+
 def tpu_spatial_block(p: TPUPredictor, g: BlockGeom, granul: int,
                       capacity: float) -> SimulationReport:
-    """Our sparse engine: dense conv1, gather, patch conv2+conv3, scatter."""
+    """The XLA gather/scatter engine: dense conv1, gather, patch conv2+conv3,
+    scatter (all via HBM buffers)."""
     inh = g.h * g.stride
     cells = (g.h // granul) ** 2
     rep = p.masker(g.cin, g.h // granul, inh, inh)
@@ -218,6 +253,10 @@ def tpu_predict_network(p: TPUPredictor, model: str, mode: str = "static",
             total = total + tpu_static_block(p, g)
         elif mode == "spatial":
             total = total + tpu_spatial_block(p, g, min(gran, g.h), rate)
+        elif mode == "pallas":
+            total = total + tpu_pallas_spatial_block(
+                p, g, min(gran, g.h), rate
+            )
         elif mode == "channel":
             # channel mode runs dense on TPU today (masks fuse for free)
             total = total + tpu_static_block(p, g) + p.masker(

@@ -212,6 +212,36 @@ def main(argv=None):
     )
     eval_step = jax.jit(make_eval_step(model, cfg))
 
+    if args.evaluate_from:
+        # evaluation-only path (reference `main.py:304-307,435-436`)
+        from laudnet_tpu.convert import convert_resnet_state_dict, load_pth_tar
+
+        loaded = convert_resnet_state_dict(load_pth_tar(args.evaluate_from))
+        params = loaded["params"]
+        bstats = loaded.get("batch_stats", state.batch_stats)
+        top1 = top5 = act = gflops = 0.0
+        n_val = 0
+        val_batches = (
+            val_loader.epoch(0) if args.data_url
+            else synthetic_batches(batch_size, args.input_size,
+                                   args.num_classes, 2, seed=10_000)
+        )
+        for images, labels in val_batches:
+            s = jax.device_get(eval_step(
+                params, bstats,
+                jax.device_put(jnp.asarray(images), batch_sh),
+                jax.device_put(jnp.asarray(labels), batch_sh),
+            ))
+            bsz = len(labels)
+            top1 += float(s["top1"]) * bsz
+            top5 += float(s["top5"]) * bsz
+            act += float(s["act_rate"]) * bsz
+            gflops += float(s["flops"]) / 1e9 * bsz
+            n_val += bsz
+        log(f"evaluate: top1 {top1 / n_val:.3f} top5 {top5 / n_val:.3f} "
+            f"act_rate {act / n_val:.3f} GFLOPs {gflops / n_val:.3f}")
+        return top1 / n_val
+
     csv_path = os.path.join(args.train_url, "log.txt")
     if not os.path.exists(csv_path):
         with open(csv_path, "w", newline="") as f:
