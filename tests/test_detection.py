@@ -78,3 +78,32 @@ def test_retinanet_end_to_end():
     assert dets["scores"].shape == (1, 10)
     # fresh model ~1% sigmoid prior -> below 0.05 score threshold
     assert float(dets["scores"].max()) < 0.2
+
+
+def test_roi_align_constant_feature():
+    """Bilinear sampling of a constant map returns the constant."""
+    import jax.numpy as jnp
+    from laudnet_tpu.detection.two_stage import roi_align
+
+    feats = [jnp.full((32 // s, 32 // s, 4), 3.0) for s in (1, 2, 4, 8)]
+    boxes = jnp.asarray([[2.0, 2.0, 10.0, 10.0], [0.0, 0.0, 30.0, 30.0]])
+    out = roi_align(feats, boxes, strides=(1, 2, 4, 8), out_size=7)
+    assert out.shape == (2, 7, 7, 4)
+    np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+
+def test_faster_rcnn_end_to_end():
+    from laudnet_tpu.detection.two_stage import FasterRCNN
+
+    det = FasterRCNN(num_classes=5, backbone_layers=(1, 1, 1, 1),
+                     dyn_mode=("channel",) * 4, num_proposals=32,
+                     with_masks=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 128, 3))
+    v = det.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+    out, _ = det.apply(v, x, training=False, mutable=["batch_stats"])
+    assert out["proposals"].shape == (1, 32, 4)
+    assert out["cls_logits"].shape == (1, 32, 6)  # K+1
+    assert out["mask_logits"].shape == (1, 32, 28, 28, 5)
+    dets = FasterRCNN.detect(out, max_detections=10)
+    assert dets["boxes"].shape == (1, 10, 4)
+    assert np.isfinite(np.asarray(dets["scores"])).all()
