@@ -77,7 +77,56 @@ def _cast(tree, dtype):
     )
 
 
-def main():
+def main_vit():
+    """Headline: LAUD-DeiT-S with fixed-capacity token selection vs plain
+    DeiT-S — the ViT-paradigm claim of the paper (panel (c)), realized
+    TPU-native. vs_baseline > 1 means LAUD beats dense wall-clock."""
+    from laudnet_tpu.models import laud_deit_small
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH, SIZE, SIZE, 3)), DTYPE)
+
+    base = laud_deit_small()
+    v = _cast(
+        jax.jit(lambda: base.init({"params": jax.random.PRNGKey(0)},
+                                  x.astype(jnp.float32), 1.0,
+                                  training=False))(),
+        DTYPE,
+    )
+    caps = (1.0, 1.0, 1.0) + (0.7,) * 4 + (0.5,) * 5  # AdaViT-style schedule
+    select = laud_deit_small(token_capacity=caps)
+    laud_ips = _throughput(
+        lambda x: select.apply(v, x, jnp.asarray(0.1, DTYPE),
+                               training=False).logits, x
+    )
+
+    plain = laud_deit_small(token_skip=False, head_skip=False,
+                            layer_skip=False)
+    vp = _cast(
+        jax.jit(lambda: plain.init({"params": jax.random.PRNGKey(0)},
+                                   x.astype(jnp.float32), 1.0,
+                                   training=False))(),
+        DTYPE,
+    )
+    dense_ips = _throughput(
+        lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                              training=False).logits, x
+    )
+    print(
+        json.dumps(
+            {
+                "metric": ("images/sec/chip LAUD-DeiT-S token-select "
+                           "(caps 1.0x3/0.7x4/0.5x5) vs dense DeiT-S, "
+                           "bs128 bf16"),
+                "value": round(laud_ips, 1),
+                "unit": "img/s",
+                "vs_baseline": round(laud_ips / dense_ips, 4),
+            }
+        )
+    )
+
+
+def main_resnet():
     from laudnet_tpu.models import resnet101, uni_resnet101
 
     rng = np.random.default_rng(0)
@@ -127,6 +176,15 @@ def main():
             }
         )
     )
+
+
+def main():
+    import sys
+
+    if "--resnet" in sys.argv:
+        main_resnet()
+    else:
+        main_vit()
 
 
 if __name__ == "__main__":

@@ -173,7 +173,18 @@ class LAUDViTBlock(nn.Module):
 
 
 class LAUDViT(nn.Module):
-    """DeiT-style LAUD-ViT (token/head/block skipping)."""
+    """DeiT-style LAUD-ViT (token/head/block skipping).
+
+    ``token_capacity`` (eval-only) enables the *token-selection serving
+    path*: after each block, the surviving tokens are gathered down to a
+    fixed per-block budget ``ceil(capacity[i] * L)`` so every downstream
+    matmul shrinks — the static-shape realization of AdaViT's token pruning
+    (`DyNetSimulator/adavit/simulate_adavit.py:108` uses the same
+    ``L_select = int(L * density)``). Once a token's gate closes it never
+    re-enters attention (gates compose), so dropping it is exactly
+    equivalent to the masked graph whenever the budget covers the realized
+    keep-count; overflowing tokens are dropped lowest-score-first.
+    """
 
     depth: int = 12
     dim: int = 384
@@ -184,6 +195,7 @@ class LAUDViT(nn.Module):
     token_skip: bool = True
     head_skip: bool = True
     layer_skip: bool = True
+    token_capacity: Any = None  # optional per-block keep fractions (eval)
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -212,6 +224,7 @@ class LAUDViT(nn.Module):
         x = x + pos
 
         token_mask = jnp.ones((b, n + 1), x.dtype)
+        select = self.token_capacity is not None and not training
         stats_all = []
         for i in range(self.depth):
             x, token_mask, st = LAUDViTBlock(
@@ -222,6 +235,15 @@ class LAUDViT(nn.Module):
             )(x, token_mask, temperature, training=training)
             stats_all.append(st)
             flops += st.sparse_flops
+            if select and i < self.depth - 1:
+                k = max(2, -(-int(self.token_capacity[i] * (n + 1)) // 1))
+                k = min(k, x.shape[1])
+                if k < x.shape[1]:
+                    # keep the class token (mask 1, index 0 -> stable-first)
+                    vals, idx = jax.lax.top_k(token_mask, k)
+                    bidx = jnp.arange(b)[:, None]
+                    x = x[bidx, idx]
+                    token_mask = vals
 
         x = nn.LayerNorm(name="norm", param_dtype=self.param_dtype)(x)
         logits = nn.Dense(self.num_classes, name="head",

@@ -88,3 +88,37 @@ def test_head_mask_zeroes_head_contribution():
                   jnp.ones((2, 9)), 1.0, training=False)
     out, _, st = blk.apply(bv, tokens, jnp.ones((2, 9)), 0.1, training=False)
     assert 0.0 <= float(st.head_density) <= 1.0
+
+
+def test_token_selection_matches_masked_graph():
+    """With budget >= realized keep count, the token-selection serving path
+    reproduces the masked-graph class logits exactly (dropped tokens never
+    re-enter attention, so removal == masking)."""
+    kw = dict(depth=3, dim=64, num_heads=4, mlp_ratio=2.0, patch_size=8,
+              num_classes=10, head_skip=False, layer_skip=False)
+    dense = tiny_vit(**kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = dense.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+
+    # bias some token gates shut so masks actually close
+    params = jax.device_get(v["params"])
+    for i in range(3):
+        k = params[f"block_{i}"]["token_policy"]["kernel"]
+        bias = np.zeros(2, np.float32)
+        bias[1] = 2.0  # favor 'skip' logit -> ~most tokens closed
+        params[f"block_{i}"]["token_policy"]["bias"] = jnp.asarray(bias)
+    v = {"params": params}
+
+    out_d = dense.apply(v, x, 0.1, training=False)
+    kept = float(out_d.token_density.min())
+    assert kept < 1.0  # gates actually closed
+
+    sel = tiny_vit(token_capacity=(1.0, 1.0, 1.0), **kw)
+    out_s = sel.apply(v, x, 0.1, training=False)
+    np.testing.assert_allclose(np.asarray(out_s.logits),
+                               np.asarray(out_d.logits), rtol=1e-4, atol=1e-4)
+
+    # tight budget: still runs, logits finite, shapes static
+    sel2 = tiny_vit(token_capacity=(0.5, 0.4, 0.3), **kw)
+    out_t = sel2.apply(v, x, 0.1, training=False)
+    assert np.isfinite(np.asarray(out_t.logits)).all()
