@@ -19,6 +19,7 @@ from laudnet_tpu.models.laud_vit import (
     laud_deit_small,
     laud_deit_tiny,
     laud_t2t_vit_19_backbone,
+    laud_t2t_vit_19,
 )
 from laudnet_tpu.models.laud_regnet import (
     LAUDRegNet,

@@ -196,20 +196,28 @@ class LAUDViT(nn.Module):
     head_skip: bool = True
     layer_skip: bool = True
     token_capacity: Any = None  # optional per-block keep fractions (eval)
+    stem: str = "patch"  # 'patch' (conv patchify) | 't2t' (tokens-to-token)
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, temperature, *, training: bool = False):
         b, hh, ww, c = x.shape
-        # patchify
-        x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
-                    strides=self.patch_size, name="patch_embed",
-                    param_dtype=self.param_dtype)(x)
-        n = x.shape[1] * x.shape[2]
-        x = x.reshape(b, n, self.dim)
-        flops = jnp.asarray(
-            c * self.dim * self.patch_size**2 * n, jnp.float32
-        )
+        if self.stem == "t2t":
+            from laudnet_tpu.models.t2t import T2TStem, t2t_stem_flops
+
+            x = T2TStem(embed_dim=self.dim, name="t2t_stem",
+                        param_dtype=self.param_dtype)(x)
+            n = x.shape[1]
+            flops = jnp.asarray(t2t_stem_flops(self.dim), jnp.float32)
+        else:
+            x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
+                        strides=self.patch_size, name="patch_embed",
+                        param_dtype=self.param_dtype)(x)
+            n = x.shape[1] * x.shape[2]
+            x = x.reshape(b, n, self.dim)
+            flops = jnp.asarray(
+                c * self.dim * self.patch_size**2 * n, jnp.float32
+            )
 
         cls = self.param(
             "cls_token", jax.nn.initializers.truncated_normal(0.02),
@@ -277,3 +285,11 @@ def laud_t2t_vit_19_backbone(**kwargs) -> LAUDViT:
     approximated by the conv patchifier (the paradigms and costs live in the
     trunk, which is what LAUDNet gates)."""
     return LAUDViT(depth=14, dim=448, num_heads=7, mlp_ratio=3.0, **kwargs)
+
+
+def laud_t2t_vit_19(**kwargs) -> LAUDViT:
+    """Full LAUD-T2T-ViT-19: tokens-to-token performer stem + gated trunk
+    (panel (c) of the paper; stem simulated at
+    `DyNetSimulator/adavit/simulate_adavit.py:58-74`)."""
+    return LAUDViT(depth=14, dim=448, num_heads=7, mlp_ratio=3.0,
+                   stem="t2t", **kwargs)

@@ -122,3 +122,27 @@ def test_token_selection_matches_masked_graph():
     sel2 = tiny_vit(token_capacity=(0.5, 0.4, 0.3), **kw)
     out_t = sel2.apply(v, x, 0.1, training=False)
     assert np.isfinite(np.asarray(out_t.logits)).all()
+
+
+def test_t2t_stem_and_full_model():
+    from laudnet_tpu.models.t2t import T2TStem, unfold
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 224, 224, 3))
+    t, hw = unfold(x, 7, 4, 2)
+    assert t.shape == (1, 56 * 56, 147) and hw == (56, 56)
+
+    stem = T2TStem(embed_dim=448)
+    v = stem.init(jax.random.PRNGKey(1), x)
+    tokens = stem.apply(v, x)
+    assert tokens.shape == (1, 196, 448)
+    assert np.isfinite(np.asarray(tokens)).all()
+
+    from laudnet_tpu.models.laud_vit import LAUDViT
+
+    model = LAUDViT(depth=1, dim=448, num_heads=7, mlp_ratio=3.0, stem="t2t",
+                    num_classes=10)
+    mv = model.init({"params": jax.random.PRNGKey(2)}, x, 1.0, training=False)
+    out = model.apply(mv, x, 0.1, training=False)
+    assert out.logits.shape == (1, 10)
+    assert float(out.flops) > 0
