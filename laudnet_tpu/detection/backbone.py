@@ -28,9 +28,11 @@ from laudnet_tpu.models.laud_resnet import EXPANSION, LAUDBottleneck, he_normal_
 
 class LAUDDetBackbone(nn.Module):
     """LAUD-ResNet backbone for detectors. ``dyn_mode`` per stage in
-    {'channel', 'layer', 'static'} (the modes the mmdet reference supports,
-    `lad_mmdet_resnet.py:161-176`); spatial masks need fixed input sizes so
-    detection uses channel/layer gating."""
+    {'channel', 'layer', 'spatial', 'static'}: channel/layer are the modes
+    the mmdet LAUD backbone supports (`lad_mmdet_resnet.py:161-176`);
+    'spatial' covers the legacy LASNet spatial-only backbone
+    (`mmdet/models/backbones/resnet_sd.py`) — mask sizes derive from the
+    traced feature resolution, so each input size compiles its own masks."""
 
     layers: Sequence[int] = (3, 4, 23, 3)
     out_indices: Sequence[int] = (0, 1, 2, 3)
@@ -39,6 +41,7 @@ class LAUDDetBackbone(nn.Module):
     temperature: float = 0.1  # fixed (configs use temperature_0=0.1)
     sparsity_target: float = 0.5
     dyn_mode: Sequence[str] = ("channel",) * 4
+    mask_spatial_granularity: Sequence[int] = (4, 4, 2, 1)
     channel_dyn_granularity: Sequence[int] = (2, 2, 2, 2)
     channel_masker: Sequence[str] = ("MLP",) * 4
     channel_masker_layers: Sequence[int] = (2, 2, 2, 2)
@@ -81,7 +84,8 @@ class LAUDDetBackbone(nn.Module):
                     x, st = LAUDBottleneck(
                         planes=planes, stride=stride, has_downsample=has_ds,
                         output_size=out_size,
-                        dyn_mode=mode,  # 'channel' or 'layer'
+                        mask_spatial_granularity=self.mask_spatial_granularity[s],
+                        dyn_mode=mode,  # 'channel' | 'layer' | 'spatial'
                         channel_dyn_granularity=self.channel_dyn_granularity[s],
                         channel_masker=self.channel_masker[s],
                         channel_masker_layers=self.channel_masker_layers[s],

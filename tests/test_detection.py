@@ -107,3 +107,22 @@ def test_faster_rcnn_end_to_end():
     dets = FasterRCNN.detect(out, max_detections=10)
     assert dets["boxes"].shape == (1, 10, 4)
     assert np.isfinite(np.asarray(dets["scores"])).all()
+
+
+def test_backbone_spatial_mode_resnet_sd_style():
+    """Spatial gating in the detection backbone (the LASNet ResNet_sd
+    capability) at a non-224 input size."""
+    bb = LAUDDetBackbone(
+        layers=(1, 1, 1, 1), out_indices=(3,),
+        dyn_mode=("spatial",) * 4,
+        mask_spatial_granularity=(4, 4, 2, 1),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 192, 192, 3))
+    v = bb.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+    (feats, additional, _), _ = bb.apply(
+        v, x, training=False, mutable=["batch_stats"]
+    )
+    assert feats[0].shape == (1, 6, 6, 2048)
+    assert 0 < float(
+        additional["flops"] / additional["dense_flops"]
+    ) <= 1.0 + 1e-6
