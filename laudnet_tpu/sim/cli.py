@@ -34,9 +34,32 @@ def stage_list_to_blocks(model: str, per_stage):
     return out
 
 
+def _run_t2t(args):
+    """T2T-ViT three-paradigm sweep (reference `adavit/simulate_adavit.py`)."""
+    from laudnet_tpu.sim.adavit import simulate_laud_t2t_vit
+    from laudnet_tpu.sim.transformer import TransformerPredictor
+
+    spec = GPU_PRESETS[args.hardware].with_batch(1)
+    p = TransformerPredictor(spec)
+    bs = args.batch_size or 128
+    d = args.act_rate
+    rows = [
+        ("dense", dict(token_skip=False, head_skip=False, layer_skip=False)),
+        ("layer", dict(token_skip=False, head_skip=False, layer_density=d)),
+        ("token", dict(head_skip=False, layer_skip=False, token_density=d)),
+        ("head", dict(token_skip=False, layer_skip=False, head_density=d)),
+        ("s+c+l", dict(token_density=d, head_density=d, layer_density=d)),
+    ]
+    print(f"# t2t_vit on {spec.name} (batch {bs}, density {d})")
+    for name, kw in rows:
+        rep = simulate_laud_t2t_vit(p, B=bs, **kw)
+        print(f"{name:8s}: {rep.latency * 1e3:8.3f} ms/batch "
+              f"({rep.latency / bs * 1e3:7.4f} ms/img)")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("model", choices=sorted(MODEL_GEOMETRY))
+    ap.add_argument("model", choices=sorted(MODEL_GEOMETRY) + ["t2t_vit"])
     ap.add_argument("--hardware", default="v100",
                     choices=sorted(GPU_PRESETS) + sorted(TPU_PRESETS))
     ap.add_argument("--mode", default="all",
@@ -46,6 +69,11 @@ def main(argv=None):
                     help="per-stage spatial patch sizes, dash separated")
     ap.add_argument("--batch-size", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.model == "t2t_vit":
+        if args.hardware not in GPU_PRESETS:
+            ap.error("t2t_vit simulation currently supports GPU presets")
+        return _run_t2t(args)
 
     grans = [int(v) for v in args.granularity.split("-")]
     gran_blocks = stage_list_to_blocks(args.model, grans)
