@@ -50,6 +50,8 @@ class LAUDDetBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
+        # norm_eval freezes BN stats but keeps Gumbel sampling alive — the
+        # reference's detection training mode (`lad_mmdet_resnet.py:753-762`)
         bn_training = training and not self.norm_eval
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     kernel_init=he_normal_fan_out(), name="conv1",
@@ -69,7 +71,7 @@ class LAUDDetBackbone(nn.Module):
         inplanes = 64
         for s in range(4):
             planes = 64 * (2**s)
-            stage_training = bn_training and s + 1 > self.frozen_stages
+            stage_training = training and s + 1 > self.frozen_stages
             mode = self.dyn_mode[s]
             for b in range(self.layers[s]):
                 stride = (2 if s > 0 else 1) if b == 0 else 1
@@ -78,7 +80,8 @@ class LAUDDetBackbone(nn.Module):
                 name = f"layer{s + 1}_{b}"
                 if mode == "static":
                     x, st = self._static_block(
-                        x, planes, stride, has_ds, name, stage_training
+                        x, planes, stride, has_ds, name,
+                        stage_training and bn_training,
                     )
                 else:
                     x, st = LAUDBottleneck(
@@ -90,6 +93,7 @@ class LAUDDetBackbone(nn.Module):
                         channel_masker=self.channel_masker[s],
                         channel_masker_layers=self.channel_masker_layers[s],
                         reduction=self.reduction_ratio[s],
+                        bn_eval=self.norm_eval,
                         name=name,
                         param_dtype=self.param_dtype,
                     )(x, self.temperature, training=stage_training)

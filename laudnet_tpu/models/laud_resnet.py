@@ -92,6 +92,7 @@ class LAUDBottleneck(nn.Module):
     execution: str = "dense"  # 'dense' | 'sparse' (eval-time patch gather)
     patch_capacity: float = 1.0  # fraction of patch slots kept in sparse mode
     collect_stats: bool = True  # False: skip s1/s2 dilation bookkeeping (inference)
+    bn_eval: bool = False  # freeze BN (norm_eval) while keeping Gumbel sampling
     param_dtype: Any = jnp.float32
 
     def _sparse_eligible(self, training: bool) -> bool:
@@ -188,7 +189,7 @@ class LAUDBottleneck(nn.Module):
         dense_flops = f32(channel_mask_flops + spatial_mask_flops)
 
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not training,
+            use_running_average=(not training) or self.bn_eval,
             momentum=0.9,
             epsilon=1e-5,
             name=name,

@@ -126,3 +126,59 @@ def test_backbone_spatial_mode_resnet_sd_style():
     assert 0 < float(
         additional["flops"] / additional["dense_flops"]
     ) <= 1.0 + 1e-6
+
+
+def test_box_iou_and_encode_roundtrip():
+    from laudnet_tpu.detection.retinanet import decode_boxes
+    from laudnet_tpu.detection.train import box_iou, encode_boxes
+    import jax.numpy as jnp
+
+    a = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+    b = jnp.asarray([[0.0, 0.0, 10.0, 10.0], [5.0, 5.0, 15.0, 15.0],
+                     [20.0, 20.0, 30.0, 30.0]])
+    iou = box_iou(a, b)
+    np.testing.assert_allclose(np.asarray(iou[0]),
+                               [1.0, 25 / 175, 0.0], atol=1e-5)
+    # encode/decode roundtrip
+    anchors = jnp.asarray([[2.0, 3.0, 12.0, 23.0]])
+    gt = jnp.asarray([[4.0, 5.0, 14.0, 19.0]])
+    deltas = encode_boxes(anchors, gt)
+    back = decode_boxes(anchors, deltas)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(gt), atol=1e-4)
+
+
+def test_retinanet_training_step():
+    """End-to-end training gradient through RetinaNet incl. loss_sparse."""
+    from laudnet_tpu.detection.train import retinanet_loss
+
+    det = RetinaNet(num_classes=8, backbone_layers=(1, 1, 1, 1),
+                    dyn_mode=("channel",) * 4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128, 3))
+    v = det.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+
+    gt_boxes = jnp.asarray(
+        [[[10.0, 10.0, 60.0, 60.0], [0.0, 0.0, 0.0, 0.0]],
+         [[30.0, 40.0, 100.0, 90.0], [5.0, 5.0, 20.0, 20.0]]]
+    )
+    gt_labels = jnp.asarray([[2, 0], [5, 1]], jnp.int32)
+    gt_valid = jnp.asarray([[1, 0], [1, 1]], jnp.float32)
+
+    def loss_fn(params):
+        out, _ = det.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            training=True, mutable=["batch_stats"],
+            rngs={"gumbel": jax.random.PRNGKey(2)},
+        )
+        total, metrics = retinanet_loss(
+            out, gt_boxes, gt_labels, gt_valid, num_classes=8,
+            sparsity_target=0.6,
+        )
+        return total, metrics
+
+    (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        v["params"]
+    )
+    assert np.isfinite(float(total))
+    assert 0 < float(metrics["flops_rate"]) <= 1.0 + 1e-6
+    g = grads["backbone"]["layer1_0"]["masker_channel"]["fc1"]["kernel"]
+    assert float(jnp.abs(g).sum()) > 0  # sparsity loss reaches the maskers
