@@ -20,6 +20,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up (the `dist.init_process_group` analog,
+    reference `train/main.py:261-262`). No-op for single-process runs; on a
+    multi-host slice call this once before any device use, then every host
+    runs the same program and the data loader shards by
+    ``(jax.process_index(), jax.process_count())``."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+
+
 def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     """1-D data mesh over the first ``n_devices`` devices (default: all)."""
     devices = jax.devices()

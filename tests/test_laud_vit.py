@@ -146,3 +146,18 @@ def test_t2t_stem_and_full_model():
     out = model.apply(mv, x, 0.1, training=False)
     assert out.logits.shape == (1, 10)
     assert float(out.flops) > 0
+
+
+def test_calibrate_token_capacity():
+    from laudnet_tpu.infer import calibrate_token_capacity
+
+    m = tiny_vit(depth=2, head_skip=False, layer_skip=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    batches = [jax.random.normal(jax.random.PRNGKey(i), (2, 32, 32, 3))
+               for i in range(3)]
+    caps = calibrate_token_capacity(
+        lambda b: m.apply(v, b, 0.1, training=False), batches, margin=0.02
+    )
+    assert len(caps) == 2
+    assert all(0 < c <= 1.0 for c in caps)
