@@ -244,8 +244,9 @@ class LAUDViT(nn.Module):
             stats_all.append(st)
             flops += st.sparse_flops
             if select and i < self.depth - 1:
-                k = max(2, -(-int(self.token_capacity[i] * (n + 1)) // 1))
-                k = min(k, x.shape[1])
+                # AdaViT's L_select = int(L * density) truncation
+                k = min(max(2, int(self.token_capacity[i] * (n + 1))),
+                        x.shape[1])
                 if k < x.shape[1]:
                     # keep the class token (mask 1, index 0 -> stable-first)
                     vals, idx = jax.lax.top_k(token_mask, k)

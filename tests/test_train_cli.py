@@ -1,0 +1,25 @@
+"""Training-CLI smoke test (synthetic data, 8-device CPU mesh)."""
+
+import os
+
+import numpy as np
+
+
+def test_train_main_smoke(tmp_path):
+    from laudnet_tpu.train.main import main
+
+    best = main([
+        "--arch", "uni_resnet50",
+        "--dyn_mode", "channel-channel-channel-channel",
+        "--channel_dyn_granularity", "2-2-2-2",
+        "--channel_masker_layers", "2-2-2-2",
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "16",
+        "--input_size", "64", "--num_classes", "10",
+        "--train_url", str(tmp_path), "--print_freq", "1",
+    ])
+    assert np.isfinite(best)
+    assert os.path.exists(tmp_path / "log.txt")
+    assert os.path.exists(tmp_path / "best_result.txt")
+    assert os.path.exists(tmp_path / "all_density_latest.txt")
+    dens = np.loadtxt(tmp_path / "all_density_latest.txt")
+    assert dens.shape[0] == 4  # s3/s2/s1/channel rows
