@@ -99,6 +99,50 @@ def eval_transform(size: int = 224, crop_ratio: float = 0.875, normalize=True):
     return fn
 
 
+def ecenter_crop_transform(size: int = 224, normalize=True):
+    """ResNeSt-style ECenterCrop (reference `utils/transform.py:97-120`):
+    resize so the *crop* maps to size/0.875 of the shorter side, then center
+    crop — equivalent to Resize(int(size/0.875)) + CenterCrop on the crop
+    box directly (one resample instead of two)."""
+    resize_size = int(size / 0.875)
+
+    def fn(img: Image.Image, seed: int = 0) -> np.ndarray:
+        img = img.convert("RGB")
+        w, h = img.size
+        short = min(w, h)
+        crop = int(size / resize_size * short)
+        x0 = (w - crop) // 2
+        y0 = (h - crop) // 2
+        img = img.resize((size, size), Image.BICUBIC,
+                         box=(x0, y0, x0 + crop, y0 + crop))
+        return _to_array(img, normalize)
+
+    return fn
+
+
+def tencrop_transform(size: int = 224, normalize=True):
+    """TenCrop eval (reference `transform.py:123-148`): 4 corners + center,
+    plus mirrored — returns (10, H, W, 3)."""
+    resize_size = int(size / 0.875)
+
+    def fn(img: Image.Image, seed: int = 0) -> np.ndarray:
+        img = resize_shorter(img.convert("RGB"), resize_size)
+        w, h = img.size
+        s = size
+        boxes = [(0, 0), (w - s, 0), (0, h - s), (w - s, h - s),
+                 ((w - s) // 2, (h - s) // 2)]
+        crops = []
+        for flip in (False, True):
+            im = img.transpose(Image.FLIP_LEFT_RIGHT) if flip else img
+            for x0, y0 in boxes:
+                crops.append(
+                    _to_array(im.crop((x0, y0, x0 + s, y0 + s)), normalize)
+                )
+        return np.stack(crops)
+
+    return fn
+
+
 def _color_jitter(img: Image.Image, strength: float, rng: random.Random):
     from PIL import ImageEnhance
 

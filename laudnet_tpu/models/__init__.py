@@ -11,7 +11,15 @@ from laudnet_tpu.models.laud_resnet import (
     uni_resnet50,
     uni_resnet101,
 )
-from laudnet_tpu.models.resnet import ResNet, resnet50, resnet101
+from laudnet_tpu.models.resnet import (
+    ResNet,
+    BasicBlock,
+    resnet18,
+    resnet34,
+    resnet50,
+    resnet101,
+    resnet152,
+)
 from laudnet_tpu.models.laud_vit import (
     LAUDViT,
     LAUDViTBlock,

@@ -70,11 +70,46 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class BasicBlock(nn.Module):
+    """Two-conv residual block (ResNet-18/34)."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    param_dtype: Any = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not training, momentum=0.9, epsilon=1e-5,
+            name=name, param_dtype=self.param_dtype,
+        )
+        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                      use_bias=False, kernel_init=he_normal_fan_out(),
+                      name="conv1", param_dtype=self.param_dtype)(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      kernel_init=he_normal_fan_out(), name="conv2",
+                      param_dtype=self.param_dtype)(out)
+        out = bn("bn2")(out)
+        identity = x
+        if self.has_downsample:
+            identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
+                               use_bias=False,
+                               kernel_init=he_normal_fan_out(),
+                               name="downsample_conv",
+                               param_dtype=self.param_dtype)(x)
+            identity = bn("downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
 class ResNet(nn.Module):
     layers: Sequence[int]
     num_classes: int = 1000
     width_mult: float = 1.0
     group_width: int = 1
+    block: str = "bottleneck"  # 'bottleneck' | 'basic'
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -95,17 +130,26 @@ class ResNet(nn.Module):
         inplanes = stem_width
         stage_planes = [int(p * self.width_mult) for p in (64, 128, 256, 512)]
         stage_strides = [1, 2, 2, 2]
+        expansion = EXPANSION if self.block == "bottleneck" else 1
         for s in range(4):
             planes = stage_planes[s]
             for b in range(self.layers[s]):
                 stride = stage_strides[s] if b == 0 else 1
-                has_ds = b == 0 and (stride != 1 or inplanes != planes * EXPANSION)
-                x = Bottleneck(
-                    planes=planes, stride=stride, has_downsample=has_ds,
-                    group_width=self.group_width, name=f"layer{s + 1}_{b}",
-                    param_dtype=self.param_dtype,
-                )(x, training=training)
-                inplanes = planes * EXPANSION
+                has_ds = b == 0 and (stride != 1 or inplanes != planes * expansion)
+                if self.block == "bottleneck":
+                    x = Bottleneck(
+                        planes=planes, stride=stride, has_downsample=has_ds,
+                        group_width=self.group_width,
+                        name=f"layer{s + 1}_{b}",
+                        param_dtype=self.param_dtype,
+                    )(x, training=training)
+                else:
+                    x = BasicBlock(
+                        planes=planes, stride=stride, has_downsample=has_ds,
+                        name=f"layer{s + 1}_{b}",
+                        param_dtype=self.param_dtype,
+                    )(x, training=training)
+                inplanes = planes * expansion
 
         x = masking.global_avg_pool(x)
         return nn.Dense(
@@ -116,12 +160,24 @@ class ResNet(nn.Module):
         )(x)
 
 
+def resnet18(**kwargs) -> ResNet:
+    return ResNet(layers=(2, 2, 2, 2), block="basic", **kwargs)
+
+
+def resnet34(**kwargs) -> ResNet:
+    return ResNet(layers=(3, 4, 6, 3), block="basic", **kwargs)
+
+
 def resnet50(**kwargs) -> ResNet:
     return ResNet(layers=(3, 4, 6, 3), **kwargs)
 
 
 def resnet101(**kwargs) -> ResNet:
     return ResNet(layers=(3, 4, 23, 3), **kwargs)
+
+
+def resnet152(**kwargs) -> ResNet:
+    return ResNet(layers=(3, 8, 36, 3), **kwargs)
 
 
 def resnet_dense_flops(layers: Sequence[int], input_size: int = 224,

@@ -40,6 +40,14 @@ def lr_at(step, *, base_lr, total_epochs, steps_per_epoch, scheduler="cosine",
         n = sum((jnp.asarray(m, jnp.float32) <= epoch).astype(jnp.float32)
                 for m in milestones)
         main = base_lr * lr_decay_rate**n
+    elif scheduler == "rmsprop_step":
+        # per-iteration step decay (reference `utils/scheduler.py:33-35`)
+        main = base_lr * lr_decay_rate ** jnp.floor(
+            step / (lr_decay_step * steps_per_epoch)
+        )
+    elif scheduler == "exponential":
+        epoch = jnp.floor(step / steps_per_epoch)
+        main = base_lr * lr_decay_rate ** jnp.floor(epoch / lr_decay_step)
     else:
         raise NotImplementedError(scheduler)
 

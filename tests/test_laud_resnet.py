@@ -116,3 +116,25 @@ def test_jit_forward_no_recompile_across_temperature():
     out2 = fwd(variables, x, jnp.float32(1.0))
     assert fwd._cache_size() == 1
     assert out1.logits.shape == out2.logits.shape
+
+
+def test_basicblock_teachers():
+    from laudnet_tpu.models import resnet18
+    m = resnet18(num_classes=10)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+    out = m.apply(v, x, training=False)
+    assert out.shape == (1, 10)
+
+
+def test_extra_schedulers():
+    from laudnet_tpu.train.schedules import lr_at
+    lr = lr_at(0, base_lr=0.1, total_epochs=90, steps_per_epoch=100,
+               scheduler="rmsprop_step", lr_decay_rate=0.9, lr_decay_step=3)
+    assert abs(float(lr) - 0.1) < 1e-6
+    lr2 = lr_at(350, base_lr=0.1, total_epochs=90, steps_per_epoch=100,
+                scheduler="rmsprop_step", lr_decay_rate=0.9, lr_decay_step=3)
+    assert float(lr2) < 0.1
+    lr3 = lr_at(3100, base_lr=0.1, total_epochs=90, steps_per_epoch=100,
+                scheduler="exponential", lr_decay_rate=0.1, lr_decay_step=30)
+    assert abs(float(lr3) - 0.01) < 1e-6

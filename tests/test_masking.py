@@ -110,3 +110,16 @@ def test_expand_mask_identity_when_no_pad_single_group():
     mask = jnp.asarray(np.eye(4, dtype=np.float32)[None, :, :, None])
     out = masking.expand_mask(mask, stride=1, padding=0)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(mask) > 0.5)
+
+
+def test_extra_eval_transforms():
+    from PIL import Image
+    from laudnet_tpu.data.transforms import ecenter_crop_transform, tencrop_transform
+
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((300, 400, 3)) * 255).astype(np.uint8)
+    )
+    e = ecenter_crop_transform(224)(img)
+    assert e.shape == (224, 224, 3)
+    t = tencrop_transform(224)(img)
+    assert t.shape == (10, 224, 224, 3)
