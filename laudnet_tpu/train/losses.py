@@ -19,7 +19,11 @@ import jax.numpy as jnp
 
 
 def _bounds(epoch, num_epochs, target):
-    """Cosine^2-annealed (upper, lower) bounds; closes over 33% of training."""
+    """Cosine^2-annealed (upper, lower) bounds: pinned AT the target at
+    epoch 0 (progress = 1) and relaxing to (1, 0) over the first 33% of
+    training — i.e. early epochs clamp every block's density to the target,
+    later epochs constrain only the network-level term
+    (`sparsity_loss_unify.py:16-19`)."""
     p = jnp.clip(epoch / (0.33 * num_epochs), 0.0, 1.0)
     progress = jnp.cos(p * (math.pi / 2)) ** 2
     upper = 1.0 - progress * (1.0 - target)

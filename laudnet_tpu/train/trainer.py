@@ -42,6 +42,14 @@ class TrainConfig:
     label_smooth: float = flax.struct.field(pytree_node=False, default=0.0)
     target_rate: float = flax.struct.field(pytree_node=False, default=0.5)
     full_flops: float = flax.struct.field(pytree_node=False, default=4.1e9)
+    # which sparsity criterion to use (reference ships 6 variants;
+    # `SparsityCriterion_bounds` is the one its trainer wires up)
+    sparsity_criterion: str = flax.struct.field(
+        pytree_node=False, default="bounds"
+    )
+    dyn_mode: Any = flax.struct.field(
+        pytree_node=False, default=("both",) * 4
+    )
 
 
 @flax.struct.dataclass
@@ -50,6 +58,40 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+
+
+def compute_sparsity_loss(cfg: TrainConfig, epoch, out):
+    """Dispatch over the six reference criteria
+    (`utils/sparsity_loss_unify.py`; trainer default = 'bounds')."""
+    common = dict(target=cfg.target_rate, num_epochs=cfg.num_epochs,
+                  full_flops=cfg.full_flops)
+    name = cfg.sparsity_criterion
+    if name == "bounds":
+        return losses.sparsity_bounds(epoch, out.flops_perc, out.flops,
+                                      **common)
+    if name == "basic":
+        ch = jnp.concatenate(out.channel_s)
+        return losses.sparsity_basic(epoch, ch, out.flops_perc, out.flops,
+                                     **common)
+    if name == "channel_factor":
+        return losses.sparsity_channel_factor(
+            epoch, out.channel_s, out.flops_perc, out.flops,
+            dyn_mode=cfg.dyn_mode, **common)
+    if name == "cs":
+        return losses.sparsity_cs(
+            epoch, out.channel_s, out.spatial_s3, out.flops_perc, out.flops,
+            dyn_mode=cfg.dyn_mode, **common)
+    if name == "cs_v2":
+        return losses.sparsity_cs_v2(
+            epoch, out.channel_s, out.spatial_s3, out.flops_perc, out.flops,
+            dyn_mode=cfg.dyn_mode, **common)
+    if name in ("channel_bounds", "channel_bounds_v2"):
+        ch = jnp.concatenate(out.channel_s)
+        return losses.sparsity_channel_bounds(
+            epoch, ch, out.flops_perc, out.flops,
+            channel_upper_start=0.85 if name.endswith("v2") else 1.0,
+            **common)
+    raise ValueError(f"unknown sparsity criterion {name}")
 
 
 def create_train_state(model, optimizer, sample_batch, *, rng,
@@ -98,11 +140,7 @@ def make_train_step(model, teacher_model, teacher_variables, optimizer,
                 images, temp, training=True,
                 rngs={"gumbel": rng}, mutable=["batch_stats"],
             )
-            loss_flops = losses.sparsity_bounds(
-                epoch, out.flops_perc, out.flops,
-                target=cfg.target_rate, num_epochs=cfg.num_epochs,
-                full_flops=cfg.full_flops,
-            )
+            loss_flops = compute_sparsity_loss(cfg, epoch, out)
             total, parts = losses.total_train_loss(
                 out.logits, teacher_logits, labels, loss_flops,
                 lambda_act=cfg.lambda_act, alpha_kd=cfg.alpha_kd,
