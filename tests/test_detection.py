@@ -153,7 +153,7 @@ def test_retinanet_training_step():
 
     det = RetinaNet(num_classes=8, backbone_layers=(1, 1, 1, 1),
                     dyn_mode=("channel",) * 4)
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128, 3))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 96, 96, 3))
     v = det.init({"params": jax.random.PRNGKey(1)}, x, training=False)
 
     gt_boxes = jnp.asarray(

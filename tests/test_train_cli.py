@@ -13,8 +13,8 @@ def test_train_main_smoke(tmp_path):
         "--dyn_mode", "channel-channel-channel-channel",
         "--channel_dyn_granularity", "2-2-2-2",
         "--channel_masker_layers", "2-2-2-2",
-        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "16",
-        "--input_size", "64", "--num_classes", "10",
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+        "--input_size", "32", "--num_classes", "10",
         "--train_url", str(tmp_path), "--print_freq", "1",
     ])
     assert np.isfinite(best)
