@@ -138,6 +138,7 @@ class LAUDBottleneck(nn.Module):
                 masker_channel = ChannelMaskerConvLinear(
                     channel_dyn_group,
                     reduction=self.reduction,
+                    bn_eval=self.bn_eval,
                     name="masker_channel",
                     param_dtype=self.param_dtype,
                 )

@@ -168,6 +168,7 @@ class ChannelMaskerConvLinear(nn.Module):
 
     channel_dyn_group: int
     reduction: int = 16
+    bn_eval: bool = False  # freeze BN stats (detection norm_eval)
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -185,7 +186,7 @@ class ChannelMaskerConvLinear(nn.Module):
             param_dtype=self.param_dtype,
         )(x)
         m = nn.BatchNorm(
-            use_running_average=not training,
+            use_running_average=(not training) or self.bn_eval,
             momentum=0.9,
             epsilon=1e-5,
             name="bn",
