@@ -77,6 +77,58 @@ def _cast(tree, dtype):
     )
 
 
+def main_r101_target05():
+    """Headline: LAUD-ResNet101 channel target-0.5 deployed through the
+    exact static export (`infer/export_pruned.py`) vs dense ResNet-101 —
+    the BASELINE.json north-star metric shape. Masks here are synthetic 50%
+    patterns (released checkpoints are not downloadable in this container);
+    throughput depends only on the keep fraction, which the sparsity loss
+    drives to the 0.5 target."""
+    import numpy as np
+
+    from laudnet_tpu.infer import export_pruned_resnet
+    from laudnet_tpu.models import resnet101, uni_resnet101
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH, SIZE, SIZE, 3)), DTYPE)
+    x32 = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float32)
+
+    model = uni_resnet101(
+        dyn_mode=("channel",) * 4, channel_dyn_granularity=(2, 2, 2, 2),
+        channel_masker=("MLP",) * 4, channel_masker_layers=(2, 2, 2, 2),
+    )
+    v = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)}, x32,
+                                   1.0, training=False))()
+    params = jax.device_get(v["params"])
+    scopes = [f"layer{s + 1}_{b}" for s, d in enumerate((3, 4, 23, 3))
+              for b in range(d)]
+    masks = []
+    for scope in scopes:
+        g = params[scope]["masker_channel"]["fc2"]["bias"].shape[0] // 2
+        m = np.zeros(g, np.float32)
+        m[rng.permutation(g)[: max(1, g // 2)]] = 1.0
+        masks.append(m)
+    vb = _cast({"params": params,
+                "batch_stats": jax.device_get(v["batch_stats"])}, DTYPE)
+    fwd = export_pruned_resnet(vb, masks, layers=(3, 4, 23, 3),
+                               channel_dyn_granularity=(2, 2, 2, 2),
+                               input_size=SIZE)
+    laud_ips = _throughput(fwd, x)
+
+    dense = resnet101()
+    dv = _cast(jax.device_get(jax.jit(
+        lambda: dense.init({"params": jax.random.PRNGKey(0)}, x32,
+                           training=False))()), DTYPE)
+    dense_ips = _throughput(lambda x: dense.apply(dv, x, training=False), x)
+    print(json.dumps({
+        "metric": ("images/sec/chip LAUD-ResNet101 channel-2222 target-0.5 "
+                   "(exact static export) vs dense ResNet-101, bs128 bf16"),
+        "value": round(laud_ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(laud_ips / dense_ips, 4),
+    }))
+
+
 def main_vit():
     """Headline: LAUD-DeiT-S with fixed-capacity token selection vs plain
     DeiT-S — the ViT-paradigm claim of the paper (panel (c)), realized
@@ -181,10 +233,12 @@ def main_resnet():
 def main():
     import sys
 
-    if "--resnet" in sys.argv:
-        main_resnet()
+    if "--resnet-masked" in sys.argv:
+        main_resnet()  # dense-masked graph vs dense (correctness oracle path)
+    elif "--vit" in sys.argv:
+        main_vit()  # LAUD-DeiT-S token selection (exact dynamic; 1.31x)
     else:
-        main_vit()
+        main_r101_target05()  # north-star: R101 target-0.5 vs dense
 
 
 if __name__ == "__main__":

@@ -1,0 +1,159 @@
+"""Exact static export of channel-gated LAUD-ResNets.
+
+LAUDNet's channel masks in practice converge to nearly input-independent
+patterns; deploying them as a *static* slim model turns the 0/1 multiplies
+into real FLOP reductions (conv2 shrinks quadratically). The subtlety that
+makes naive weight slicing WRONG: the reference gates conv outputs *before*
+BatchNorm (`laud_resnet.py:115-124`), so a masked-off channel is not dead —
+after eval-BN it carries the constant ``relu(bias - mean * scale/std)``
+into the next conv. This exporter folds those constants exactly:
+
+* conv1: slice output channels to the kept set; bn1 sliced.
+* conv2: slice in/out channels; the masked *inputs*' constant contribution
+  is precomputed as a spatial bias map (one conv over a constant map at
+  export time — exact including SAME-padding borders) and fused after bn2.
+* conv3: slice input channels; the masked inputs are spatially uniform, so
+  their contribution folds into a plain per-channel bias (1x1 conv).
+
+For a fixed mask pattern the exported model reproduces the dynamic model's
+eval outputs bit-near (test-verified). For input-dependent masks this is an
+approximation whose accuracy must be re-validated on data — the standard
+dynamic-to-static deployment tradeoff.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _bn_affine(p, s, eps=1e-5):
+    # jnp.asarray first: numpy would promote bf16 + python float to f32
+    scale = jnp.asarray(p["scale"])
+    var = jnp.asarray(s["var"])
+    a = scale / jnp.sqrt(var + jnp.asarray(eps, var.dtype))
+    return a, jnp.asarray(p["bias"]) - jnp.asarray(s["mean"]) * a
+
+
+def _conv(x, k, stride=1, padding=0):
+    return lax.conv_general_dilated(
+        x, k, (stride, stride), [(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def export_pruned_resnet(variables, block_masks: Sequence[np.ndarray],
+                         layers: Sequence[int] = (3, 4, 23, 3),
+                         channel_dyn_granularity: Sequence[int] = (2, 2, 2, 2),
+                         input_size: int = 224):
+    """Build ``forward(x) -> logits`` from a channel-mode LAUD-ResNet.
+
+    ``block_masks``: one 0/1 group-mask per block (raster order), each of
+    length ``width // granularity``; at least one group must be kept per
+    block. Returns a jit-compatible closure over the pruned weights.
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    scopes: List[str] = []
+    strides: List[int] = []
+    has_ds: List[bool] = []
+    inplanes = 64
+    for s_i, depth in enumerate(layers):
+        planes = 64 * (2**s_i)
+        for b_i in range(depth):
+            stride = (2 if s_i > 0 else 1) if b_i == 0 else 1
+            scopes.append(f"layer{s_i + 1}_{b_i}")
+            strides.append(stride)
+            has_ds.append(b_i == 0 and (stride != 1 or inplanes != planes * 4))
+            inplanes = planes * 4
+    assert len(block_masks) == len(scopes)
+
+    grans = []
+    for s_i, depth in enumerate(layers):
+        grans += [channel_dyn_granularity[s_i]] * depth
+
+    # resolution of each block's conv2 output (for the bias maps)
+    sizes = []
+    for s_i, depth in enumerate(layers):
+        sizes += [input_size // (2 ** (s_i + 2))] * depth
+
+    pruned = []
+    for scope, mask, gran, out_hw, stride in zip(
+        scopes, block_masks, grans, sizes, strides
+    ):
+        p, s = params[scope], stats[scope]
+        w = p["conv1"]["kernel"].shape[-1]
+        ch_mask = np.repeat(np.asarray(mask).astype(bool), gran)[:w]
+        kept = np.where(ch_mask)[0]
+        dropped = np.where(~ch_mask)[0]
+        assert kept.size > 0, f"{scope}: empty mask"
+
+        a1, b1 = _bn_affine(p["bn1"], s["bn1"])
+        a2, b2 = _bn_affine(p["bn2"], s["bn2"])
+        a3, b3 = _bn_affine(p["bn3"], s["bn3"])
+
+        # constant value of masked channels after bn1+relu (conv1 out = 0)
+        const1 = jnp.maximum(b1, 0.0)  # (W,)
+
+        w2 = p["conv2"]["kernel"]  # (3, 3, W, W)
+        # exact bias map: conv2 over a constant map carrying const1 on the
+        # dropped inputs only (captures SAME-padding border effects)
+        in_hw = out_hw * stride
+        const_map = jnp.zeros(
+            (1, in_hw, in_hw, w), w2.dtype
+        ).at[..., dropped].set(const1[dropped].astype(w2.dtype))
+        bias_map2 = _conv(const_map, w2[:, :, :, kept], stride=stride,
+                          padding=1)[0]  # (out_hw, out_hw, k)
+
+        # masked conv2 outputs after bn2+relu are spatially uniform == 0
+        # (they were gated to zero before bn2), value relu(b2):
+        const2 = jnp.maximum(b2, 0.0)  # (W,)
+        w3 = p["conv3"]["kernel"][0, 0]  # (W, Co)
+        bias3 = const2[dropped] @ w3[dropped]  # (Co,)
+
+        pruned.append({
+            "w1": p["conv1"]["kernel"][:, :, :, kept],
+            "a1": a1[kept], "b1": b1[kept],
+            "w2": w2[:, :, kept][:, :, :, kept],
+            "a2": a2[kept], "b2": b2[kept],
+            "bias_map2": bias_map2 * a2[kept],  # pre-bn2-scaled
+            "w3": w3[kept],
+            "a3": a3, "b3": b3 + bias3 * a3,
+            "ds": (
+                {
+                    "w": p["downsample_conv"]["kernel"],
+                    "ab": _bn_affine(p["downsample_bn"], s["downsample_bn"]),
+                } if "downsample_conv" in p else None
+            ),
+            "stride": stride,
+        })
+
+    a_stem, b_stem = _bn_affine(params["bn1"], stats["bn1"])
+    stem_k = params["conv1"]["kernel"]
+    fc = params["fc"]
+
+    def forward(x):
+        h = _conv(x, stem_k, stride=2, padding=3) * a_stem + b_stem
+        h = jnp.maximum(h, 0.0)
+        h = lax.reduce_window(h, jnp.asarray(-jnp.inf, h.dtype), lax.max, (1, 3, 3, 1),
+                              (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        for blk in pruned:
+            identity = h
+            if blk["ds"] is not None:
+                da, db = blk["ds"]["ab"]
+                identity = _conv(h, blk["ds"]["w"],
+                                 stride=blk["stride"]) * da + db
+            y = jnp.maximum(_conv(h, blk["w1"]) * blk["a1"] + blk["b1"], 0.0)
+            y = _conv(y, blk["w2"], stride=blk["stride"], padding=1)
+            y = jnp.maximum(y * blk["a2"] + blk["b2"] + blk["bias_map2"], 0.0)
+            y = _conv(y, blk["w3"][None, None]) * blk["a3"] + blk["b3"]
+            h = jnp.maximum(y + identity, 0.0)
+        pooled = h.mean(axis=(1, 2))
+        return pooled @ fc["kernel"] + fc["bias"]
+
+    return forward
