@@ -61,16 +61,10 @@ def export_pruned_resnet(variables, block_masks: Sequence[np.ndarray],
 
     scopes: List[str] = []
     strides: List[int] = []
-    has_ds: List[bool] = []
-    inplanes = 64
     for s_i, depth in enumerate(layers):
-        planes = 64 * (2**s_i)
         for b_i in range(depth):
-            stride = (2 if s_i > 0 else 1) if b_i == 0 else 1
             scopes.append(f"layer{s_i + 1}_{b_i}")
-            strides.append(stride)
-            has_ds.append(b_i == 0 and (stride != 1 or inplanes != planes * 4))
-            inplanes = planes * 4
+            strides.append((2 if s_i > 0 else 1) if b_i == 0 else 1)
     assert len(block_masks) == len(scopes)
 
     grans = []
