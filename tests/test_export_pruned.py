@@ -53,3 +53,22 @@ def test_export_matches_dynamic_model_for_fixed_masks():
     got = jax.jit(fwd)(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(out_dyn.logits),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_calibrate_channel_masks():
+    from laudnet_tpu.infer import calibrate_channel_masks
+
+    def mask_fn(images):
+        b = images.shape[0]
+        # block 0: group 0 always on, group 1 on 25% of samples
+        m0 = np.zeros((b, 2), np.float32)
+        m0[:, 0] = 1.0
+        m0[: b // 4, 1] = 1.0
+        # block 1: all groups off -> must keep the strongest one
+        m1 = np.zeros((b, 3), np.float32)
+        return [m0, m1]
+
+    batches = [np.zeros((8, 4, 4, 3)) for _ in range(2)]
+    masks = calibrate_channel_masks(mask_fn, batches)
+    np.testing.assert_array_equal(masks[0], [1.0, 0.0])
+    assert masks[1].sum() == 1.0  # fallback keeps one group
