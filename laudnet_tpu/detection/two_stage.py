@@ -23,6 +23,19 @@ from laudnet_tpu.detection.fpn import FPN
 from laudnet_tpu.detection.retinanet import decode_boxes, make_anchors, nms
 
 
+def clip_boxes_to_image(boxes, img_h: int, img_w: int):
+    """Clip xyxy boxes per-axis: x coords to [0, W], y coords to [0, H]."""
+    return jnp.stack(
+        [
+            jnp.clip(boxes[..., 0], 0, img_w),
+            jnp.clip(boxes[..., 1], 0, img_h),
+            jnp.clip(boxes[..., 2], 0, img_w),
+            jnp.clip(boxes[..., 3], 0, img_h),
+        ],
+        axis=-1,
+    )
+
+
 def roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
               strides: Sequence[int], out_size: int = 7):
     """RoIAlign over an FPN pyramid (single image).
@@ -172,13 +185,13 @@ class FasterRCNN(nn.Module):
                                scales=(8.0,), ratios=(0.5, 1.0, 2.0),
                                base_size_factor=1.0)
 
-        img_hw = (images.shape[1], images.shape[2])
+        img_h, img_w = images.shape[1], images.shape[2]
 
         def propose(obj_i, reg_i):
             scores = jax.nn.sigmoid(obj_i)
             top_s, top_i = jax.lax.top_k(scores, min(1000, scores.shape[0]))
             boxes = decode_boxes(anchors[top_i], reg_i[top_i])
-            boxes = jnp.clip(boxes, 0, max(img_hw))
+            boxes = clip_boxes_to_image(boxes, img_h, img_w)
             keep, alive = nms(boxes, top_s, 0.7, self.num_proposals)
             return boxes[keep], alive
 
@@ -205,6 +218,7 @@ class FasterRCNN(nn.Module):
             "box_deltas": reg2,
             "additional": additional,
             "model_configs": model_configs,
+            "image_hw": (img_h, img_w),
         }
         if self.with_masks:
             mask_rois = jax.vmap(
@@ -227,8 +241,12 @@ class FasterRCNN(nn.Module):
         best_c = jnp.argmax(probs, axis=-1)
         best_s = jnp.max(probs, axis=-1) * outputs["proposal_valid"]
 
+        img_h, img_w = outputs["image_hw"]
+
         def per_image(boxes, deltas, scores, classes):
-            refined = decode_boxes(boxes, deltas)
+            refined = clip_boxes_to_image(
+                decode_boxes(boxes, deltas), img_h, img_w
+            )
             top_s, top_i = jax.lax.top_k(scores, max_detections)
             return {
                 "boxes": refined[top_i],

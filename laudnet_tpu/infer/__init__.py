@@ -3,7 +3,15 @@ from laudnet_tpu.infer.calibrate import (
     calibrate_token_capacity,
     calibrate_patch_capacity,
     calibrate_channel_masks,
+    calibration_fidelity,
 )
 from laudnet_tpu.infer.export_pruned import export_pruned_resnet
 
-__all__ = ["build_layer_skip_resnet", "calibrate_token_capacity", "calibrate_patch_capacity", "export_pruned_resnet", "calibrate_channel_masks"]
+__all__ = [
+    "build_layer_skip_resnet",
+    "calibrate_token_capacity",
+    "calibrate_patch_capacity",
+    "calibrate_channel_masks",
+    "calibration_fidelity",
+    "export_pruned_resnet",
+]

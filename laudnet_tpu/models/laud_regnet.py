@@ -183,11 +183,13 @@ class LAUDRegNetBlock(nn.Module):
             channel_mask, channel_s, channel_mask_flops = mk(
                 x, temperature, training=training
             )
+        s3_img = jnp.ones((x.shape[0],), jnp.float32)
         if dyn in ("spatial", "both"):
             spatial_mask3, s3, spatial_mask_flops = SpatialMasker(
                 self.spatial_mask_channel_group, mask_size,
                 name="masker_spatial", param_dtype=self.param_dtype,
             )(x, temperature, training=training)
+            s3_img = spatial_mask3.astype(jnp.float32).mean(axis=(1, 2, 3))
             spatial_mask3 = masking.upsample_mask_nearest(
                 spatial_mask3, self.output_size
             )
@@ -257,6 +259,7 @@ class LAUDRegNetBlock(nn.Module):
             spatial_s3=s3, spatial_s2=s2, spatial_s1=s1, channel_s=channel_s,
             flops_perc=sparse_flops / dense_flops,
             sparse_flops=sparse_flops + se_flops,
+            s3_img=s3_img,
         )
         return out, stats
 
@@ -292,10 +295,11 @@ class LAUDRegNet(nn.Module):
             c_in * x.shape[-1] * x.shape[1] * x.shape[2] * 9, jnp.float32
         )
 
-        per_stage = {"s3": [], "s2": [], "s1": [], "ch": []}
+        per_stage = {"s3": [], "s2": [], "s1": [], "ch": [], "s3i": []}
         flops_perc_all = []
         for s in range(len(p.depths)):
             stats_s3, stats_s2, stats_s1, stats_ch = [], [], [], []
+            stats_s3i = []
             out_size = self.input_size // (2 ** (s + 2))
             for b in range(p.depths[s]):
                 x, st = LAUDRegNetBlock(
@@ -319,12 +323,14 @@ class LAUDRegNet(nn.Module):
                 stats_s2.append(st.spatial_s2)
                 stats_s1.append(st.spatial_s1)
                 stats_ch.append(st.channel_s)
+                stats_s3i.append(st.s3_img)
                 flops_perc_all.append(st.flops_perc)
                 flops += st.sparse_flops
             per_stage["s3"].append(jnp.stack(stats_s3))
             per_stage["s2"].append(jnp.stack(stats_s2))
             per_stage["s1"].append(jnp.stack(stats_s1))
             per_stage["ch"].append(jnp.stack(stats_ch))
+            per_stage["s3i"].append(jnp.stack(stats_s3i))
 
         x = masking.global_avg_pool(x)
         flops += x.shape[-1]
@@ -344,6 +350,7 @@ class LAUDRegNet(nn.Module):
             channel_s=tuple(per_stage["ch"]),
             flops_perc=jnp.stack(flops_perc_all),
             flops=flops,
+            spatial_s3_img=tuple(per_stage["s3i"]),
         )
 
 

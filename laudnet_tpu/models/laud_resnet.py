@@ -51,6 +51,7 @@ class BlockStats:
     channel_s: jnp.ndarray  # channel-group density
     flops_perc: jnp.ndarray  # sparse/dense FLOPs ratio for this block
     sparse_flops: jnp.ndarray  # absolute sparse FLOPs of this block
+    s3_img: Any = None  # (B,) per-image conv3 spatial density
 
 
 @flax.struct.dataclass
@@ -65,6 +66,10 @@ class LAUDOutput:
     channel_s: Tuple[jnp.ndarray, ...]
     flops_perc: jnp.ndarray  # (total_blocks,)
     flops: jnp.ndarray  # scalar, total sparse FLOPs (multiply-adds)
+    # Per-image conv3 spatial densities, per stage, each (blocks, B). Batch
+    # means hide per-image tails, so capacity calibration
+    # (`infer/calibrate.py`) must quantile over THESE, not over spatial_s3.
+    spatial_s3_img: Any = None
 
 
 class LAUDBottleneck(nn.Module):
@@ -162,7 +167,11 @@ class LAUDBottleneck(nn.Module):
             )(x, temperature, training=training)
 
         spatial_mask3_small = spatial_mask3  # pre-upsample (B, m, m, g) mask
+        s3_img = jnp.ones((x.shape[0],), jnp.float32)
         if self.dyn_mode != "channel":
+            s3_img = spatial_mask3_small.astype(jnp.float32).mean(
+                axis=(1, 2, 3)
+            )
             # Upsample the coarse conv3-output mask to full resolution, then
             # dilate backwards through conv2 (1x1-equivalent: group OR) and
             # conv1 (3x3 RF + stride) — reference `laud_resnet.py:105-110`.
@@ -287,6 +296,7 @@ class LAUDBottleneck(nn.Module):
             channel_s=channel_s,
             flops_perc=sparse_flops / dense_flops,
             sparse_flops=sparse_flops,
+            s3_img=s3_img,
         )
         return out, stats
 
@@ -354,12 +364,13 @@ class LAUDResNet(nn.Module):
             self.input_size // 32,
         ]
 
-        per_stage = {"s3": [], "s2": [], "s1": [], "ch": []}
+        per_stage = {"s3": [], "s2": [], "s1": [], "ch": [], "s3i": []}
         flops_perc_all = []
 
         for s in range(4):
             planes = stage_planes[s]
             stats_s3, stats_s2, stats_s1, stats_ch = [], [], [], []
+            stats_s3i = []
             for b in range(self.layers[s]):
                 stride = stage_strides[s] if b == 0 else 1
                 has_ds = b == 0 and (
@@ -389,12 +400,14 @@ class LAUDResNet(nn.Module):
                 stats_s2.append(st.spatial_s2)
                 stats_s1.append(st.spatial_s1)
                 stats_ch.append(st.channel_s)
+                stats_s3i.append(st.s3_img)
                 flops_perc_all.append(st.flops_perc)
                 flops += st.sparse_flops
             per_stage["s3"].append(jnp.stack(stats_s3))
             per_stage["s2"].append(jnp.stack(stats_s2))
             per_stage["s1"].append(jnp.stack(stats_s1))
             per_stage["ch"].append(jnp.stack(stats_ch))
+            per_stage["s3i"].append(jnp.stack(stats_s3i))
 
         x = masking.global_avg_pool(x)
         flops += x.shape[-1]
@@ -415,6 +428,7 @@ class LAUDResNet(nn.Module):
             channel_s=tuple(per_stage["ch"]),
             flops_perc=jnp.stack(flops_perc_all),
             flops=flops,
+            spatial_s3_img=tuple(per_stage["s3i"]),
         )
 
 

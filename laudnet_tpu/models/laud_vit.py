@@ -41,6 +41,8 @@ class ViTBlockStats:
     mlp_density: jnp.ndarray  # layer gate on the MLP branch
     flops_perc: jnp.ndarray
     sparse_flops: jnp.ndarray
+    token_keep: Any = None  # (B,) per-image kept-token fraction
+    token_score: Any = None  # (B, L) token-gate logit margin (keep - skip)
 
 
 @flax.struct.dataclass
@@ -52,6 +54,9 @@ class LAUDViTOutput:
     mlp_density: jnp.ndarray
     flops_perc: jnp.ndarray  # (depth,)
     flops: jnp.ndarray
+    # (depth, B) per-image kept-token fractions. Capacity calibration
+    # quantiles over these — batch means hide the per-image tail.
+    token_keep: Any = None
 
 
 class LAUDViTBlock(nn.Module):
@@ -103,6 +108,7 @@ class LAUDViTBlock(nn.Module):
             head_density = head_mask.mean()
             policy_flops += d * 2 * h
 
+        token_score = jnp.zeros((b, l), jnp.float32)
         if self.token_skip:
             tlogits = nn.Dense(2, name="token_policy",
                                param_dtype=self.param_dtype)(x)
@@ -113,6 +119,9 @@ class LAUDViTBlock(nn.Module):
             # class token always kept; gates compose across depth
             tmask = tmask.at[:, 0].set(1.0)
             token_mask = token_mask * tmask
+            token_score = (tlogits[..., 0] - tlogits[..., 1]).astype(
+                jnp.float32
+            )
             policy_flops += l * d * 2
         token_density = token_mask.mean()
 
@@ -168,6 +177,8 @@ class LAUDViTBlock(nn.Module):
             mlp_density=mlp_keep,
             flops_perc=sparse / dense,
             sparse_flops=sparse,
+            token_keep=token_mask.mean(axis=1),
+            token_score=token_score,
         )
         return x, token_mask, stats
 
@@ -183,7 +194,8 @@ class LAUDViT(nn.Module):
     ``L_select = int(L * density)``). Once a token's gate closes it never
     re-enters attention (gates compose), so dropping it is exactly
     equivalent to the masked graph whenever the budget covers the realized
-    keep-count; overflowing tokens are dropped lowest-score-first.
+    keep-count; on overflow, kept tokens are dropped lowest-gate-confidence
+    first (the class token always survives).
     """
 
     depth: int = 12
@@ -248,11 +260,19 @@ class LAUDViT(nn.Module):
                 k = min(max(2, int(self.token_capacity[i] * (n + 1))),
                         x.shape[1])
                 if k < x.shape[1]:
-                    # keep the class token (mask 1, index 0 -> stable-first)
-                    vals, idx = jax.lax.top_k(token_mask, k)
+                    # Rank kept (mask 1) strictly above dropped tokens; break
+                    # ties among kept tokens by gate confidence so budget
+                    # overflow drops the least-confident tokens, and pin the
+                    # class token to survive every truncation.
+                    conf = jax.nn.sigmoid(st.token_score)
+                    rank = token_mask * 2.0 + conf
+                    rank = rank.at[:, 0].add(4.0)
+                    _, idx = jax.lax.top_k(rank, k)
+                    # restore original token order (class token stays at 0)
+                    idx = jnp.sort(idx, axis=1)
                     bidx = jnp.arange(b)[:, None]
                     x = x[bidx, idx]
-                    token_mask = vals
+                    token_mask = token_mask[bidx, idx]
 
         x = nn.LayerNorm(name="norm", param_dtype=self.param_dtype)(x)
         logits = nn.Dense(self.num_classes, name="head",
@@ -268,6 +288,7 @@ class LAUDViT(nn.Module):
             mlp_density=stack(lambda s: s.mlp_density),
             flops_perc=stack(lambda s: s.flops_perc),
             flops=flops,
+            token_keep=stack(lambda s: s.token_keep),
         )
 
 

@@ -250,7 +250,16 @@ def main(argv=None):
                  "act_rate", "gflops", "lr", "temperature"]
             )
 
+    # On auto-resume, recover the running best from best_result.txt so the
+    # first post-resume epoch cannot overwrite model-best with a worse one.
     best_top1 = -1.0
+    best_path = os.path.join(args.train_url, "best_result.txt")
+    if os.path.exists(best_path):
+        try:
+            best_top1 = float(open(best_path).read().split()[0])
+            log(f"restored best top1 {best_top1:.3f} from best_result.txt")
+        except (ValueError, IndexError):
+            pass
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, epochs):
         meters = {k: AverageMeter(k) for k in

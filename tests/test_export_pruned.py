@@ -72,3 +72,54 @@ def test_calibrate_channel_masks():
     masks = calibrate_channel_masks(mask_fn, batches)
     np.testing.assert_array_equal(masks[0], [1.0, 0.0])
     assert masks[1].sum() == 1.0  # fallback keeps one group
+
+
+def test_calibration_fidelity_metric():
+    from laudnet_tpu.infer import calibrate_channel_masks, calibration_fidelity
+
+    def mask_fn(images):
+        b = images.shape[0]
+        # group 0 always on; group 1 on half the samples; group 2 never
+        m = np.zeros((b, 3), np.float32)
+        m[:, 0] = 1.0
+        m[: b // 2, 1] = 1.0
+        return [m]
+
+    batches = [np.zeros((8, 4, 4, 3))]
+    static = calibrate_channel_masks(mask_fn, batches)
+    np.testing.assert_array_equal(static[0], [1.0, 1.0, 0.0])
+    fid = calibration_fidelity(mask_fn, static, batches)
+    # half the images agree on all 3 groups, half on 2/3
+    np.testing.assert_allclose(fid["mean_agreement"], (1.0 + 2 / 3) / 2)
+    # static mask covers every dynamically-ON group here
+    np.testing.assert_allclose(fid["mean_coverage"], 1.0)
+
+
+def test_calibrate_patch_capacity_per_image():
+    """Per-stage capacities must cover the per-image density tail, not just
+    the batch mean (ADVICE r1 medium finding)."""
+    from laudnet_tpu.infer import calibrate_patch_capacity
+    from laudnet_tpu.models import laud_resnet
+
+    model = laud_resnet.LAUDResNet(
+        layers=(1, 1, 1, 1), num_classes=10, input_size=64,
+        dyn_mode=("spatial",) * 4, mask_spatial_granularity=(4, 4, 2, 1),
+        channel_masker=("MLP",) * 4, channel_masker_layers=(1, 1, 1, 1),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    out = model.apply(v, x, 0.1, training=False)
+    s3i = [np.asarray(s) for s in out.spatial_s3_img]
+    assert all(s.shape[1] == 4 for s in s3i)
+    # per-image means must average to the recorded batch means
+    for img, mean in zip(s3i, out.spatial_s3):
+        np.testing.assert_allclose(img.mean(axis=1), np.asarray(mean),
+                                   atol=1e-6)
+
+    caps = calibrate_patch_capacity(
+        lambda b: model.apply(v, b, 0.1, training=False), [x],
+        quantile=1.0, margin=0.0,
+    )
+    assert len(caps) == 4
+    for c, img in zip(caps, s3i):
+        assert c >= img.max() - 1e-6  # covers the worst image of the stage

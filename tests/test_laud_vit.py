@@ -161,3 +161,76 @@ def test_calibrate_token_capacity():
     )
     assert len(caps) == 2
     assert all(0 < c <= 1.0 for c in caps)
+
+
+def test_calibrate_token_capacity_covers_per_image_tail():
+    """quantile=1.0 capacities must cover EVERY calibration image's realized
+    keep count (per-image calibration, not batch means), so the selection
+    path reproduces the masked-graph logits exactly on the calibration set.
+    """
+    kw = dict(depth=3, dim=64, num_heads=4, mlp_ratio=2.0, patch_size=8,
+              num_classes=10, head_skip=False, layer_skip=False)
+    m = tiny_vit(**kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    # bias gates so masks close input-dependently (some images keep more)
+    params = jax.device_get(v["params"])
+    for i in range(3):
+        bias = np.zeros(2, np.float32)
+        bias[1] = 1.0
+        params[f"block_{i}"]["token_policy"]["bias"] = jnp.asarray(bias)
+    v = {"params": params}
+
+    out = m.apply(v, x, 0.1, training=False)
+    keep = np.asarray(out.token_keep)  # (depth, B)
+    assert keep.shape == (3, 4)
+    # per-image keeps must actually differ for this test to mean anything
+    assert keep.std(axis=1).max() > 0
+
+    from laudnet_tpu.infer import calibrate_token_capacity
+
+    caps = calibrate_token_capacity(
+        lambda b: m.apply(v, b, 0.1, training=False), [x],
+        quantile=1.0, margin=1e-6,
+    )
+    # capacity covers the per-image max, which is above the batch mean
+    for d in range(3):
+        assert caps[d] >= keep[d].max() - 1e-6
+    if keep.std(axis=1).max() > 1e-6:
+        assert any(caps[d] > keep[d].mean() + 1e-9 for d in range(3))
+
+    sel = tiny_vit(token_capacity=caps, **kw)
+    out_s = sel.apply(v, x, 0.1, training=False)
+    np.testing.assert_allclose(np.asarray(out_s.logits),
+                               np.asarray(out.logits), rtol=1e-4, atol=1e-4)
+
+
+def test_token_overflow_drops_least_confident():
+    """When the budget is below the realized keep count, the least-confident
+    kept tokens (by gate logit margin) are dropped, not the highest-index."""
+    from laudnet_tpu.models.laud_vit import LAUDViTBlock
+
+    blk = LAUDViTBlock(dim=64, num_heads=4, mlp_ratio=2.0, token_skip=True,
+                       head_skip=False, layer_skip=False)
+    tokens = jax.random.normal(jax.random.PRNGKey(2), (1, 9, 64))
+    bv = blk.init({"params": jax.random.PRNGKey(3)}, tokens,
+                  jnp.ones((1, 9)), 1.0, training=False)
+    _, mask, st = blk.apply(bv, tokens, jnp.ones((1, 9)), 0.1,
+                            training=False)
+    score = np.asarray(st.token_score)[0]
+    kept = np.where(np.asarray(mask)[0] > 0)[0]
+    if len(kept) > 3:
+        # emulate the model's truncation ranking
+        conf = 1.0 / (1.0 + np.exp(-score))
+        rank = np.asarray(mask)[0] * 2.0 + conf
+        rank[0] += 4.0
+        k = len(kept) - 1
+        idx = np.sort(np.argsort(-rank)[:k])
+        surviving = set(idx) & set(kept)
+        dropped = set(kept) - surviving
+        # the dropped kept-token must have the lowest confidence among
+        # non-class kept tokens
+        non_cls = [t for t in kept if t != 0]
+        worst = min(non_cls, key=lambda t: conf[t])
+        assert dropped == {worst}
+    assert 0 in kept  # class token forced open
