@@ -3,4 +3,10 @@ from laudnet_tpu.convert.torch_loader import (
     load_pth_tar,
 )
 
-__all__ = ["convert_resnet_state_dict", "load_pth_tar"]
+from laudnet_tpu.convert.torch_loader import convert_regnet_state_dict
+
+__all__ = [
+    "convert_resnet_state_dict",
+    "convert_regnet_state_dict",
+    "load_pth_tar",
+]

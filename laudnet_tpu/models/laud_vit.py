@@ -292,6 +292,42 @@ class LAUDViT(nn.Module):
         )
 
 
+def vit_dense_flops(model: LAUDViT, input_size: int = 224,
+                    in_chans: int = 3) -> float:
+    """Closed-form dense multiply-adds of a :class:`LAUDViT`, matching the
+    in-graph bookkeeping with all gates open (``block_flops(1,1,1,1)`` +
+    policy heads + stem + classifier). This is the ``full_flops`` the
+    sparsity losses target (reference measures the dense teacher the same
+    way, `train/main.py:297`)."""
+    d, h = model.dim, model.num_heads
+    dh = d // h
+    hidden = int(d * model.mlp_ratio)
+    if model.stem == "t2t":
+        from laudnet_tpu.models.t2t import t2t_stem_flops
+
+        stem = float(t2t_stem_flops(d))
+        n = (input_size // 16) ** 2  # T2T stem reduces 4*2*2 = 16x
+    else:
+        n = (input_size // model.patch_size) ** 2
+        stem = float(in_chans * d * model.patch_size**2 * n)
+    l = n + 1
+    policy = 0
+    if model.layer_skip:
+        policy += d * 4
+    if model.head_skip:
+        policy += d * 2 * h
+    if model.token_skip:
+        policy += l * d * 2
+    block = (
+        policy
+        + 3 * l * d * d  # qkv
+        + 2 * h * l * l * dh  # attention scores + weighted values
+        + l * d * d  # output projection
+        + 2 * l * d * hidden  # mlp fc1 + fc2
+    )
+    return stem + model.depth * block + d * model.num_classes
+
+
 def laud_deit_small(**kwargs) -> LAUDViT:
     """LAUD-DeiT-S: 12 blocks, dim 384, 6 heads (BASELINE config #4)."""
     return LAUDViT(depth=12, dim=384, num_heads=6, mlp_ratio=4.0, **kwargs)

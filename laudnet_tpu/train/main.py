@@ -28,10 +28,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
+RESNET_ARCHS = ("uni_resnet50", "uni_resnet101")
+REGNET_ARCHS = tuple(
+    f"lad_regnet_{k}" for k in (
+        "y_400mf", "y_800mf", "y_1_6gf", "y_3_2gf", "y_8gf", "y_16gf",
+        "y_32gf", "y_128gf", "x_400mf", "x_800mf", "x_1_6gf", "x_3_2gf",
+        "x_8gf", "x_16gf", "x_32gf",
+    )
+)
+VIT_ARCHS = ("laud_deit_small", "laud_deit_tiny", "laud_t2t_vit_19")
+
+
+def arch_family(arch: str) -> str:
+    if arch in RESNET_ARCHS:
+        return "resnet"
+    if arch in REGNET_ARCHS:
+        return "regnet"
+    if arch in VIT_ARCHS:
+        return "vit"
+    raise ValueError(f"unknown arch {arch}")
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="LAUDNet-TPU ImageNet training")
     p.add_argument("--arch", default="uni_resnet50",
-                   choices=["uni_resnet50", "uni_resnet101"])
+                   choices=list(RESNET_ARCHS + REGNET_ARCHS + VIT_ARCHS))
     p.add_argument("--config", default=None,
                    help="python config file selecting hyperparams_set_index")
     p.add_argument("--hyperparams_set_index", type=int, default=None)
@@ -46,6 +67,9 @@ def parse_args(argv=None):
     p.add_argument("--channel_masker", default="MLP-MLP-MLP-MLP")
     p.add_argument("--channel_masker_layers", default="1-1-1-1")
     p.add_argument("--masker_reduction", default="16-16-16-16")
+    # ViT paradigms (comma-separated subset of token,head,layer)
+    p.add_argument("--vit_skip", default="token,head,layer",
+                   help="LAUD-ViT gated paradigms (comma list)")
     # gumbel temperature
     p.add_argument("--t0", type=float, default=5.0)
     p.add_argument("--t_last", type=float, default=0.1)
@@ -77,6 +101,24 @@ def parse_args(argv=None):
 
 def _stage_list(spec: str, cast=str):
     return tuple(cast(v) for v in spec.split("-"))
+
+
+def _density_rows(s):
+    """The reference's 4x(blocks) ``all_density`` matrix (`main.py:454-459`):
+    s3/s2/s1/channel per CNN block, or token/head/attn/mlp per ViT block."""
+    if "spatial_s3" in s:
+        return np.stack([
+            np.concatenate([np.asarray(v) for v in s["spatial_s3"]]),
+            np.concatenate([np.asarray(v) for v in s["spatial_s2"]]),
+            np.concatenate([np.asarray(v) for v in s["spatial_s1"]]),
+            np.concatenate([np.asarray(v) for v in s["channel_s"]]),
+        ])
+    return np.stack([
+        np.asarray(s["token_density"]),
+        np.asarray(s["head_density"]),
+        np.asarray(s["attn_density"]),
+        np.asarray(s["mlp_density"]),
+    ])
 
 
 def main(argv=None):
@@ -111,20 +153,49 @@ def main(argv=None):
     log = Logger(os.path.join(args.train_url, "train.log"))
     log(f"devices: {jax.devices()}")
 
-    layers = (3, 4, 6, 3) if args.arch == "uni_resnet50" else (3, 4, 23, 3)
+    family = arch_family(args.arch)
     model_ctor = getattr(models, args.arch)
-    model = model_ctor(
-        num_classes=args.num_classes,
-        input_size=args.input_size,
-        dyn_mode=_stage_list(args.dyn_mode),
-        mask_spatial_granularity=_stage_list(args.mask_spatial_granularity, int),
-        channel_dyn_granularity=_stage_list(args.channel_dyn_granularity, int),
-        spatial_mask_channel_group=_stage_list(args.spatial_mask_channel_group, int),
-        channel_masker=_stage_list(args.channel_masker),
-        channel_masker_layers=_stage_list(args.channel_masker_layers, int),
-        reduction_ratio=_stage_list(args.masker_reduction, int),
-    )
-    teacher = models.ResNet(layers=layers, num_classes=args.num_classes)
+    if family == "vit":
+        skips = set(args.vit_skip.split(","))
+        model = model_ctor(
+            num_classes=args.num_classes,
+            token_skip="token" in skips,
+            head_skip="head" in skips,
+            layer_skip="layer" in skips,
+        )
+        # dense teacher of the same geometry (all gates off); the reference
+        # defers ViT training to AdaViT — this is the native equivalent
+        teacher = model_ctor(
+            num_classes=args.num_classes,
+            token_skip=False, head_skip=False, layer_skip=False,
+        )
+    else:
+        stage_kwargs = dict(
+            num_classes=args.num_classes,
+            input_size=args.input_size,
+            dyn_mode=_stage_list(args.dyn_mode),
+            mask_spatial_granularity=_stage_list(
+                args.mask_spatial_granularity, int),
+            channel_dyn_granularity=_stage_list(
+                args.channel_dyn_granularity, int),
+            spatial_mask_channel_group=_stage_list(
+                args.spatial_mask_channel_group, int),
+            channel_masker=_stage_list(args.channel_masker),
+            channel_masker_layers=_stage_list(args.channel_masker_layers, int),
+            reduction_ratio=_stage_list(args.masker_reduction, int),
+        )
+        model = model_ctor(**stage_kwargs)
+        if family == "regnet":
+            from laudnet_tpu.models import regnet_static
+
+            key = args.arch[len("lad_regnet_"):]
+            teacher = regnet_static(key, num_classes=args.num_classes,
+                                    input_size=args.input_size)
+        else:
+            layers = ((3, 4, 6, 3) if args.arch == "uni_resnet50"
+                      else (3, 4, 23, 3))
+            teacher = models.ResNet(layers=layers,
+                                    num_classes=args.num_classes)
 
     # data
     if args.data_url:
@@ -143,8 +214,24 @@ def main(argv=None):
         steps_per_epoch = args.steps_per_epoch or 10
         log("no --data_url: training on synthetic data (smoke mode)")
 
-    full_flops = resnet_full_flops(layers, input_size=args.input_size,
-                                   num_classes=args.num_classes)
+    if family == "resnet":
+        full_flops = resnet_full_flops(layers, input_size=args.input_size,
+                                       num_classes=args.num_classes)
+    elif family == "vit":
+        from laudnet_tpu.models.laud_vit import vit_dense_flops
+
+        full_flops = vit_dense_flops(model, input_size=args.input_size)
+    else:
+        # RegNet: the static teacher's in-graph bookkeeping IS the dense
+        # count (all gates off => sparse == dense, incl. the SE quirk)
+        probe = jnp.zeros((1, args.input_size, args.input_size, 3),
+                          jnp.float32)
+        tv = jax.jit(lambda: teacher.init(
+            {"params": jax.random.PRNGKey(0)}, probe, 1.0, training=False))()
+        full_flops = float(jax.jit(
+            lambda v: teacher.apply(v, probe, 1.0, training=False).flops
+        )(tv))
+        del tv
     log(f"full_flops (dense multiply-adds): {full_flops / 1e9:.3f} G")
 
     cfg = TrainConfig(
@@ -168,21 +255,40 @@ def main(argv=None):
         lambda: model.init({"params": rng}, sample, 1.0, training=False)
     )()
     if args.finetune_from:
-        from laudnet_tpu.convert import convert_resnet_state_dict, load_pth_tar
+        from laudnet_tpu.convert import (
+            convert_regnet_state_dict, convert_resnet_state_dict, load_pth_tar,
+        )
 
-        loaded = convert_resnet_state_dict(load_pth_tar(args.finetune_from))
+        if family == "vit":
+            raise SystemExit("--finetune_from: no torch ViT converter")
+        convert = (convert_regnet_state_dict if family == "regnet"
+                   else convert_resnet_state_dict)
+        loaded = convert(load_pth_tar(args.finetune_from))
         variables = _merge_loose(variables, loaded)
         log(f"loaded finetune weights from {args.finetune_from}")
 
-    teacher_vars = jax.jit(
-        lambda: teacher.init({"params": rng}, sample, training=False)
-    )()
-    if args.teacher_path:
-        from laudnet_tpu.convert import convert_resnet_state_dict, load_pth_tar
+    def init_teacher():
+        try:
+            return teacher.init({"params": rng}, sample, training=False)
+        except TypeError:
+            return teacher.init({"params": rng}, sample, 1.0, training=False)
 
+    teacher_vars = jax.jit(init_teacher)()
+    if args.teacher_path:
+        from laudnet_tpu.convert import (
+            convert_regnet_state_dict, convert_resnet_state_dict, load_pth_tar,
+        )
+
+        if family == "vit":
+            raise SystemExit(
+                "--teacher_path: no torch ViT converter (the reference "
+                "publishes no LAUD-ViT checkpoints); train the dense "
+                "teacher natively instead"
+            )
+        convert = (convert_regnet_state_dict if family == "regnet"
+                   else convert_resnet_state_dict)
         teacher_vars = _merge_loose(
-            teacher_vars,
-            convert_resnet_state_dict(load_pth_tar(args.teacher_path)),
+            teacher_vars, convert(load_pth_tar(args.teacher_path))
         )
         log(f"loaded teacher from {args.teacher_path}")
 
@@ -214,9 +320,15 @@ def main(argv=None):
 
     if args.evaluate_from:
         # evaluation-only path (reference `main.py:304-307,435-436`)
-        from laudnet_tpu.convert import convert_resnet_state_dict, load_pth_tar
+        from laudnet_tpu.convert import (
+            convert_regnet_state_dict, convert_resnet_state_dict, load_pth_tar,
+        )
 
-        loaded = convert_resnet_state_dict(load_pth_tar(args.evaluate_from))
+        if family == "vit":
+            raise SystemExit("--evaluate_from: no torch ViT converter")
+        convert = (convert_regnet_state_dict if family == "regnet"
+                   else convert_resnet_state_dict)
+        loaded = convert(load_pth_tar(args.evaluate_from))
         params = loaded["params"]
         bstats = loaded.get("batch_stats", state.batch_stats)
         top1 = top5 = act = gflops = 0.0
@@ -307,12 +419,7 @@ def main(argv=None):
             act += float(s["act_rate"]) * bsz
             gflops += float(s["flops"]) / 1e9 * bsz
             n_val += bsz
-            density_rows = np.stack([
-                np.concatenate([np.asarray(v) for v in s["spatial_s3"]]),
-                np.concatenate([np.asarray(v) for v in s["spatial_s2"]]),
-                np.concatenate([np.asarray(v) for v in s["spatial_s1"]]),
-                np.concatenate([np.asarray(v) for v in s["channel_s"]]),
-            ])
+            density_rows = _density_rows(s)
         val_top1, val_top5 = val_top1 / n_val, val_top5 / n_val
         act, gflops = act / n_val, gflops / n_val
         log(f"epoch {epoch}: val top1 {val_top1:.3f} top5 {val_top5:.3f} "

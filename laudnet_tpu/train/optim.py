@@ -16,8 +16,11 @@ import optax
 
 
 def is_masker_path(path) -> bool:
-    """True if a param path belongs to a gating head (name contains 'masker')."""
-    return any("masker" in str(k) for k in path)
+    """True if a param path belongs to a gating head: CNN maskers (name
+    contains 'masker', reference `laud_resnet.py:365-401`) or ViT policy
+    heads ('token_policy'/'head_policy'/'layer_policy', the AdaViT
+    decision networks)."""
+    return any("masker" in str(k) or "_policy" in str(k) for k in path)
 
 
 def param_group_labels(params) -> Any:

@@ -60,9 +60,32 @@ class TrainState:
     opt_state: Any
 
 
+def teacher_logits_fn(teacher_model, teacher_variables, images):
+    """Run a frozen teacher and return plain logits.
+
+    Handles the three teacher families uniformly: static ResNet
+    (``apply(vars, x, training=False) -> logits``), static LAUD-RegNet /
+    dense LAUD-ViT (``apply(vars, x, temperature, training=False) ->
+    output-with-.logits``).
+    """
+    try:
+        out = teacher_model.apply(teacher_variables, images, training=False)
+    except TypeError:
+        # models whose __call__ requires a (unused, gates-off) temperature
+        out = teacher_model.apply(
+            teacher_variables, images, jnp.float32(0.1), training=False
+        )
+    return getattr(out, "logits", out)
+
+
 def compute_sparsity_loss(cfg: TrainConfig, epoch, out):
     """Dispatch over the six reference criteria
-    (`utils/sparsity_loss_unify.py`; trainer default = 'bounds')."""
+    (`utils/sparsity_loss_unify.py`; trainer default = 'bounds').
+
+    The 'bounds' criterion only consumes ``flops_perc``/``flops``, so it
+    applies unchanged to :class:`LAUDViTOutput` (per-block flops_perc over
+    the transformer depth) — the ViT sparsity loss the reference defers to
+    AdaViT (`train/main.py:563-579` composes it identically)."""
     common = dict(target=cfg.target_rate, num_epochs=cfg.num_epochs,
                   full_flops=cfg.full_flops)
     name = cfg.sparsity_criterion
@@ -130,8 +153,8 @@ def make_train_step(model, teacher_model, teacher_variables, optimizer,
         epoch = step.astype(jnp.float32) / cfg.steps_per_epoch
         rng = jax.random.fold_in(gumbel_rng, step)
 
-        teacher_logits = teacher_model.apply(
-            teacher_variables, images, training=False
+        teacher_logits = teacher_logits_fn(
+            teacher_model, teacher_variables, images
         )
 
         def loss_fn(params):
@@ -202,11 +225,14 @@ def make_eval_step(model, cfg: TrainConfig) -> Callable:
             "top5": top5,
             "act_rate": out.flops_perc.mean(),
             "flops": out.flops,
-            "spatial_s3": out.spatial_s3,
-            "spatial_s2": out.spatial_s2,
-            "spatial_s1": out.spatial_s1,
-            "channel_s": out.channel_s,
         }
+        # density breakdown: CNN (per-stage s3/s2/s1/channel) or ViT
+        # (per-block token/head/attn/mlp) — the all_density matrix analog
+        for k in ("spatial_s3", "spatial_s2", "spatial_s1", "channel_s",
+                  "token_density", "head_density", "attn_density",
+                  "mlp_density"):
+            if getattr(out, k, None) is not None:
+                stats[k] = getattr(out, k)
         return stats
 
     return eval_step

@@ -234,3 +234,31 @@ def test_token_overflow_drops_least_confident():
         worst = min(non_cls, key=lambda t: conf[t])
         assert dropped == {worst}
     assert 0 in kept  # class token forced open
+
+
+def test_vit_dense_flops_matches_graph():
+    """Closed-form vit_dense_flops == in-graph flops when every gate is open
+    (all-skips-off model has flops_perc == 1 everywhere)."""
+    from laudnet_tpu.models.laud_vit import vit_dense_flops
+
+    m = tiny_vit(token_skip=False, head_skip=False, layer_skip=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    out = m.apply(v, x, 0.1, training=False)
+    np.testing.assert_allclose(
+        float(out.flops), vit_dense_flops(m, input_size=32), rtol=1e-6
+    )
+
+
+def test_policy_params_grouped_as_masker():
+    from laudnet_tpu.train.optim import param_group_labels
+
+    m = tiny_vit()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    labels = param_group_labels(v["params"])
+    b0 = labels["block_0"]
+    assert b0["token_policy"]["kernel"] == "masker"
+    assert b0["head_policy"]["kernel"] == "masker"
+    assert b0["layer_policy"]["kernel"] == "masker"
+    assert b0["qkv"]["kernel"] == "backbone"
