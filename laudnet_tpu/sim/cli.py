@@ -34,7 +34,15 @@ def stage_list_to_blocks(model: str, per_stage):
     return out
 
 
-def _run_t2t(args):
+VIT_GEOMETRY = {
+    # depth, dim, heads, mlp_ratio
+    "deit_small": dict(depth=12, dim=384, num_heads=6, mlp_ratio=4.0),
+    "deit_tiny": dict(depth=12, dim=192, num_heads=3, mlp_ratio=4.0),
+    "t2t_vit": dict(depth=14, dim=448, num_heads=7, mlp_ratio=3.0),
+}
+
+
+def _run_vit_gpu(args):
     """T2T-ViT three-paradigm sweep (reference `adavit/simulate_adavit.py`)."""
     from laudnet_tpu.sim.adavit import simulate_laud_t2t_vit
     from laudnet_tpu.sim.transformer import TransformerPredictor
@@ -50,16 +58,53 @@ def _run_t2t(args):
         ("head", dict(token_skip=False, layer_skip=False, head_density=d)),
         ("s+c+l", dict(token_density=d, head_density=d, layer_density=d)),
     ]
-    print(f"# t2t_vit on {spec.name} (batch {bs}, density {d})")
+    print(f"# {args.model} on {spec.name} (batch {bs}, density {d})")
+    geo = VIT_GEOMETRY[args.model]
     for name, kw in rows:
-        rep = simulate_laud_t2t_vit(p, B=bs, **kw)
+        rep = simulate_laud_t2t_vit(
+            p, B=bs, depth=geo["depth"], dim=geo["dim"],
+            head_num=geo["num_heads"], mlp_ratio=geo["mlp_ratio"], **kw
+        )
         print(f"{name:8s}: {rep.latency * 1e3:8.3f} ms/batch "
               f"({rep.latency / bs * 1e3:7.4f} ms/img)")
 
 
+def _run_vit_tpu(args):
+    """ViT paradigm sweep on the TPU model (`sim/tpu.py::tpu_predict_vit`):
+    token selection shrinks every downstream matmul; head/layer masking run
+    at dense shapes (masks fuse for free) — the model ranks the paradigms
+    the way the chip measures them."""
+    from laudnet_tpu.sim.tpu import tpu_predict_vit
+
+    spec = TPU_PRESETS[args.hardware]
+    if args.batch_size:
+        spec = spec.with_batch(args.batch_size)
+    p = TPUPredictor(spec)
+    geo = VIT_GEOMETRY[args.model]
+    d = args.act_rate
+    caps = (d,) * geo["depth"]
+    rows = [
+        ("dense", dict(mode="dense")),
+        ("token", dict(mode="token", token_capacity=caps)),
+        ("head", dict(mode="head")),
+        ("layer", dict(mode="layer")),
+    ]
+    bs = spec.batch_size
+    print(f"# {args.model} on {spec.name} (batch {bs}, capacity {d})")
+    for name, kw in rows:
+        rep = tpu_predict_vit(p, depth=geo["depth"], dim=geo["dim"],
+                              num_heads=geo["num_heads"],
+                              mlp_ratio=geo["mlp_ratio"], **kw)
+        print(f"{name:8s}: {rep.latency * 1e3:8.3f} ms/batch "
+              f"({rep.latency / bs * 1e3:7.4f} ms/img) "
+              f"[compute {rep.compute_latency * 1e3:.3f} ms, "
+              f"memory {rep.memory_latency * 1e3:.3f} ms]")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("model", choices=sorted(MODEL_GEOMETRY) + ["t2t_vit"])
+    ap.add_argument("model",
+                    choices=sorted(MODEL_GEOMETRY) + sorted(VIT_GEOMETRY))
     ap.add_argument("--hardware", default="v100",
                     choices=sorted(GPU_PRESETS) + sorted(TPU_PRESETS))
     ap.add_argument("--mode", default="all",
@@ -70,10 +115,10 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=None)
     args = ap.parse_args(argv)
 
-    if args.model == "t2t_vit":
-        if args.hardware not in GPU_PRESETS:
-            ap.error("t2t_vit simulation currently supports GPU presets")
-        return _run_t2t(args)
+    if args.model in VIT_GEOMETRY:
+        if args.hardware in GPU_PRESETS:
+            return _run_vit_gpu(args)
+        return _run_vit_tpu(args)
 
     grans = [int(v) for v in args.granularity.split("-")]
     gran_blocks = stage_list_to_blocks(args.model, grans)
