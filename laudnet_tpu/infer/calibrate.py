@@ -113,6 +113,46 @@ def calibration_fidelity(mask_fn: Callable, static_masks, batches: Iterable):
     }
 
 
+def make_channel_mask_fn(model, variables, temperature: float = 0.1):
+    """Build a ``mask_fn(images) -> [per-block (B, G_b) masks]`` for the
+    calibrators by capturing every ``masker_channel`` output of a LAUD CNN
+    forward (flax ``capture_intermediates``). Blocks are ordered naturally
+    (layer1_0, layer1_1, ..., layer3_10, ... — numeric, not lexicographic).
+    """
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    def scope_key(name):
+        m = re.match(r"(?:layer|stage)(\d+)_(\d+)", name)
+        return (int(m.group(1)), int(m.group(2))) if m else (99, 0)
+
+    def is_channel_masker(mdl, method_name):
+        return mdl.name == "masker_channel"
+
+    @jax.jit
+    def run(images):
+        _, inter = model.apply(
+            variables, images, jnp.float32(temperature), training=False,
+            capture_intermediates=is_channel_masker,
+        )
+        return inter["intermediates"]
+
+    def mask_fn(images):
+        tree = jax.device_get(run(images))
+        blocks = sorted(
+            (k for k in tree if "masker_channel" in tree[k]), key=scope_key
+        )
+        # masker output is the tuple (mask, density, flops)
+        return [
+            np.asarray(tree[b]["masker_channel"]["__call__"][0][0])
+            for b in blocks
+        ]
+
+    return mask_fn
+
+
 def calibrate_patch_capacity(apply_fn: Callable, batches: Iterable,
                              quantile: float = 0.99,
                              margin: float = 0.05) -> Sequence[float]:

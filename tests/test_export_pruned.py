@@ -123,3 +123,29 @@ def test_calibrate_patch_capacity_per_image():
     assert len(caps) == 4
     for c, img in zip(caps, s3i):
         assert c >= img.max() - 1e-6  # covers the worst image of the stage
+
+
+def test_make_channel_mask_fn_captures_block_masks_in_order():
+    from laudnet_tpu.infer.calibrate import make_channel_mask_fn
+    from laudnet_tpu.models import laud_resnet
+
+    model = laud_resnet.LAUDResNet(
+        layers=(2, 1, 1, 1), num_classes=10, input_size=64,
+        dyn_mode=("channel",) * 4, channel_dyn_granularity=(2, 2, 2, 2),
+        channel_masker=("MLP",) * 4, channel_masker_layers=(1, 1, 1, 1),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    mask_fn = make_channel_mask_fn(model, v)
+    masks = mask_fn(x)
+    assert len(masks) == 5  # 2+1+1+1 blocks
+    # group counts follow stage widths / granularity (64,128,256,512)/2... wait
+    # width = planes*group_width; groups = width/gran = 32,64,128,256
+    assert [m.shape for m in masks] == [(3, 32), (3, 32), (3, 64), (3, 128),
+                                        (3, 256)]
+    # captured masks must equal the densities the model reports
+    out = model.apply(v, x, 0.1, training=False)
+    want = np.concatenate([np.asarray(s) for s in out.channel_s])
+    np.testing.assert_allclose(
+        np.asarray([m.mean() for m in masks]), want, atol=1e-6
+    )
