@@ -199,3 +199,97 @@ def test_eval_mask_parity_per_image():
     np.testing.assert_array_equal(
         np.asarray(our_mask)[..., 0], ref_mask.numpy()[:, 0]
     )
+
+
+@pytest.mark.parametrize("cfg", [CONFIGS[2], CONFIGS[1]],
+                         ids=["channel-mlp2-full", "layer-full"])
+def test_full_depth_r101_parity(cfg):
+    """Full [3,4,23,3] R101 at 224 (the released-checkpoint geometry,
+    reference `laud_resnet.py:426-436`): logits + per-image channel/spatial
+    mask parity through 23 chained stage-3 blocks in fp32 — the depth where
+    mask drift would appear first (VERDICT r1 #7)."""
+    torch.manual_seed(42)
+    layers = [3, 4, 23, 3]
+    gran = cfg["mask_spatial_granularity"]
+    if cfg["id"] == "layer":
+        gran = [56, 28, 14, 7]  # reference layer-mode full-res granularity
+    ref = ref_laud.ResNet(
+        ref_laud.Bottleneck, layers, num_classes=1000, input_size=224,
+        spatial_mask_channel_group=[1, 1, 1, 1],
+        mask_spatial_granularity=gran,
+        channel_dyn_granularity=cfg["channel_dyn_granularity"],
+        dyn_mode=cfg["dyn_mode"],
+        channel_masker=cfg["channel_masker"],
+        channel_masker_layers=cfg["channel_masker_layers"],
+        lr_mult=1.0,
+    )
+    ref.eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_resnet_state_dict(
+        state, channel_masker_layers=cfg["channel_masker_layers"][0]
+    )
+    ours = our_laud.LAUDResNet(
+        layers=tuple(layers), num_classes=1000, input_size=224,
+        spatial_mask_channel_group=(1, 1, 1, 1),
+        mask_spatial_granularity=tuple(gran),
+        channel_dyn_granularity=tuple(cfg["channel_dyn_granularity"]),
+        dyn_mode=tuple(cfg["dyn_mode"]),
+        channel_masker=tuple(cfg["channel_masker"]),
+        channel_masker_layers=tuple(cfg["channel_masker_layers"]),
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 3, 224, 224)).astype(np.float32)
+
+    # capture per-image reference masks via forward hooks
+    ref_masks = []
+
+    def hook(mod, args, out):
+        ref_masks.append(out[0].detach().numpy())
+
+    handles = []
+    for stage in (ref.layer1, ref.layer2, ref.layer3, ref.layer4):
+        for block in stage:
+            if getattr(block, "masker_channel", None) is not None:
+                handles.append(block.masker_channel.register_forward_hook(hook))
+            if getattr(block, "masker_spatial", None) is not None:
+                handles.append(block.masker_spatial.register_forward_hook(hook))
+    with torch.no_grad():
+        out = ref(torch.from_numpy(x), temperature=0.1)
+    for h in handles:
+        h.remove()
+    ref_logits, ref_s3, _, _, ref_ch, ref_fp, ref_flops = out
+    assert len(ref_masks) == 33
+
+    def capture_ours(mdl, method_name):
+        return mdl.name in ("masker_channel", "masker_spatial")
+
+    got, inter = ours.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), 0.1, training=False,
+        capture_intermediates=capture_ours,
+    )
+
+    # per-image mask parity, every one of the 33 blocks, bit-for-bit
+    import re
+
+    tree = inter["intermediates"]
+    scopes = sorted(tree, key=lambda s: tuple(
+        int(v) for v in re.match(r"layer(\d+)_(\d+)", s).groups()))
+    assert len(scopes) == 33
+    for scope, want in zip(scopes, ref_masks):
+        sub = tree[scope]
+        key = ("masker_channel" if "masker_channel" in sub
+               else "masker_spatial")
+        ours_mask = np.asarray(sub[key]["__call__"][0][0])
+        if key == "masker_spatial":
+            # ours (B, m, m, g) vs reference (B, g, m, m)
+            ours_mask = ours_mask.transpose(0, 3, 1, 2)
+        np.testing.assert_array_equal(ours_mask, want, err_msg=scope)
+
+    np.testing.assert_allclose(
+        np.asarray(got.logits), ref_logits.numpy(), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.flops_perc), ref_fp.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(float(got.flops), float(ref_flops), rtol=1e-5)
