@@ -101,9 +101,7 @@ class LAUDDetBackbone(nn.Module):
                     layer_s.append(st.spatial_s3)
                     flops_perc.append(st.flops_perc)
                     sparse_flops += st.sparse_flops
-                    dense_flops += st.sparse_flops / jnp.maximum(
-                        st.flops_perc, 1e-9
-                    )
+                    dense_flops += st.dense_flops
                 inplanes = planes * EXPANSION
                 if s + 1 <= self.frozen_stages:
                     x = jax.lax.stop_gradient(x)

@@ -260,6 +260,7 @@ class LAUDRegNetBlock(nn.Module):
             flops_perc=sparse_flops / dense_flops,
             sparse_flops=sparse_flops + se_flops,
             s3_img=s3_img,
+            dense_flops=dense_flops + se_flops,
         )
         return out, stats
 

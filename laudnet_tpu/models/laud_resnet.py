@@ -52,6 +52,10 @@ class BlockStats:
     flops_perc: jnp.ndarray  # sparse/dense FLOPs ratio for this block
     sparse_flops: jnp.ndarray  # absolute sparse FLOPs of this block
     s3_img: Any = None  # (B,) per-image conv3 spatial density
+    # absolute dense FLOPs of this block (explicit accumulation for the
+    # detection contract, reference `lad_mmdet_resnet.py:227,300-301` —
+    # never derived as sparse/flops_perc, which underflows)
+    dense_flops: Any = None
 
 
 @flax.struct.dataclass
@@ -96,7 +100,6 @@ class LAUDBottleneck(nn.Module):
     reduction: int = 16
     execution: str = "dense"  # 'dense' | 'sparse' (eval-time patch gather)
     patch_capacity: float = 1.0  # fraction of patch slots kept in sparse mode
-    collect_stats: bool = True  # False: skip s1/s2 dilation bookkeeping (inference)
     bn_eval: bool = False  # freeze BN (norm_eval) while keeping Gumbel sampling
     param_dtype: Any = jnp.float32
 
@@ -178,22 +181,20 @@ class LAUDBottleneck(nn.Module):
             spatial_mask3 = masking.upsample_mask_nearest(
                 spatial_mask3, self.output_size
             )
-            if self.collect_stats:
-                spatial_mask2 = masking.expand_mask(
-                    spatial_mask3, stride=1, padding=0
-                )
-                s2 = spatial_mask2.astype(jnp.float32).mean()
-                spatial_mask1 = masking.expand_mask(
-                    spatial_mask2, stride=self.stride, padding=1
-                )
-                s1 = spatial_mask1.astype(jnp.float32).mean()
-            else:
-                # Inference fast path: the dilated input-side masks feed only
-                # the FLOPs bookkeeping, never the compute. Approximate both
-                # densities by s3 (exact at granularity 1; upper-bounded
-                # otherwise) to skip two dilation passes per block.
-                s2 = s3
-                s1 = s3
+            # The dilated input-side masks feed only the FLOPs bookkeeping,
+            # never the compute — but the bookkeeping must stay EXACT (it
+            # feeds losses and eval-info accounting), so the dilations are
+            # always computed: two bool reduce_windows per block, negligible
+            # next to the convs. (An approximate fast path existed in r1 and
+            # silently misreported s1/s2 at granularity > 1 — removed.)
+            spatial_mask2 = masking.expand_mask(
+                spatial_mask3, stride=1, padding=0
+            )
+            s2 = spatial_mask2.astype(jnp.float32).mean()
+            spatial_mask1 = masking.expand_mask(
+                spatial_mask2, stride=self.stride, padding=1
+            )
+            s1 = spatial_mask1.astype(jnp.float32).mean()
 
         sparse_flops = f32(channel_mask_flops + spatial_mask_flops)
         dense_flops = f32(channel_mask_flops + spatial_mask_flops)
@@ -297,6 +298,7 @@ class LAUDBottleneck(nn.Module):
             flops_perc=sparse_flops / dense_flops,
             sparse_flops=sparse_flops,
             s3_img=s3_img,
+            dense_flops=dense_flops,
         )
         return out, stats
 
@@ -321,7 +323,6 @@ class LAUDResNet(nn.Module):
     reduction_ratio: Sequence[int] = (16, 16, 16, 16)
     execution: str = "dense"  # 'dense' | 'sparse' eval fast path
     patch_capacity: Sequence[float] = (1.0, 1.0, 1.0, 1.0)  # per stage
-    collect_stats: bool = True
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -391,7 +392,6 @@ class LAUDResNet(nn.Module):
                     reduction=self.reduction_ratio[s],
                     execution=self.execution,
                     patch_capacity=self.patch_capacity[s],
-                    collect_stats=self.collect_stats,
                     name=f"layer{s + 1}_{b}",
                     param_dtype=self.param_dtype,
                 )(x, temperature, training=training)
