@@ -1,0 +1,16 @@
+# Faster-RCNN + LAUD-ResNet101 channel-2222, sparsity target 0.8, backbone
+# lr_mult 0.5 — the reference's `configs/faster_rcnn/scale_backbone_lr/
+# faster_rcnn_ladmmdet_r101_fpn_1x_coco_r101_channel_2222_0x8_lrmult0x5.py`.
+model = dict(
+    type="FasterRCNN",
+    num_classes=80,
+    backbone_layers=(3, 4, 23, 3),
+    dyn_mode=("channel", "channel", "channel", "channel"),
+    sparsity_target=0.8,
+    temperature=0.1,
+)
+train_cfg = dict(
+    epochs=12,
+    backbone_lr_mult=0.5,
+    init_from="checkpoints/imagenet_pretrain/laud_r101_channel_2222_t0.8",
+)

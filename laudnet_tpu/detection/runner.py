@@ -1,0 +1,345 @@
+"""COCO-style detection training runner (reference analog:
+`mmdetection-2.21.0/tools/train.py` + the patched
+`mmcv_replace_file/epoch_based_runner.py:25-47`).
+
+One jitted train step drives RetinaNet or Faster/Mask-RCNN on a LAUD
+backbone with the reference's knobs: backbone ``lr_mult`` (the
+scale_backbone_lr configs use 0.2-0.5), **fixed** Gumbel temperature
+(detectors never anneal, `lad_mmdet_resnet.py:679-682`), and the
+``loss_sparse`` injection. Evaluation = mAP + the per-image FLOPs
+accounting of `detection/eval_info.py` (`mmdet/apis/test.py:75-145`).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from laudnet_tpu.detection.train import box_iou, retinanet_loss
+from laudnet_tpu.detection.two_stage_train import faster_rcnn_loss
+
+
+# --- optimizer: backbone / masker / head LR groups -------------------------
+
+def detection_param_labels(params):
+    """'masker' for gating heads, 'backbone' for the rest of the backbone
+    scope, 'head' for necks/heads — the scale_backbone_lr semantics
+    (backbone convs get lr_mult; maskers and heads train at full LR)."""
+
+    def label(path, _):
+        keys = [str(k) for k in path]
+        if any("masker" in k or "_policy" in k for k in keys):
+            return "masker"
+        if any("backbone" in k for k in keys):
+            return "backbone"
+        return "head"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_detection_sgd(params, *, lr_mult: float = 0.2, momentum: float = 0.9,
+                       weight_decay: float = 1e-4, nesterov: bool = False):
+    labels = detection_param_labels(params)
+
+    def group(mult):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.trace(decay=momentum, nesterov=nesterov),
+            optax.scale(mult),
+        )
+
+    grouped = optax.multi_transform(
+        {"backbone": group(lr_mult), "masker": group(1.0),
+         "head": group(1.0)},
+        labels,
+    )
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(grouped, optax.scale(-learning_rate))
+    )(learning_rate=0.0)
+
+
+# --- train step -------------------------------------------------------------
+
+@dataclass
+class DetTrainConfig:
+    num_classes: int = 80
+    base_lr: float = 0.01
+    lr_mult: float = 0.2
+    epochs: int = 12
+    steps_per_epoch: int = 100
+    warmup_steps: int = 50
+    sparsity_target: float = 0.5
+    lambda_sparse: float = 1.0
+    with_masks: bool = False
+
+
+def lr_at(step, cfg: DetTrainConfig):
+    """mmdet 1x-style schedule: linear warmup then step decay at epochs
+    8 and 11 (of 12)."""
+    warm = jnp.minimum(
+        (step.astype(jnp.float32) + 1.0) / max(cfg.warmup_steps, 1), 1.0
+    )
+    epoch = step // cfg.steps_per_epoch
+    decay = jnp.where(epoch >= int(cfg.epochs * 11 / 12), 0.01,
+                      jnp.where(epoch >= int(cfg.epochs * 8 / 12), 0.1, 1.0))
+    return cfg.base_lr * warm * decay
+
+
+def make_detector_train_step(model, optimizer, cfg: DetTrainConfig,
+                             kind: str = "faster_rcnn") -> Callable:
+    """Jitted step for ``kind`` in {'retinanet', 'faster_rcnn'} (mask loss
+    switches on automatically when the model emits mask_logits and the
+    batch carries masks)."""
+
+    def train_step(state, images, gt_boxes, gt_labels, gt_valid,
+                   gt_masks=None):
+        step, params, batch_stats, opt_state = state
+
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": batch_stats}
+            if kind == "retinanet":
+                out, mut = model.apply(
+                    variables, images, training=True,
+                    rngs={"gumbel": jax.random.fold_in(
+                        jax.random.PRNGKey(0), step)},
+                    mutable=["batch_stats"],
+                )
+                total, metrics = retinanet_loss(
+                    out, gt_boxes, gt_labels, gt_valid,
+                    num_classes=cfg.num_classes,
+                    sparsity_target=cfg.sparsity_target,
+                    lambda_sparse=cfg.lambda_sparse,
+                )
+            else:
+                out, mut = model.apply(
+                    variables, images, training=True,
+                    gt_boxes=gt_boxes, gt_valid=gt_valid,
+                    rngs={"gumbel": jax.random.fold_in(
+                        jax.random.PRNGKey(0), step)},
+                    mutable=["batch_stats"],
+                )
+                total, metrics = faster_rcnn_loss(
+                    out, gt_boxes, gt_labels, gt_valid,
+                    num_classes=cfg.num_classes, gt_masks=gt_masks,
+                    sparsity_target=cfg.sparsity_target,
+                    lambda_sparse=cfg.lambda_sparse,
+                )
+            return total, (metrics, mut["batch_stats"])
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        lr = lr_at(step, cfg)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics, loss=loss, lr=lr)
+        return (step + 1, params, new_bs, opt_state), metrics
+
+    return train_step
+
+
+# --- synthetic COCO (trainability smoke data) ------------------------------
+
+def synthetic_coco_batches(batch_size: int, image_size: int, num_classes: int,
+                           steps: int, max_gt: int = 4, seed: int = 0,
+                           with_masks: bool = False):
+    """Learnable synthetic detection data: each image contains 1..max_gt
+    axis-aligned bright rectangles on noise; the rectangle's dominant color
+    channel is its class (num_classes <= 3 recommended for smoke tests)."""
+    rng = np.random.default_rng(seed)
+    for _ in range(steps):
+        imgs = rng.normal(0, 0.1, (batch_size, image_size, image_size, 3))
+        boxes = np.zeros((batch_size, max_gt, 4), np.float32)
+        labels = np.zeros((batch_size, max_gt), np.int32)
+        valid = np.zeros((batch_size, max_gt), np.float32)
+        masks = np.zeros((batch_size, max_gt, image_size, image_size),
+                         np.float32)
+        for b in range(batch_size):
+            n = rng.integers(1, max_gt + 1)
+            for m in range(n):
+                w = rng.integers(image_size // 4, image_size // 2)
+                h = rng.integers(image_size // 4, image_size // 2)
+                x0 = rng.integers(0, image_size - w)
+                y0 = rng.integers(0, image_size - h)
+                c = int(rng.integers(0, min(num_classes, 3)))
+                imgs[b, y0:y0 + h, x0:x0 + w, c] += 2.0
+                boxes[b, m] = (x0, y0, x0 + w, y0 + h)
+                labels[b, m] = c
+                valid[b, m] = 1.0
+                masks[b, m, y0:y0 + h, x0:x0 + w] = 1.0
+        out = (imgs.astype(np.float32), boxes, labels, valid)
+        yield out + ((masks,) if with_masks else ())
+
+
+# --- mAP -------------------------------------------------------------------
+
+def average_precision(recalls, precisions):
+    """All-point interpolated AP (COCO-style area under PR curve)."""
+    r = np.concatenate([[0.0], recalls, [1.0]])
+    p = np.concatenate([[0.0], precisions, [0.0]])
+    for i in range(len(p) - 2, -1, -1):
+        p[i] = max(p[i], p[i + 1])
+    idx = np.where(r[1:] != r[:-1])[0]
+    return float(((r[idx + 1] - r[idx]) * p[idx + 1]).sum())
+
+
+def mean_average_precision(detections, ground_truths, num_classes: int,
+                           iou_threshold: float = 0.5) -> dict:
+    """mAP over a list of per-image detections and ground truths.
+
+    ``detections``: list of dicts with 'boxes' (N,4), 'scores' (N,),
+    'classes' (N,); ``ground_truths``: list of dicts with 'boxes' (M,4),
+    'labels' (M,). Zero-score detections are ignored (the static-shape
+    pads). Returns {'mAP': float, 'ap_per_class': array}.
+    """
+    aps = []
+    for c in range(num_classes):
+        scored = []  # (score, image_idx, box)
+        n_gt = 0
+        for i, (det, gt) in enumerate(zip(detections, ground_truths)):
+            keep = (np.asarray(det["classes"]) == c) & (
+                np.asarray(det["scores"]) > 0
+            )
+            for s, b in zip(np.asarray(det["scores"])[keep],
+                            np.asarray(det["boxes"])[keep]):
+                scored.append((float(s), i, b))
+            n_gt += int((np.asarray(gt["labels"]) == c).sum())
+        if n_gt == 0:
+            continue
+        scored.sort(key=lambda t: -t[0])
+        matched = [set() for _ in ground_truths]
+        tp = np.zeros(len(scored))
+        fp = np.zeros(len(scored))
+        for k, (s, i, box) in enumerate(scored):
+            gt = ground_truths[i]
+            gt_mask = np.asarray(gt["labels"]) == c
+            gt_boxes = np.asarray(gt["boxes"])[gt_mask]
+            gt_idx = np.where(gt_mask)[0]
+            if len(gt_boxes) == 0:
+                fp[k] = 1
+                continue
+            ious = np.asarray(
+                box_iou(jnp.asarray(box[None]), jnp.asarray(gt_boxes))
+            )[0]
+            j = int(np.argmax(ious))
+            if ious[j] >= iou_threshold and gt_idx[j] not in matched[i]:
+                tp[k] = 1
+                matched[i].add(gt_idx[j])
+            else:
+                fp[k] = 1
+        ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+        recalls = ctp / n_gt
+        precisions = ctp / np.maximum(ctp + cfp, 1e-9)
+        aps.append(average_precision(recalls, precisions))
+    m = float(np.mean(aps)) if aps else 0.0
+    return {"mAP": m, "ap_per_class": np.asarray(aps)}
+
+
+# --- runner ------------------------------------------------------------------
+
+def train_detector(model, cfg: DetTrainConfig, *, kind: str = "faster_rcnn",
+                   image_size: int = 128, batch_size: int = 2,
+                   seed: int = 0, data_fn: Optional[Callable] = None,
+                   log: Callable = print):
+    """End-to-end detector finetuning on synthetic (or provided) data.
+
+    ``data_fn(steps) -> iterator of (images, boxes, labels, valid[, masks])``
+    defaults to :func:`synthetic_coco_batches`. Returns (params,
+    batch_stats, history).
+    """
+    sample = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(seed)}, sample,
+                           training=False)
+    )()
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    optimizer = make_detection_sgd(params, lr_mult=cfg.lr_mult)
+    opt_state = optimizer.init(params)
+    state = (jnp.zeros((), jnp.int32), params, batch_stats, opt_state)
+    step_fn = jax.jit(make_detector_train_step(model, optimizer, cfg, kind))
+
+    if data_fn is None:
+        def data_fn(steps):
+            return synthetic_coco_batches(
+                batch_size, image_size, cfg.num_classes, steps, seed=seed,
+                with_masks=cfg.with_masks,
+            )
+
+    history = []
+    t0 = time.time()
+    total_steps = cfg.epochs * cfg.steps_per_epoch
+    for i, batch in enumerate(data_fn(total_steps)):
+        args = tuple(jnp.asarray(a) for a in batch)
+        state, metrics = step_fn(state, *args)
+        if i % 10 == 0 or i == total_steps - 1:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            history.append(m)
+            log(f"step {i}/{total_steps} loss {m['loss']:.4f} "
+                f"flops_rate {m.get('flops_rate', 1.0):.3f} "
+                f"lr {m['lr']:.5f} ({time.time() - t0:.1f}s)")
+    _, params, batch_stats, _ = state
+    return params, batch_stats, history
+
+
+def evaluate_detector(model, params, batch_stats, batches, *,
+                      num_classes: int, kind: str = "faster_rcnn",
+                      score_threshold: float = 0.05,
+                      iou_threshold: float = 0.5) -> dict:
+    """mAP + per-image FLOPs accounting over an eval iterable — the
+    reference's ``single_gpu_test_get_info`` role (`mmdet/apis/test.py:
+    75-145`) with the metric computed in-process.
+
+    ``batches``: iterator of (images, boxes, labels, valid). Returns
+    {'mAP', 'ap_per_class', 'mean_flops', 'mean_flops_rate', ...}.
+    """
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    @jax.jit
+    def fwd(x):
+        out = model.apply(variables, x, training=False)
+        # strip static (non-array) entries — jit can't return strings
+        return {k: v for k, v in out.items()
+                if k not in ("model_configs", "image_hw")}
+
+    detections, gts = [], []
+    n = 0
+    flops = dense = 0.0
+    for images, boxes, labels, valid in batches:
+        out = dict(fwd(jnp.asarray(images)))
+        out["image_hw"] = (images.shape[1], images.shape[2])
+        if kind == "faster_rcnn":
+            det = jax.device_get(type(model).detect(
+                out, score_threshold=score_threshold))
+        else:
+            from laudnet_tpu.detection.retinanet import RetinaNet
+
+            det = jax.device_get(RetinaNet.detect(
+                out, images.shape[1], score_threshold=score_threshold))
+        add = jax.device_get(out["additional"])
+        bsz = images.shape[0]
+        n += bsz
+        flops += float(add["flops"]) * bsz
+        dense += float(add["dense_flops"]) * bsz
+        for i in range(bsz):
+            detections.append({k: np.asarray(det[k][i])
+                               for k in ("boxes", "scores", "classes")})
+            keep = np.asarray(valid[i]) > 0
+            gts.append(dict(boxes=np.asarray(boxes[i])[keep],
+                            labels=np.asarray(labels[i])[keep]))
+    res = mean_average_precision(detections, gts, num_classes,
+                                 iou_threshold)
+    res.update(
+        n_images=n,
+        mean_flops=flops / max(n, 1),
+        mean_dense_flops=dense / max(n, 1),
+        mean_flops_rate=(flops / dense) if dense else 1.0,
+    )
+    return res

@@ -35,9 +35,14 @@ def box_iou(a, b):
 
 
 def encode_boxes(anchors, boxes):
-    """Inverse of decode_boxes: gt boxes -> (dx, dy, dw, dh) targets."""
-    aw = anchors[:, 2] - anchors[:, 0]
-    ah = anchors[:, 3] - anchors[:, 1]
+    """Inverse of decode_boxes: gt boxes -> (dx, dy, dw, dh) targets.
+
+    Widths/heights are clamped away from zero: the "anchors" may be RPN
+    proposals, and degenerate (zero-area) padded proposals would otherwise
+    produce inf/nan targets that poison the loss even when masked
+    (0 * nan = nan)."""
+    aw = jnp.maximum(anchors[:, 2] - anchors[:, 0], 1e-6)
+    ah = jnp.maximum(anchors[:, 3] - anchors[:, 1], 1e-6)
     ax = anchors[:, 0] + aw / 2
     ay = anchors[:, 1] + ah / 2
     gw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1e-6)

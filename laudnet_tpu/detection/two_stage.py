@@ -165,7 +165,13 @@ class FasterRCNN(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images, *, training: bool = False):
+    def __call__(self, images, *, training: bool = False, gt_boxes=None,
+                 gt_valid=None):
+        """``gt_boxes``/``gt_valid`` (training only): padded ground truth
+        appended into the proposal set (overwriting the lowest-scored
+        slots), the standard two-stage trick that guarantees the RoI head
+        sees positives from step one (mmdet's sampler adds GT the same
+        way)."""
         feats, additional, model_configs = LAUDDetBackbone(
             layers=self.backbone_layers,
             out_indices=(0, 1, 2, 3),
@@ -196,6 +202,19 @@ class FasterRCNN(nn.Module):
             return boxes[keep], alive
 
         proposals, valid = jax.vmap(propose)(obj, reg)  # (B, P, 4)
+        # The RoI branch must not backprop through proposal coordinates
+        # (mmdet detaches RPN proposals the same way).
+        proposals = jax.lax.stop_gradient(proposals)
+        if training and gt_boxes is not None:
+            m = gt_boxes.shape[1]
+            gv = (gt_valid if gt_valid is not None
+                  else jnp.ones(gt_boxes.shape[:2], proposals.dtype))
+            proposals = jnp.concatenate(
+                [proposals[:, : -m], gt_boxes.astype(proposals.dtype)], axis=1
+            )
+            valid = jnp.concatenate(
+                [valid[:, : -m], gv.astype(valid.dtype)], axis=1
+            )
 
         def extract(feats_i, boxes_i):
             return roi_align([f for f in feats_i], boxes_i, strides[:4], 7)
@@ -219,6 +238,10 @@ class FasterRCNN(nn.Module):
             "additional": additional,
             "model_configs": model_configs,
             "image_hw": (img_h, img_w),
+            # raw RPN outputs + anchors for the RPN training loss
+            "rpn_obj": obj,
+            "rpn_reg": reg,
+            "anchors": anchors,
         }
         if self.with_masks:
             mask_rois = jax.vmap(
@@ -242,6 +265,7 @@ class FasterRCNN(nn.Module):
         best_s = jnp.max(probs, axis=-1) * outputs["proposal_valid"]
 
         img_h, img_w = outputs["image_hw"]
+        max_detections = min(max_detections, outputs["proposals"].shape[1])
 
         def per_image(boxes, deltas, scores, classes):
             refined = clip_boxes_to_image(
