@@ -9,6 +9,12 @@ from laudnet_tpu.detection.two_stage_train import (
     rpn_loss,
     roi_assign,
 )
+from laudnet_tpu.detection.detr import (
+    DETRDetector,
+    detr_detect,
+    detr_loss,
+    hungarian_match,
+)
 from laudnet_tpu.detection.runner import (
     DetTrainConfig,
     make_detection_sgd,
@@ -24,4 +30,5 @@ __all__ = [
     "faster_rcnn_loss", "rpn_loss", "roi_assign", "DetTrainConfig",
     "make_detection_sgd", "make_detector_train_step",
     "mean_average_precision", "synthetic_coco_batches", "train_detector",
+    "DETRDetector", "detr_loss", "detr_detect", "hungarian_match",
 ]
