@@ -309,6 +309,53 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
     return total
 
 
+def tpu_channel_gather_block(p: TPUPredictor, g: BlockGeom,
+                             rho: float) -> SimulationReport:
+    """Per-image capacity-gathered channel execution: every image keeps
+    K = rho*width channels; weights are take-gathered per image and the
+    convs become per-image batched matmuls (conv2 as nine taps).
+
+    Measured r2 on v5e (R101 stage-3 geometry: bs128, 14x14, cin 1024,
+    width 256, rho 0.5/0.25): the weight gathers are nearly free but the
+    fragmented per-image matmuls sustain only ~0.47 of peak (vs 0.85 for
+    dense convs), so rho 0.5 LOSES at 0.69x and rho 0.25 is marginal at
+    1.14x. The TPU lesson this mode encodes: shrink the ROW dimension
+    (token/patch selection), not the contraction dimension (channels) —
+    per-image contraction shrinking fragments the MXU.
+    """
+    bmm_frac = 0.45  # measured sustained fraction for per-image bmm chains
+    s = p.spec
+    b = s.batch_size
+    k = max(1, int(g.width * rho))
+    hw = g.h * g.h
+    in_hw = (g.h * g.stride) ** 2
+    flops = 2.0 * b * (
+        in_hw * g.cin * k  # conv1 gathered outputs
+        + hw * 9 * k * k  # conv2 taps
+        + hw * k * g.cout  # conv3 gathered contraction
+    )
+    peak = s.peak_bf16 if p.dtype_bytes == 2 else s.peak_fp32
+    compute = flops / (peak * bmm_frac)
+    # per-image gathered weights sit on the critical path (measured: the
+    # fixed cost between capacities equals exactly their HBM traffic);
+    # activation traffic overlaps the matmul chain.
+    weight_bytes = p.dtype_bytes * b * (g.cin * k + 9 * k * k + k * g.cout)
+    act_bytes = p.dtype_bytes * b * (in_hw * g.cin + 2 * hw * g.cout)
+    weight_mem = weight_bytes / s.mem_bandwidth
+    act_mem = act_bytes / s.mem_bandwidth
+    rep = SimulationReport(
+        latency=max(compute, act_mem) + weight_mem + 13 * s.fusion_overhead,
+        compute_latency=compute, memory_latency=weight_mem + act_mem,
+        cfg=[dict(op="channel_gather_block", k=k)],
+    )
+    rep = rep + p.masker(g.cin, 1, g.h * g.stride, g.h * g.stride,
+                         spatial=False)
+    if g.has_downsample:
+        rep = rep + p.conv(g.cin, g.cout, g.h * g.stride, g.h * g.stride, 1,
+                           stride=g.stride)
+    return rep + p.add(g.cout, g.h, g.h)
+
+
 def tpu_static_block(p: TPUPredictor, g: BlockGeom) -> SimulationReport:
     inh = g.h * g.stride
     rep = p.conv(g.cin, g.width, inh, inh, 1)
@@ -408,6 +455,8 @@ def tpu_predict_network(p: TPUPredictor, model: str, mode: str = "static",
             total = total + tpu_static_block(p, g) + p.masker(
                 g.cin, 1, g.h * g.stride, g.h * g.stride, spatial=False
             )
+        elif mode == "channel_gather":
+            total = total + tpu_channel_gather_block(p, g, rate)
         elif mode == "layer":
             masker = p.masker(g.cin, 1, g.h * g.stride, g.h * g.stride)
             body = tpu_static_block(p, g)
