@@ -257,6 +257,48 @@ def main_resnet():
     )
 
 
+def main_t2t():
+    """LAUD-T2T-ViT-19 trunk with token selection vs its dense trunk — the
+    paper's own ViT family (panel (c) reports ~1.4x on V100)."""
+    from laudnet_tpu.models import laud_t2t_vit_19_backbone
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH, SIZE, SIZE, 3)), DTYPE)
+
+    base = laud_t2t_vit_19_backbone()
+    v = _cast(
+        jax.jit(lambda: base.init({"params": jax.random.PRNGKey(0)},
+                                  x.astype(jnp.float32), 1.0,
+                                  training=False))(),
+        DTYPE,
+    )
+    caps = (1.0,) * 3 + (0.7,) * 5 + (0.5,) * 6
+    select = laud_t2t_vit_19_backbone(token_capacity=caps)
+    laud_ips = _throughput(
+        lambda x: select.apply(v, x, jnp.asarray(0.1, DTYPE),
+                               training=False).logits, x
+    )
+    plain = laud_t2t_vit_19_backbone(token_skip=False, head_skip=False,
+                                     layer_skip=False)
+    vp = _cast(
+        jax.jit(lambda: plain.init({"params": jax.random.PRNGKey(0)},
+                                   x.astype(jnp.float32), 1.0,
+                                   training=False))(),
+        DTYPE,
+    )
+    dense_ips = _throughput(
+        lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                              training=False).logits, x
+    )
+    print(json.dumps({
+        "metric": ("images/sec/chip LAUD-T2T-ViT-19 token-select "
+                   "(caps 1.0x3/0.7x5/0.5x6) vs dense trunk, bs128 bf16"),
+        "value": round(laud_ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(laud_ips / dense_ips, 4),
+    }))
+
+
 def main_pallas():
     """The fused Pallas block-sparse kernel in its measured winning regime
     (wide blocks, where per-patch MXU compute amortizes the ~0.27us/DMA
@@ -327,6 +369,8 @@ def main():
         main_r101_target05()  # calibrated static export + fidelity metric
     elif "--pallas" in sys.argv:
         main_pallas()  # fused kernel in its measured winning regime
+    elif "--t2t" in sys.argv:
+        main_t2t()  # the paper's own ViT family (T2T-ViT-19)
     else:
         main_vit()  # HEADLINE: honest-dynamic token selection
 

@@ -3,10 +3,16 @@ from laudnet_tpu.convert.torch_loader import (
     load_pth_tar,
 )
 
-from laudnet_tpu.convert.torch_loader import convert_regnet_state_dict
+from laudnet_tpu.convert.torch_loader import (
+    convert_detection_backbone_state_dict,
+    convert_regnet_state_dict,
+    merge_variables,
+)
 
 __all__ = [
     "convert_resnet_state_dict",
     "convert_regnet_state_dict",
+    "convert_detection_backbone_state_dict",
+    "merge_variables",
     "load_pth_tar",
 ]

@@ -124,6 +124,65 @@ def convert_resnet_state_dict(
     return {"params": params, "batch_stats": batch_stats}
 
 
+def convert_detection_backbone_state_dict(
+    state: Mapping[str, np.ndarray],
+    *,
+    channel_masker_layers: int = 2,
+) -> Dict[str, Any]:
+    """Load an ImageNet-LAUD checkpoint into a detector's backbone scope.
+
+    The reference patches mmcv's checkpoint loader to strip ``backbone.``
+    prefixes so ImageNet ``.pth.tar`` state dicts initialize detection
+    backbones (`mmcv_replace_file/checkpoint.py:149-162`; configs point at
+    them via ``init_cfg=dict(type='Pretrained', ...)``). This is the
+    analog: accepts either a raw ImageNet LAUD state dict or one already
+    prefixed with ``backbone.``, drops the classifier head (detectors have
+    none), and nests the converted variables under the ``backbone`` scope
+    of :class:`laudnet_tpu.detection.LAUDDetBackbone`-based detectors.
+    """
+    cleaned = {}
+    for k, v in state.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k.startswith("backbone."):
+            k = k[len("backbone."):]
+        # keep only backbone keys (a full detector checkpoint also carries
+        # neck/head weights; an ImageNet one carries the fc classifier)
+        first = k.split(".")[0]
+        if first not in ("conv1", "bn1") and not re.match(r"layer\d+$", first):
+            continue
+        cleaned[k] = v
+    converted = convert_resnet_state_dict(
+        cleaned, channel_masker_layers=channel_masker_layers
+    )
+    return {
+        "params": {"backbone": converted["params"]},
+        "batch_stats": {"backbone": converted["batch_stats"]},
+    }
+
+
+def merge_variables(base: Dict[str, Any], loaded: Dict[str, Any]):
+    """strict=False merge: copy loaded leaves over matching paths in a
+    freshly-initialized variables dict (reference loads finetune weights
+    with ``strict=False`` so maskers/heads stay fresh, `main.py:281`)."""
+    import jax
+
+    def merge(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            if isinstance(v, dict) and isinstance(dst[k], dict):
+                out[k] = merge(dst[k], v)
+            else:
+                out[k] = jax.numpy.asarray(v).reshape(dst[k].shape).astype(
+                    dst[k].dtype
+                )
+        return out
+
+    return merge(base, loaded)
+
+
 def convert_regnet_state_dict(
     state: Mapping[str, np.ndarray],
     *,

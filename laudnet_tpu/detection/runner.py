@@ -247,12 +247,17 @@ def mean_average_precision(detections, ground_truths, num_classes: int,
 def train_detector(model, cfg: DetTrainConfig, *, kind: str = "faster_rcnn",
                    image_size: int = 128, batch_size: int = 2,
                    seed: int = 0, data_fn: Optional[Callable] = None,
+                   init_from: Optional[str] = None,
+                   checkpoint_dir: Optional[str] = None,
                    log: Callable = print):
     """End-to-end detector finetuning on synthetic (or provided) data.
 
     ``data_fn(steps) -> iterator of (images, boxes, labels, valid[, masks])``
-    defaults to :func:`synthetic_coco_batches`. Returns (params,
-    batch_stats, history).
+    defaults to :func:`synthetic_coco_batches`. ``init_from``: ImageNet LAUD
+    ``.pth[.tar]`` loaded into the backbone scope (the reference's
+    ``init_cfg=Pretrained`` + patched mmcv loader). ``checkpoint_dir``
+    enables orbax save + auto-resume (the EpochBasedRunner resume analog).
+    Returns (params, batch_stats, history).
     """
     sample = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
     variables = jax.jit(
@@ -261,9 +266,32 @@ def train_detector(model, cfg: DetTrainConfig, *, kind: str = "faster_rcnn",
     )()
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if init_from:
+        from laudnet_tpu.convert import (
+            convert_detection_backbone_state_dict, load_pth_tar,
+            merge_variables,
+        )
+
+        loaded = convert_detection_backbone_state_dict(
+            load_pth_tar(init_from))
+        params = merge_variables(params, loaded["params"])
+        batch_stats = merge_variables(batch_stats, loaded["batch_stats"])
+        log(f"initialized backbone from {init_from}")
     optimizer = make_detection_sgd(params, lr_mult=cfg.lr_mult)
     opt_state = optimizer.init(params)
     state = (jnp.zeros((), jnp.int32), params, batch_stats, opt_state)
+
+    ckpt = None
+    start_step = 0
+    if checkpoint_dir:
+        from laudnet_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(checkpoint_dir)
+        if ckpt.latest_step() is not None:
+            state, _ = ckpt.restore(jax.eval_shape(lambda s: s, state))
+            start_step = int(state[0])
+            log(f"auto-resumed detector from step {start_step}")
+
     step_fn = jax.jit(make_detector_train_step(model, optimizer, cfg, kind))
 
     if data_fn is None:
@@ -277,6 +305,8 @@ def train_detector(model, cfg: DetTrainConfig, *, kind: str = "faster_rcnn",
     t0 = time.time()
     total_steps = cfg.epochs * cfg.steps_per_epoch
     for i, batch in enumerate(data_fn(total_steps)):
+        if i < start_step:
+            continue  # resume: replay the data iterator to the right spot
         args = tuple(jnp.asarray(a) for a in batch)
         state, metrics = step_fn(state, *args)
         if i % 10 == 0 or i == total_steps - 1:
@@ -285,6 +315,12 @@ def train_detector(model, cfg: DetTrainConfig, *, kind: str = "faster_rcnn",
             log(f"step {i}/{total_steps} loss {m['loss']:.4f} "
                 f"flops_rate {m.get('flops_rate', 1.0):.3f} "
                 f"lr {m['lr']:.5f} ({time.time() - t0:.1f}s)")
+        if ckpt is not None and (
+            (i + 1) % cfg.steps_per_epoch == 0 or i == total_steps - 1
+        ):
+            ckpt.save(int(state[0]), jax.device_get(state))
+    if ckpt is not None:
+        ckpt.close()
     _, params, batch_stats, _ = state
     return params, batch_stats, history
 

@@ -209,3 +209,75 @@ def test_backbone_dense_flops_is_explicit_accumulation():
     # when no flops_perc underflows (the two agree in the benign case)
     fp = np.asarray(additional["flops_perc"])
     assert (fp > 0.1).all()
+
+
+def test_imagenet_checkpoint_loads_into_detection_backbone():
+    """The mmcv checkpoint-patch analog (`mmcv_replace_file/checkpoint.py:
+    149-162`): an ImageNet LAUD state dict (optionally 'backbone.'-prefixed,
+    fc and head keys dropped) initializes the detector backbone, and the
+    loaded backbone reproduces the ImageNet model's masks/features."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from laudnet_tpu.convert import (
+        convert_detection_backbone_state_dict, merge_variables,
+    )
+    from laudnet_tpu.detection.backbone import LAUDDetBackbone
+
+    import importlib.util, os, sys, types
+    REF = "/root/reference/imagenet_classification"
+    pkg = types.ModuleType("refmodels_det")
+    pkg.__path__ = [os.path.join(REF, "models")]
+    sys.modules.setdefault("refmodels_det", pkg)
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            f"refmodels_det.{name}", os.path.join(REF, "models", f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refmodels_det.{name}"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("utils")
+    ref_laud = load("laud_resnet")
+    torch.manual_seed(7)
+    ref = ref_laud.ResNet(
+        ref_laud.Bottleneck, [1, 1, 1, 1], num_classes=10, input_size=64,
+        spatial_mask_channel_group=[1, 1, 1, 1],
+        mask_spatial_granularity=[1, 1, 1, 1],
+        channel_dyn_granularity=[2, 2, 2, 2],
+        dyn_mode=["channel"] * 4, channel_masker=["MLP"] * 4,
+        channel_masker_layers=[2, 2, 2, 2], lr_mult=1.0,
+    )
+    # simulate a detector-saved checkpoint: backbone.-prefixed + head keys
+    state = {f"backbone.{k}": v.detach().numpy()
+             for k, v in ref.state_dict().items()}
+    state["bbox_head.fc.weight"] = np.zeros((4, 4), np.float32)
+
+    loaded = convert_detection_backbone_state_dict(state)
+    assert "fc" not in loaded["params"]["backbone"]
+
+    bb = LAUDDetBackbone(layers=(1, 1, 1, 1), dyn_mode=("channel",) * 4,
+                         channel_dyn_granularity=(2, 2, 2, 2),
+                         channel_masker=("MLP",) * 4,
+                         channel_masker_layers=(2, 2, 2, 2))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    init = bb.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+    # when applying the bare backbone module, merge at its own level; inside
+    # a full detector the loaded tree nests under the 'backbone' scope
+    variables = {
+        "params": merge_variables(init["params"],
+                                  loaded["params"]["backbone"]),
+        "batch_stats": merge_variables(init["batch_stats"],
+                                       loaded["batch_stats"]["backbone"]),
+    }
+    # the stem conv must now equal the torch weights (OIHW -> HWIO)
+    want = state["backbone.conv1.weight"].transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["conv1"]["kernel"]), want)
+
+    feats, additional, _ = bb.apply(variables, x, training=False)
+    assert all(np.isfinite(np.asarray(f)).all() for f in feats)
+    assert float(additional["flops"]) > 0

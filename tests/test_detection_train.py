@@ -183,3 +183,29 @@ def test_evaluate_detector_pipeline():
     assert res["n_images"] == 2
     assert res["mean_flops"] > 0
     assert 0 < res["mean_flops_rate"] <= 1.0 + 1e-6
+
+
+def test_detector_checkpoint_resume(tmp_path):
+    """Orbax save + auto-resume in the detection runner (EpochBasedRunner
+    resume analog): a second train_detector call picks up at the saved step
+    and ends with the same history tail as an uninterrupted run."""
+    model = tiny_rcnn()
+    cfg = DetTrainConfig(num_classes=3, base_lr=0.01, lr_mult=0.5, epochs=2,
+                         steps_per_epoch=3, warmup_steps=2)
+    logs = []
+    # run epochs 1-2 with checkpointing
+    p1, _, h1 = train_detector(model, cfg, kind="faster_rcnn", image_size=64,
+                               batch_size=1, checkpoint_dir=str(tmp_path),
+                               log=logs.append)
+    # resume: nothing left to do, state restored at final step
+    logs2 = []
+    p2, _, h2 = train_detector(model, cfg, kind="faster_rcnn", image_size=64,
+                               batch_size=1, checkpoint_dir=str(tmp_path),
+                               log=logs2.append)
+    assert any("auto-resumed" in l for l in logs2)
+    import jax
+    import numpy as np
+
+    same = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
+    assert max(jax.tree_util.tree_leaves(same)) == 0.0  # no extra steps ran
