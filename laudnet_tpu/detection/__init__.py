@@ -17,6 +17,8 @@ from laudnet_tpu.detection.detr import (
 )
 from laudnet_tpu.detection.runner import (
     DetTrainConfig,
+    build_detector,
+    evaluate_detector,
     make_detection_sgd,
     make_detector_train_step,
     mean_average_precision,
@@ -31,4 +33,5 @@ __all__ = [
     "make_detection_sgd", "make_detector_train_step",
     "mean_average_precision", "synthetic_coco_batches", "train_detector",
     "DETRDetector", "detr_loss", "detr_detect", "hungarian_match",
+    "build_detector", "evaluate_detector",
 ]

@@ -1,0 +1,155 @@
+"""Detection train/eval CLI over the ``configs/detection/`` files.
+
+Reference analogs: ``mmdetection-2.21.0/tools/train.py`` (config-driven
+training, ``--work-dir``), ``tools/test_get_info.py`` (eval with per-image
+FLOPs/sparsity accounting, `mmdet/apis/test.py:75-145`), and the launch
+lines in ``tools/scripts_LAUDNet.sh``. Here one process drives the jitted
+runner; real COCO is out of scope for this container (no dataset), so the
+data source is the synthetic-COCO generator unless a ``--data_dir`` loader
+is wired in by the caller.
+
+Usage::
+
+    python -m laudnet_tpu.detection.cli train configs/detection/retinanet_laud_r101_channel_2222_0x6.py \
+        --work_dir out/ --image_size 128 --batch_size 2 --steps_per_epoch 20
+    python -m laudnet_tpu.detection.cli eval_info configs/detection/... --work_dir out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from laudnet_tpu.detection.runner import (
+    DetTrainConfig,
+    build_detector,
+    evaluate_detector,
+    synthetic_coco_batches,
+    train_detector,
+)
+from laudnet_tpu.utils.config import Config
+
+
+def _parser():
+    p = argparse.ArgumentParser("laudnet_tpu.detection.cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("train", "eval_info"):
+        q = sub.add_parser(name)
+        q.add_argument("config", help="configs/detection/*.py")
+        q.add_argument("--work_dir", default="./det_output")
+        q.add_argument("--image_size", type=int, default=128)
+        q.add_argument("--batch_size", type=int, default=2)
+        q.add_argument("--num_classes", type=int, default=None,
+                       help="override the config (synthetic data uses <=3)")
+        q.add_argument("--seed", type=int, default=0)
+        if name == "train":
+            q.add_argument("--epochs", type=int, default=None)
+            q.add_argument("--steps_per_epoch", type=int, default=20)
+            q.add_argument("--base_lr", type=float, default=0.01)
+            q.add_argument("--init_from", default=None,
+                           help="ImageNet LAUD .pth[.tar] for the backbone "
+                                "(overrides the config's init_from)")
+            q.add_argument("--no_init", action="store_true",
+                           help="skip the config's init_from checkpoint")
+        else:
+            q.add_argument("--eval_steps", type=int, default=5)
+            q.add_argument("--score_threshold", type=float, default=0.05)
+    return p
+
+
+def _build(args):
+    cfg = Config.fromfile(args.config)
+    model_cfg = dict(cfg["model"])
+    if args.num_classes is not None:
+        model_cfg["num_classes"] = args.num_classes
+    model, kind = build_detector(model_cfg)
+    train_cfg = dict(cfg.get("train_cfg", {}))
+    return model, kind, model_cfg, train_cfg
+
+
+def main(argv=None):
+    args = _parser().parse_args(argv)
+    model, kind, model_cfg, train_cfg = _build(args)
+    os.makedirs(args.work_dir, exist_ok=True)
+    num_classes = model_cfg["num_classes"]
+    with_masks = bool(model_cfg.get("with_masks", False))
+
+    if args.cmd == "train":
+        init_from = args.init_from
+        if init_from is None and not args.no_init:
+            init_from = train_cfg.get("init_from")
+            if init_from and not os.path.exists(init_from):
+                print(f"init_from {init_from!r} not found — training from "
+                      "scratch (pass --init_from or --no_init to silence)")
+                init_from = None
+        dcfg = DetTrainConfig(
+            num_classes=num_classes,
+            base_lr=args.base_lr,
+            lr_mult=float(train_cfg.get("backbone_lr_mult", 0.2)),
+            epochs=args.epochs or int(train_cfg.get("epochs", 12)),
+            steps_per_epoch=args.steps_per_epoch,
+            sparsity_target=float(model_cfg.get("sparsity_target", 0.5)),
+            with_masks=with_masks,
+        )
+        params, batch_stats, history = train_detector(
+            model, dcfg, kind=kind, image_size=args.image_size,
+            batch_size=args.batch_size, seed=args.seed,
+            init_from=init_from,
+            checkpoint_dir=os.path.join(args.work_dir, "checkpoint"),
+        )
+        with open(os.path.join(args.work_dir, "log.json"), "w") as f:
+            json.dump(history, f, indent=1)
+        print(f"done: final loss {history[-1]['loss']:.4f} "
+              f"flops_rate {history[-1].get('flops_rate', 1.0):.3f}")
+        return history
+
+    # eval_info: restore the latest checkpoint and run mAP + FLOPs accounting
+    import jax.numpy as jnp
+
+    from laudnet_tpu.train.checkpoint import CheckpointManager
+    from laudnet_tpu.detection.runner import make_detection_sgd
+
+    sample = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3),
+                       jnp.float32)
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(args.seed)}, sample, training=False))()
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    ckpt_dir = os.path.join(args.work_dir, "checkpoint")
+    if os.path.isdir(ckpt_dir):
+        optimizer = make_detection_sgd(params)
+        opt_state = optimizer.init(params)
+        tmpl = (jnp.zeros((), jnp.int32), params, batch_stats, opt_state)
+        mgr = CheckpointManager(ckpt_dir)
+        if mgr.latest_step() is not None:
+            state, _ = mgr.restore(jax.eval_shape(lambda s: s, tmpl))
+            _, params, batch_stats, _ = state
+            print(f"restored checkpoint step {int(state[0])}")
+        mgr.close()
+
+    def batches():
+        for b in synthetic_coco_batches(
+            args.batch_size, args.image_size, num_classes,
+            steps=args.eval_steps, seed=args.seed + 1,
+        ):
+            yield b[:4]
+
+    res = evaluate_detector(
+        model, params, batch_stats, batches(), num_classes=num_classes,
+        kind=kind, score_threshold=args.score_threshold,
+    )
+    printable = {k: (float(v) if np.isscalar(v) or getattr(v, "ndim", 1) == 0
+                     else [float(x) for x in v])
+                 for k, v in res.items()}
+    print(json.dumps(printable, indent=1))
+    with open(os.path.join(args.work_dir, "eval_info.json"), "w") as f:
+        json.dump(printable, f, indent=1)
+    return res
+
+
+if __name__ == "__main__":
+    main()

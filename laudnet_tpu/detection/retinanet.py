@@ -189,13 +189,22 @@ class RetinaNet(nn.Module):
         strides = [8, 16, 32, 64, 128]
         anchors = make_anchors(outputs["level_shapes"], strides)
         probs = jax.nn.sigmoid(outputs["cls_logits"])  # (B, N, C)
+        pre_nms_topk = min(pre_nms_topk, probs.shape[1])
+        img_h, img_w = ((image_size, image_size)
+                        if isinstance(image_size, (int, float))
+                        else tuple(image_size))
 
         def per_image(p, deltas):
             best_c = jnp.argmax(p, axis=-1)
             best_s = jnp.max(p, axis=-1)
             top_s, top_i = jax.lax.top_k(best_s, pre_nms_topk)
             boxes = decode_boxes(anchors[top_i], deltas[top_i])
-            boxes = jnp.clip(boxes, 0, max(image_size))
+            boxes = jnp.stack(
+                [jnp.clip(boxes[:, 0], 0, img_w),
+                 jnp.clip(boxes[:, 1], 0, img_h),
+                 jnp.clip(boxes[:, 2], 0, img_w),
+                 jnp.clip(boxes[:, 3], 0, img_h)], axis=-1,
+            )
             valid_s = jnp.where(top_s > score_threshold, top_s, 0.0)
             keep, alive = nms(boxes, valid_s, iou_threshold, max_detections)
             return {

@@ -21,8 +21,38 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from laudnet_tpu.detection.detr import detr_loss
 from laudnet_tpu.detection.train import box_iou, retinanet_loss
 from laudnet_tpu.detection.two_stage_train import faster_rcnn_loss
+
+
+def build_detector(model_cfg: dict):
+    """Instantiate a detector from a ``configs/detection/*.py`` model dict
+    (the mmdet registry analog: ``type`` selects the class, the rest are
+    ctor kwargs). Returns ``(model, kind)`` where ``kind`` is the runner's
+    loss/decode dispatch key."""
+    from laudnet_tpu.detection.detr import DETRDetector
+    from laudnet_tpu.detection.retinanet import RetinaNet
+    from laudnet_tpu.detection.two_stage import FasterRCNN
+
+    cfg = dict(model_cfg)
+    name = cfg.pop("type")
+    classes = {
+        "RetinaNet": (RetinaNet, "retinanet"),
+        "FasterRCNN": (FasterRCNN, "faster_rcnn"),
+        "MaskRCNN": (FasterRCNN, "faster_rcnn"),
+        "DETRDetector": (DETRDetector, "detr"),
+        "Mask2Former": (DETRDetector, "detr"),
+    }
+    if name not in classes:
+        raise ValueError(f"unknown detector type {name!r}")
+    klass, kind = classes[name]
+    if name in ("MaskRCNN", "Mask2Former"):
+        cfg.setdefault("with_masks", True)
+    for k in ("dyn_mode", "backbone_layers", "out_indices"):
+        if k in cfg:
+            cfg[k] = tuple(cfg[k])
+    return klass(**cfg), kind
 
 
 # --- optimizer: backbone / masker / head LR groups -------------------------
@@ -93,9 +123,9 @@ def lr_at(step, cfg: DetTrainConfig):
 
 def make_detector_train_step(model, optimizer, cfg: DetTrainConfig,
                              kind: str = "faster_rcnn") -> Callable:
-    """Jitted step for ``kind`` in {'retinanet', 'faster_rcnn'} (mask loss
-    switches on automatically when the model emits mask_logits and the
-    batch carries masks)."""
+    """Jitted step for ``kind`` in {'retinanet', 'faster_rcnn', 'detr'}
+    (mask loss switches on automatically when the model emits mask_logits
+    and the batch carries masks)."""
 
     def train_step(state, images, gt_boxes, gt_labels, gt_valid,
                    gt_masks=None):
@@ -103,7 +133,22 @@ def make_detector_train_step(model, optimizer, cfg: DetTrainConfig,
 
         def loss_fn(p):
             variables = {"params": p, "batch_stats": batch_stats}
-            if kind == "retinanet":
+            if kind == "detr":
+                out, mut = model.apply(
+                    variables, images, training=True,
+                    rngs={"gumbel": jax.random.fold_in(
+                        jax.random.PRNGKey(0), step)},
+                    mutable=["batch_stats"],
+                )
+                total, metrics = detr_loss(
+                    out, gt_boxes, gt_labels, gt_valid,
+                    num_classes=cfg.num_classes,
+                    image_size=float(images.shape[1]),
+                    gt_masks=gt_masks,
+                    sparsity_target=cfg.sparsity_target,
+                    lambda_sparse=cfg.lambda_sparse,
+                )
+            elif kind == "retinanet":
                 out, mut = model.apply(
                     variables, images, training=True,
                     rngs={"gumbel": jax.random.fold_in(
@@ -354,6 +399,12 @@ def evaluate_detector(model, params, batch_stats, batches, *,
         if kind == "faster_rcnn":
             det = jax.device_get(type(model).detect(
                 out, score_threshold=score_threshold))
+        elif kind == "detr":
+            from laudnet_tpu.detection.detr import detr_detect
+
+            det = jax.device_get(detr_detect(
+                out, float(images.shape[1]),
+                score_threshold=score_threshold))
         else:
             from laudnet_tpu.detection.retinanet import RetinaNet
 
