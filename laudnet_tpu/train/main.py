@@ -95,6 +95,9 @@ def parse_args(argv=None):
     p.add_argument("--input_size", type=int, default=224)
     p.add_argument("--num_classes", type=int, default=1000)
     p.add_argument("--print_freq", type=int, default=10)
+    p.add_argument("--no_native_loader", action="store_true",
+                   help="force the PIL input pipeline even when the native "
+                        "C++ loader is available")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -206,9 +209,22 @@ def main(argv=None):
         val_ds = ImageFolderDataset(
             os.path.join(args.data_url, "val"), eval_transform(args.input_size)
         )
-        train_loader = DataLoader(train_ds, batch_size, seed=args.seed)
-        val_loader = DataLoader(val_ds, batch_size, shuffle=False,
-                                drop_last=False)
+        from laudnet_tpu.data.native_loader import (
+            NativeDataLoader, native_available,
+        )
+
+        if native_available() and not args.no_native_loader:
+            log("input pipeline: native C++ loader (data/csrc/loader.cpp)")
+            train_loader = NativeDataLoader(
+                train_ds, batch_size, train=True, size=args.input_size,
+                seed=args.seed)
+            val_loader = NativeDataLoader(
+                val_ds, batch_size, train=False, size=args.input_size,
+                shuffle=False, drop_last=False)
+        else:
+            train_loader = DataLoader(train_ds, batch_size, seed=args.seed)
+            val_loader = DataLoader(val_ds, batch_size, shuffle=False,
+                                    drop_last=False)
         steps_per_epoch = len(train_loader)
     else:
         steps_per_epoch = args.steps_per_epoch or 10

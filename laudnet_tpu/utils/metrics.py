@@ -31,10 +31,11 @@ def topk_accuracy(logits, labels, topk=(1,)):
     """Top-k accuracy in percent, per the reference's `accuracy()`."""
     import jax
 
-    maxk = max(topk)
+    maxk = min(max(topk), logits.shape[-1])  # k may exceed tiny class counts
     _, pred = jax.lax.top_k(logits, maxk)
     correct = pred == labels[:, None]
     return tuple(
-        100.0 * jnp.mean(jnp.any(correct[:, :k], axis=1).astype(jnp.float32))
+        100.0 * jnp.mean(jnp.any(correct[:, :min(k, maxk)], axis=1)
+                         .astype(jnp.float32))
         for k in topk
     )

@@ -1,0 +1,111 @@
+"""Native C++ input pipeline vs the PIL reference path.
+
+The native loader (data/csrc/loader.cpp) must reproduce the PIL transforms
+(`data/transforms.py`, themselves mirroring reference `utils/transform.py`)
+up to resampling quantization: PIL rounds each separable resize pass to
+uint8 while the native path stays in float32, so small per-pixel deltas are
+expected — means must agree tightly, pixels loosely.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from laudnet_tpu.data.loader import ImageFolderDataset
+from laudnet_tpu.data.native_loader import (
+    NativeBatchTransform,
+    NativeDataLoader,
+    decode_image,
+    native_available,
+)
+from laudnet_tpu.data.transforms import eval_transform
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native loader toolchain unavailable"
+)
+
+
+def _save_jpeg(path, w=96, h=72, seed=0, quality=95):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, (6, 8, 3), np.uint8)
+    img = Image.fromarray(base).resize((w, h), Image.BILINEAR)  # smooth-ish
+    img.save(path, quality=quality)
+    return str(path)
+
+
+def test_decode_matches_pil(tmp_path):
+    p = _save_jpeg(tmp_path / "a.jpg")
+    native = decode_image(p)
+    with Image.open(p) as img:
+        pil = np.asarray(img.convert("RGB"), np.float32)
+    assert native.shape == pil.shape
+    # same bitstream; decoder DCT implementations may differ by ~1 LSB
+    assert np.abs(native - pil).max() <= 1.0 + 1e-6
+
+
+def test_eval_transform_matches_pil(tmp_path):
+    p = _save_jpeg(tmp_path / "a.jpg", w=140, h=100, seed=1)
+    t = NativeBatchTransform(size=64, train=False, normalize=False)
+    native = t.load([p], [0])[0]
+    with Image.open(p) as img:
+        pil = eval_transform(size=64, normalize=False)(img)
+    assert native.shape == pil.shape == (64, 64, 3)
+    # PIL quantizes each resize pass to uint8; allow a few LSB per pixel
+    assert np.abs(native - pil).max() <= 6.0 / 255.0
+    assert abs(float(native.mean() - pil.mean())) < 1.0 / 255.0
+
+
+def test_eval_transform_normalized(tmp_path):
+    p = _save_jpeg(tmp_path / "a.jpg", seed=2)
+    t = NativeBatchTransform(size=32, train=False, normalize=True)
+    x = t.load([p], [0])[0]
+    with Image.open(p) as img:
+        ref = eval_transform(size=32, normalize=True)(img)
+    assert np.abs(x - ref).max() <= 6.0 / 255.0 / 0.22  # /min(std)
+
+
+def test_train_determinism_and_variation(tmp_path):
+    p = _save_jpeg(tmp_path / "a.jpg", w=200, h=160, seed=3)
+    t = NativeBatchTransform(size=48, train=True, normalize=False)
+    a = t.load([p, p], [7, 7])
+    assert np.array_equal(a[0], a[1])  # same seed -> same crop/flip
+    b = t.load([p] * 8, list(range(8)))
+    # different seeds produce different crops (overwhelmingly likely)
+    assert np.std([x.mean() for x in b]) > 0
+    assert b.dtype == np.float32 and b.shape == (8, 48, 48, 3)
+    assert 0.0 <= b.min() and b.max() <= 1.0
+
+
+def test_png_falls_back_to_pil(tmp_path):
+    rng = np.random.default_rng(5)
+    img = Image.fromarray(rng.integers(0, 255, (80, 90, 3), np.uint8))
+    p = str(tmp_path / "a.png")
+    img.save(p)
+    t = NativeBatchTransform(size=32, train=False, normalize=False)
+    x = t.load([p], [0])[0]
+    with Image.open(p) as im:
+        ref = eval_transform(size=32, normalize=False)(im)
+    assert np.array_equal(x, ref)  # exact: fallback IS the PIL path
+
+
+def test_native_dataloader_epoch(tmp_path):
+    for cls in ("cat", "dog"):
+        os.makedirs(tmp_path / cls)
+        for i in range(4):
+            _save_jpeg(tmp_path / cls / f"{i}.jpg", seed=i)
+    ds = ImageFolderDataset(str(tmp_path), transform=None)
+    dl = NativeDataLoader(ds, batch_size=4, train=True, size=32, seed=1)
+    batches = list(dl.epoch(0))
+    assert len(batches) == len(dl) == 2
+    images, labels = batches[0]
+    assert images.shape == (4, 32, 32, 3) and labels.shape == (4,)
+    assert set(np.concatenate([b[1] for b in batches])) == {0, 1}
+    # epoch-seeded shuffling is deterministic
+    again = list(dl.epoch(0))
+    assert np.array_equal(batches[0][0], again[0][0])
+    # sharding splits the order
+    half = NativeDataLoader(ds, batch_size=2, train=True, size=32, seed=1,
+                            shard=(0, 2))
+    assert len(half) == 2
