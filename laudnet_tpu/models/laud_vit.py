@@ -68,6 +68,12 @@ class LAUDViTBlock(nn.Module):
     token_skip: bool = True
     head_skip: bool = True
     layer_skip: bool = True
+    # Serving-time token selection: static keep count applied right after
+    # the token gate, BEFORE this block's attention/MLP — the gate is
+    # computed at block entry, so gathering here is exactly equivalent to
+    # the masked graph whenever capacity covers the realized keep count,
+    # and this block's own matmuls already run at the reduced length.
+    capacity: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -124,6 +130,22 @@ class LAUDViTBlock(nn.Module):
             )
             policy_flops += l * d * 2
         token_density = token_mask.mean()
+        token_keep = token_mask.mean(axis=1)
+
+        if (self.capacity is not None and not training
+                and self.capacity < l):
+            # Rank kept (mask 1) strictly above dropped tokens; break ties
+            # among kept tokens by gate confidence so budget overflow drops
+            # the least-confident tokens, and pin the class token.
+            conf = jax.nn.sigmoid(token_score)
+            rank = token_mask.astype(jnp.float32) * 2.0 + conf
+            rank = rank.at[:, 0].add(4.0)
+            _, idx = jax.lax.top_k(rank, self.capacity)
+            bidx = jnp.arange(b)[:, None]
+            x = x[bidx, idx]
+            token_mask = token_mask[bidx, idx]
+            token_score = token_score[bidx, idx]
+            l = self.capacity
 
         # --- attention branch -------------------------------------------
         y = nn.LayerNorm(name="norm1", param_dtype=self.param_dtype)(x)
@@ -177,7 +199,7 @@ class LAUDViTBlock(nn.Module):
             mlp_density=mlp_keep,
             flops_perc=sparse / dense,
             sparse_flops=sparse,
-            token_keep=token_mask.mean(axis=1),
+            token_keep=token_keep,
             token_score=token_score,
         )
         return x, token_mask, stats
@@ -187,9 +209,11 @@ class LAUDViT(nn.Module):
     """DeiT-style LAUD-ViT (token/head/block skipping).
 
     ``token_capacity`` (eval-only) enables the *token-selection serving
-    path*: after each block, the surviving tokens are gathered down to a
-    fixed per-block budget ``ceil(capacity[i] * L)`` so every downstream
-    matmul shrinks — the static-shape realization of AdaViT's token pruning
+    path*: right after block ``i``'s token gate fires (at block entry),
+    surviving tokens are gathered down to a fixed budget
+    ``int(capacity[i] * L)`` so block ``i``'s own attention/MLP and every
+    downstream matmul run at the reduced length — the static-shape
+    realization of AdaViT's token pruning
     (`DyNetSimulator/adavit/simulate_adavit.py:108` uses the same
     ``L_select = int(L * density)``). Once a token's gate closes it never
     re-enters attention (gates compose), so dropping it is exactly
@@ -246,33 +270,26 @@ class LAUDViT(nn.Module):
         token_mask = jnp.ones((b, n + 1), x.dtype)
         select = self.token_capacity is not None and not training
         stats_all = []
+        cur_len = n + 1
         for i in range(self.depth):
+            cap = None
+            if select:
+                # AdaViT's L_select = int(L * density) truncation; applied
+                # inside the block, before its attention (see LAUDViTBlock)
+                k = min(max(2, int(self.token_capacity[i] * (n + 1))),
+                        cur_len)
+                if k < cur_len:
+                    cap = k
+                    cur_len = k
             x, token_mask, st = LAUDViTBlock(
                 dim=self.dim, num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio, token_skip=self.token_skip,
                 head_skip=self.head_skip, layer_skip=self.layer_skip,
+                capacity=cap,
                 name=f"block_{i}", param_dtype=self.param_dtype,
             )(x, token_mask, temperature, training=training)
             stats_all.append(st)
             flops += st.sparse_flops
-            if select and i < self.depth - 1:
-                # AdaViT's L_select = int(L * density) truncation
-                k = min(max(2, int(self.token_capacity[i] * (n + 1))),
-                        x.shape[1])
-                if k < x.shape[1]:
-                    # Rank kept (mask 1) strictly above dropped tokens; break
-                    # ties among kept tokens by gate confidence so budget
-                    # overflow drops the least-confident tokens, and pin the
-                    # class token to survive every truncation.
-                    conf = jax.nn.sigmoid(st.token_score)
-                    rank = token_mask * 2.0 + conf
-                    rank = rank.at[:, 0].add(4.0)
-                    _, idx = jax.lax.top_k(rank, k)
-                    # restore original token order (class token stays at 0)
-                    idx = jnp.sort(idx, axis=1)
-                    bidx = jnp.arange(b)[:, None]
-                    x = x[bidx, idx]
-                    token_mask = token_mask[bidx, idx]
 
         x = nn.LayerNorm(name="norm", param_dtype=self.param_dtype)(x)
         logits = nn.Dense(self.num_classes, name="head",

@@ -218,6 +218,29 @@ class TPUPredictor:
             cfg=[dict(op="gelu")],
         )
 
+    def transpose(self, elems: float) -> SimulationReport:
+        """HBM-materialized layout change (e.g. the (B,L,3,H,dh) ->
+        (3,B,H,L,dh) head split around attention): one read + one write
+        pass. On TPU these reorganizes are real copies, not free views."""
+        bytes_moved = 2.0 * elems * self.dtype_bytes
+        mem = bytes_moved / self.spec.mem_bandwidth
+        return SimulationReport(
+            latency=mem + self.spec.fusion_overhead,
+            memory_latency=mem, compute_latency=0.0,
+            cfg=[dict(op="transpose")],
+        )
+
+    def residual_add(self, elems: float) -> SimulationReport:
+        """x + branch fused into the producer's epilogue: the only extra
+        HBM traffic is one read of the identity tensor."""
+        mem = elems * self.dtype_bytes / self.spec.mem_bandwidth
+        return SimulationReport(
+            latency=max(elems / self.spec.vpu_flops, mem),
+            compute_latency=elems / self.spec.vpu_flops,
+            memory_latency=mem,
+            cfg=[dict(op="residual_add")],
+        )
+
     def token_select(self, l_from: int, l_to: int, d: int) -> SimulationReport:
         """Fixed-capacity top-k token selection: rank + top_k over the mask
         (VPU over B*L) + one 1-D gather of k rows (pure HBM)."""
@@ -251,14 +274,18 @@ def tpu_vit_block(p: TPUPredictor, l: int, dim: int, heads: int,
         rep = rep + p.matmul(rows, dim, 2)
     rep = rep + p.layernorm(rows * dim)  # norm1
     rep = rep + p.matmul(rows, dim, 3 * dim)  # qkv
+    rep = rep + p.transpose(rows * 3 * dim)  # (B,L,3,H,dh)->(3,B,H,L,dh)
     rep = rep + p.batched_matmul(b * heads, l, dh, l)  # scores
     rep = rep + p.softmax(b * heads * l * l)
     rep = rep + p.batched_matmul(b * heads, l, l, dh)  # attention * values
-    rep = rep + p.matmul(rows, dim, dim)  # proj (+ fused residual add)
+    rep = rep + p.transpose(rows * dim)  # (B,H,L,dh)->(B,L,D) merge
+    rep = rep + p.matmul(rows, dim, dim)  # proj
+    rep = rep + p.residual_add(rows * dim)  # x + attn branch
     rep = rep + p.layernorm(rows * dim)  # norm2
     rep = rep + p.matmul(rows, dim, hidden)  # fc1
     rep = rep + p.gelu(rows * hidden)
-    rep = rep + p.matmul(rows, hidden, dim)  # fc2 (+ fused residual add)
+    rep = rep + p.matmul(rows, hidden, dim)  # fc2
+    rep = rep + p.residual_add(rows * dim)  # x + mlp branch
     return rep
 
 
@@ -273,9 +300,11 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
 
     Modes:
       * ``dense``  — all gates off.
-      * ``token``  — fixed-capacity token selection: after block ``i`` the
-        token count shrinks to ``ceil(token_capacity[i] * (N+1))``, so every
-        downstream matmul/softmax shrinks (quadratically for attention).
+      * ``token``  — fixed-capacity token selection: at block ``i``'s entry
+        (right after its token gate) the token count shrinks to
+        ``int(token_capacity[i] * (N+1))``, so block ``i``'s own matmuls and
+        everything downstream shrink (quadratically for attention) —
+        matching the in-block selection `models/laud_vit.py` executes.
       * ``head`` / ``layer`` / ``mask`` — gating without selection: masks
         multiply into fused epilogues, so the body runs at dense shapes and
         only the policy heads add cost. The model predicting ~1.0x here IS
@@ -287,23 +316,24 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
     """
     n = (input_size // patch_size) ** 2
     b = p.spec.batch_size
-    total = p.conv(3, dim, input_size, input_size, patch_size,
-                   stride=patch_size)  # patch embed (+pos add fused)
+    # patch embed: XLA lowers the stride==kernel patchify conv to a
+    # (B*N, 3*ps^2) @ (3*ps^2, D) matmul after one im2col reorganize pass
+    total = (p.transpose(b * 3 * input_size * input_size)
+             + p.matmul(b * n, 3 * patch_size * patch_size, dim))
     l = n + 1
     caps = list(token_capacity) if token_capacity is not None else None
     for i in range(depth):
+        if mode == "token" and caps is not None:
+            k = min(max(2, int(caps[min(i, len(caps) - 1)] * (n + 1))), l)
+            if k < l:
+                total = total + p.token_select(l, k, dim)
+                l = k
         total = total + tpu_vit_block(
             p, l, dim, num_heads, mlp_ratio,
             token_policy=mode in ("token", "mask"),
             head_policy=mode == "head",
             layer_policy=mode == "layer",
         )
-        if mode == "token" and caps is not None and i < depth - 1:
-            k = min(max(2, math.ceil(caps[min(i, len(caps) - 1)] * (n + 1))),
-                    l)
-            if k < l:
-                total = total + p.token_select(l, k, dim)
-                l = k
     total = total + p.layernorm(b * l * dim)
     total = total + p.matmul(b, dim, num_classes)
     return total
