@@ -40,3 +40,26 @@ class SimulationReport:
             memory_latency=self.memory_latency * factor,
             cfg=list(self.cfg),
         )
+
+    def print_cfg(self, out=None) -> str:
+        """Dump the winning per-op configurations as ``#define`` lines —
+        the reference emits tile configs for its external CUDA kernels this
+        way (`DyNetSimulator/report.py:60-64`); here the consumer is the
+        Pallas kernel / capacity planner (patch size, static capacity,
+        tile choices). Returns the dump; optionally writes it to ``out``.
+        """
+        lines = []
+        for i, cfg in enumerate(self.cfg):
+            if not cfg:
+                continue
+            op = cfg.get("op", f"op{i}")
+            for k, v in cfg.items():
+                if k == "op":
+                    continue
+                if isinstance(v, float):
+                    v = f"{v:g}"
+                lines.append(f"#define {op.upper()}_{i}_{k.upper()} {v}")
+        dump = "\n".join(lines)
+        if out is not None:
+            out.write(dump + "\n")
+        return dump
