@@ -6,8 +6,10 @@ from laudnet_tpu.infer.calibrate import (
     calibration_fidelity,
 )
 from laudnet_tpu.infer.export_pruned import export_pruned_resnet
+from laudnet_tpu.infer.engine import ServingEngine
 
 __all__ = [
+    "ServingEngine",
     "build_layer_skip_resnet",
     "calibrate_token_capacity",
     "calibrate_patch_capacity",

@@ -1,0 +1,107 @@
+"""Latency-aware serving engine: calibrate -> predict -> compile -> serve.
+
+This is the deployment-facing composition of the framework — the LAUDNet
+loop ("let the hardware model pick the execution form") packaged as one
+object. For a trained LAUD-ViT it measures the policy's realized per-block
+keeps on calibration data, asks the TPU latency model whether fixed-capacity
+token selection beats the dense-masked graph, and compiles the winner; for
+a LAUD-ResNet it ranks dense-masked vs layer-skip vs (opt-in, inexact)
+static channel export. Every path served by default is bit-equivalent to
+the masked training graph on inputs whose realized keeps the calibrated
+budgets cover.
+
+Typical use::
+
+    engine = ServingEngine(model, variables)           # LAUDViT
+    plan = engine.calibrate(calibration_batches)       # ExecutionPlan
+    logits = engine(batch)                             # compiled winner
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class ServingEngine:
+    """Compile-once serving wrapper around a trained LAUD model.
+
+    ``model`` is a :class:`~laudnet_tpu.models.laud_vit.LAUDViT` or a
+    LAUD-ResNet (`models/laud_resnet.py`); ``variables`` its trained
+    params/batch_stats. ``temperature`` is the eval gate temperature
+    (``t_last``). Before :meth:`calibrate` the engine serves the exact
+    dense-masked graph; after it, the planned winner.
+    """
+
+    def __init__(self, model, variables, *, temperature: float = 0.1,
+                 spec: str = "v5e", batch_size: int = 128):
+        self.model = model
+        self.variables = variables
+        self.temperature = temperature
+        self.spec = spec
+        self.batch_size = batch_size
+        self.plan = None
+        self._kind = ("vit" if type(model).__name__ == "LAUDViT"
+                      else "resnet")
+        self._fwd = self._compile(self.model)
+
+    def _compile(self, model) -> Callable:
+        @jax.jit
+        def fwd(x):
+            return model.apply(self.variables, x, self.temperature,
+                               training=False).logits
+
+        return fwd
+
+    # --- planning -----------------------------------------------------------
+
+    def calibrate(self, batches: Iterable, *, quantile: float = 0.99,
+                  margin: float = 0.05,
+                  allow_static_export: bool = False):
+        """Measure the policy on ``batches``, rank execution paths on the
+        TPU latency model, compile the winner. Returns the
+        :class:`~laudnet_tpu.sim.plan.ExecutionPlan`."""
+        from laudnet_tpu.sim.plan import plan_resnet_serving, plan_vit_serving
+
+        if self._kind == "vit":
+            from laudnet_tpu.infer.calibrate import calibrate_token_capacity
+
+            m = self.model
+
+            def apply_fn(x):
+                return m.apply(self.variables, x, self.temperature,
+                               training=False)
+
+            keeps = calibrate_token_capacity(apply_fn, batches,
+                                             quantile=quantile, margin=margin)
+            self.plan = plan_vit_serving(
+                keeps, depth=m.depth, dim=m.dim, num_heads=m.num_heads,
+                mlp_ratio=m.mlp_ratio, patch_size=m.patch_size,
+                spec=self.spec, batch_size=self.batch_size,
+            )
+            if self.plan.mode == "token":
+                select = m.clone(token_capacity=self.plan.token_capacity)
+                self._fwd = self._compile(select)
+        else:
+            # The CNN paths: rank analytically; only exact paths are
+            # compiled here (static export is a separate, opt-in pipeline —
+            # `infer/export_pruned.py` — because it changes the model).
+            dyn = self.model.dyn_mode[0] if hasattr(self.model, "dyn_mode") \
+                else "channel"
+            depth_map = {16: "resnet50", 33: "resnet101"}
+            n_blocks = sum(self.model.layers)
+            name = depth_map.get(n_blocks, "resnet101")
+            self.plan = plan_resnet_serving(
+                name, dyn_mode=dyn, spec=self.spec,
+                batch_size=self.batch_size,
+                allow_static_export=allow_static_export,
+            )
+            # dense-masked is the compiled exact winner on TPU today
+        return self.plan
+
+    # --- serving --------------------------------------------------------------
+
+    def __call__(self, batch) -> jnp.ndarray:
+        return self._fwd(jnp.asarray(batch))

@@ -16,3 +16,9 @@ from laudnet_tpu.sim.roofline import Predictor  # noqa: F401
 from laudnet_tpu.sim.dynamic import DynamicPredictor  # noqa: F401
 from laudnet_tpu.sim.tpu import TPUPredictor, tpu_predict_network  # noqa: F401
 from laudnet_tpu.sim.models import predict_network, MODEL_GEOMETRY  # noqa: F401
+from laudnet_tpu.sim.plan import (  # noqa: F401
+    ExecutionPlan,
+    plan_resnet_serving,
+    plan_vit_serving,
+    rank_vit_paradigms,
+)

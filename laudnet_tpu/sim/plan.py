@@ -1,0 +1,161 @@
+"""Latency-aware execution planning — the paper's core loop as an API.
+
+LAUDNet's thesis is that dynamic-inference choices (paradigm, granularity,
+activation rates) must be made against a *hardware latency model*, not
+FLOPs (`DyNetSimulator/eval_example.py` drives exactly this loop for five
+GPUs). This module closes that loop for TPU: given a model geometry and a
+calibrated policy, rank the execution paradigms by predicted latency and
+turn calibrated per-block keeps into a concrete serving plan.
+
+Used by :class:`laudnet_tpu.infer.engine.ServingEngine`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from laudnet_tpu.sim.hardware import TPU_PRESETS, TPUSpec
+from laudnet_tpu.sim.tpu import TPUPredictor, tpu_predict_network, tpu_predict_vit
+
+
+@dataclass
+class ExecutionPlan:
+    """A chosen serving configuration with its predicted economics."""
+
+    kind: str  # 'vit' | 'resnet' | ...
+    mode: str  # winning paradigm / execution path
+    token_capacity: Optional[Sequence[float]] = None
+    predicted_latency: float = 0.0  # seconds / batch
+    dense_latency: float = 0.0
+    predicted_speedup: float = 1.0
+    ranking: dict = field(default_factory=dict)  # mode -> predicted seconds
+    exact: bool = True  # bit-equivalent to the masked graph?
+
+
+def rank_vit_paradigms(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
+                       num_heads: int = 6, mlp_ratio: float = 4.0,
+                       input_size: int = 224, patch_size: int = 16,
+                       token_capacity: Optional[Sequence[float]] = None,
+                       ) -> dict:
+    """Predicted latency (s/batch) per ViT paradigm. ``token`` uses the
+    given capacities (required for it to be ranked)."""
+    geom = dict(depth=depth, dim=dim, num_heads=num_heads,
+                mlp_ratio=mlp_ratio, input_size=input_size,
+                patch_size=patch_size)
+    out = {m: tpu_predict_vit(p, mode=m, **geom).latency
+           for m in ("dense", "head", "layer", "mask")}
+    if token_capacity is not None:
+        out["token"] = tpu_predict_vit(
+            p, mode="token", token_capacity=token_capacity, **geom).latency
+    return out
+
+
+def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
+                     dim: int = 384, num_heads: int = 6,
+                     mlp_ratio: float = 4.0, input_size: int = 224,
+                     patch_size: int = 16, spec: str | TPUSpec = "v5e",
+                     batch_size: int = 128) -> ExecutionPlan:
+    """Build the serving plan from calibrated per-block keep fractions
+    (`infer.calibrate.calibrate_token_capacity` output).
+
+    Capacities are clamped monotone non-increasing (gates compose, so the
+    realized keep can never grow with depth — a noisy calibration estimate
+    that says otherwise only wastes budget). The fastest *exact* paradigm
+    under the predictor is chosen: token selection when it beats dense,
+    dense-masked otherwise.
+    """
+    if isinstance(spec, str):
+        spec = TPU_PRESETS[spec]
+    p = TPUPredictor(spec.with_batch(batch_size))
+
+    caps, lo = [], 1.0
+    for k in keeps:
+        lo = min(lo, min(float(k), 1.0))
+        caps.append(lo)
+    caps = tuple(caps)
+
+    ranking = rank_vit_paradigms(
+        p, depth=depth, dim=dim, num_heads=num_heads, mlp_ratio=mlp_ratio,
+        input_size=input_size, patch_size=patch_size, token_capacity=caps,
+    )
+    dense = ranking["dense"]
+    token = ranking.get("token", dense)
+    mode = "token" if token < dense else "dense"
+    chosen = min(token, dense)
+    return ExecutionPlan(
+        kind="vit", mode=mode,
+        token_capacity=caps if mode == "token" else None,
+        predicted_latency=chosen, dense_latency=dense,
+        predicted_speedup=dense / chosen, ranking=ranking, exact=True,
+    )
+
+
+def plan_resnet_serving(model_name: str = "resnet101", *,
+                        dyn_mode: str = "channel",
+                        act_rate: float = 0.5,
+                        granularity: int = 4,
+                        spec: str | TPUSpec = "v5e",
+                        batch_size: int = 128,
+                        allow_static_export: bool = False) -> ExecutionPlan:
+    """Pick the CNN serving path by predicted latency.
+
+    Exact paths: ``dense-masked`` (masks fuse for free), ``layerskip``
+    (batch-1 only), ``pallas``/``spatial`` capacity execution (exact at
+    full capacity coverage). ``static-export`` is NOT exact (it freezes an
+    input-dependent policy; see `infer/export_pruned.py`) and is only
+    considered when ``allow_static_export``.
+    """
+    from dataclasses import replace
+
+    from laudnet_tpu.sim.models import MODEL_GEOMETRY
+    from laudnet_tpu.sim.report import SimulationReport
+    from laudnet_tpu.sim.tpu import tpu_static_block
+
+    if isinstance(spec, str):
+        spec = TPU_PRESETS[spec]
+    p = TPUPredictor(spec.with_batch(batch_size))
+    geom = MODEL_GEOMETRY[model_name]
+    n_blocks = len(geom)
+    rates = [act_rate] * n_blocks
+    grans = [granularity] * n_blocks
+
+    def lat(mode, r=None):
+        return tpu_predict_network(p, model_name, mode,
+                                   r if r is not None else rates,
+                                   grans).latency
+
+    dense = lat("static", [1.0] * n_blocks)
+    ranking = {"dense": dense, "dense-masked": lat(dyn_mode
+                                                   if dyn_mode == "channel"
+                                                   else "spatial")}
+    if dyn_mode == "spatial":
+        ranking["pallas"] = lat("pallas")
+    if dyn_mode == "layer" and batch_size == 1:
+        ranking["layerskip"] = lat("layer")
+    if allow_static_export and dyn_mode == "channel":
+        # static export: a plain smaller network — each block's inner width
+        # shrinks to the calibrated keep (`infer/export_pruned.py` slices
+        # conv1-out / conv2 / conv3-in to the kept channel groups)
+        total = sum(
+            (tpu_static_block(p, replace(
+                g, width=max(8, int(round(g.width * act_rate)))))
+             for g in geom),
+            start=SimulationReport(),
+        )
+        n_ops = len(total.cfg)
+        ranking["static-export"] = (
+            max(total.compute_latency, total.memory_latency)
+            + n_ops * p.spec.fusion_overhead
+        )
+    exact_modes = {k: v for k, v in ranking.items() if k != "static-export"}
+    mode = min(exact_modes, key=exact_modes.get)
+    if allow_static_export and "static-export" in ranking and (
+            ranking["static-export"] < exact_modes[mode]):
+        mode = "static-export"
+    chosen = ranking[mode]
+    return ExecutionPlan(
+        kind="resnet", mode=mode, predicted_latency=chosen,
+        dense_latency=dense, predicted_speedup=dense / chosen,
+        ranking=ranking, exact=mode != "static-export",
+    )

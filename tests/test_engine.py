@@ -1,0 +1,104 @@
+"""Latency-aware serving engine + execution planner."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laudnet_tpu.infer import ServingEngine
+from laudnet_tpu.models.laud_vit import LAUDViT
+from laudnet_tpu.sim.plan import (
+    plan_resnet_serving,
+    plan_vit_serving,
+    rank_vit_paradigms,
+)
+
+
+def test_plan_vit_serving_picks_token_when_keeps_drop():
+    keeps = (1.0,) * 3 + (0.7,) * 4 + (0.5,) * 5
+    plan = plan_vit_serving(keeps)
+    assert plan.mode == "token"
+    assert plan.predicted_speedup > 1.2
+    # capacities are monotone non-increasing
+    caps = plan.token_capacity
+    assert all(caps[i] >= caps[i + 1] for i in range(len(caps) - 1))
+    assert plan.exact
+
+
+def test_plan_vit_serving_monotone_clamp():
+    # a noisy calibration that claims keep GROWS must be clamped down
+    plan = plan_vit_serving((0.8, 0.5, 0.9, 0.6))
+    assert plan.token_capacity is None or list(plan.token_capacity) == sorted(
+        plan.token_capacity, reverse=True)
+
+
+def test_plan_vit_dense_when_keeps_full():
+    plan = plan_vit_serving((1.0,) * 12)
+    assert plan.mode == "dense"
+    assert plan.predicted_speedup == 1.0
+
+
+def test_rank_paradigms_orders_token_first():
+    from laudnet_tpu.sim import TPU_PRESETS, TPUPredictor
+
+    p = TPUPredictor(TPU_PRESETS["v5e"])
+    r = rank_vit_paradigms(p, token_capacity=(0.5,) * 12)
+    assert r["token"] < r["dense"]
+    # masks without selection can't beat dense meaningfully
+    assert r["head"] > 0.95 * r["dense"]
+
+
+def test_plan_resnet_serving_channel():
+    plan = plan_resnet_serving("resnet101", dyn_mode="channel")
+    # on TPU the exact channel path is the dense-masked graph (~1.0x)
+    assert plan.mode in ("dense", "dense-masked")
+    assert plan.exact
+    p2 = plan_resnet_serving("resnet101", dyn_mode="channel",
+                             act_rate=0.5, allow_static_export=True)
+    assert p2.ranking["static-export"] < p2.ranking["dense"]
+    assert p2.mode == "static-export" and not p2.exact
+
+
+def test_serving_engine_vit_end_to_end():
+    kw = dict(depth=3, dim=64, num_heads=4, mlp_ratio=2.0, patch_size=8,
+              num_classes=10, head_skip=False, layer_skip=False)
+    m = LAUDViT(**kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    # bias gates shut so the policy actually drops tokens
+    params = jax.device_get(v["params"])
+    for i in range(3):
+        bias = np.zeros(2, np.float32)
+        bias[1] = 1.5
+        params[f"block_{i}"]["token_policy"]["bias"] = jnp.asarray(bias)
+    v = {"params": params}
+
+    ref = m.apply(v, x, 0.1, training=False)
+    engine = ServingEngine(m, v, batch_size=128)
+    # pre-calibration: dense-masked graph, exact
+    np.testing.assert_allclose(np.asarray(engine(x)),
+                               np.asarray(ref.logits), rtol=1e-5, atol=1e-5)
+
+    plan = engine.calibrate([x], quantile=1.0, margin=1e-6)
+    assert plan.kind == "vit"
+    assert plan.mode == "token"  # keeps drop -> predictor picks selection
+    assert plan.predicted_speedup > 1.0
+    # the compiled winner still reproduces the masked-graph logits exactly
+    np.testing.assert_allclose(np.asarray(engine(x)),
+                               np.asarray(ref.logits), rtol=1e-4, atol=1e-4)
+
+
+def test_serving_engine_resnet_plan():
+    from laudnet_tpu.models import LAUDResNet
+
+    m = LAUDResNet(layers=(1, 1, 1, 1), num_classes=10, input_size=64,
+                   dyn_mode=("channel",) * 4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    engine = ServingEngine(m, v)
+    ref = m.apply(v, x, 0.1, training=False).logits
+    np.testing.assert_allclose(np.asarray(engine(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    plan = engine.calibrate([x])
+    assert plan.kind == "resnet"
+    assert plan.exact
+    assert "dense-masked" in plan.ranking
