@@ -179,6 +179,12 @@ def main_vit():
                                training=False).logits, x
     )
 
+    flat = laud_deit_small(token_capacity=(0.5,) * 12)
+    flat_ips = _throughput(
+        lambda x: flat.apply(v, x, jnp.asarray(0.1, DTYPE),
+                             training=False).logits, x
+    )
+
     plain = laud_deit_small(token_skip=False, head_skip=False,
                             layer_skip=False)
     vp = _cast(
@@ -200,6 +206,8 @@ def main_vit():
                 "value": round(laud_ips, 1),
                 "unit": "img/s",
                 "vs_baseline": round(laud_ips / dense_ips, 4),
+                "flat_0.5_img_s": round(flat_ips, 1),
+                "flat_0.5_vs_baseline": round(flat_ips / dense_ips, 4),
             }
         )
     )

@@ -64,8 +64,28 @@ def center_crop(img: Image.Image, size: int) -> Image.Image:
     return img.crop((x0, y0, x0 + size, y0 + size))
 
 
+# AlexNet-style PCA lighting noise (reference `utils/transform.py:13-17`,
+# applied between ToTensor and Normalize when --change_light is set)
+LIGHTING_EIGVAL = np.array([0.2175, 0.0188, 0.0045], np.float32)
+LIGHTING_EIGVEC = np.array(
+    [[-0.5675, 0.7192, 0.4009],
+     [-0.5808, -0.0045, -0.8140],
+     [-0.5836, -0.6948, 0.4203]], np.float32,
+)
+
+
+def lighting_noise(x: np.ndarray, rng: random.Random,
+                   alphastd: float = 0.1) -> np.ndarray:
+    """Add PCA color noise to a [0,1]-scaled HWC array: one RGB shift per
+    image, ``eigvec @ (alpha * eigval)`` with alpha ~ N(0, alphastd)."""
+    alpha = np.array([rng.gauss(0.0, alphastd) for _ in range(3)], np.float32)
+    shift = LIGHTING_EIGVEC @ (alpha * LIGHTING_EIGVAL)
+    return x + shift[None, None, :]
+
+
 def train_transform(size: int = 224, color_jitter: float = 0.0,
-                    auto_augment: Optional[str] = None, normalize=True):
+                    auto_augment: Optional[str] = None, normalize=True,
+                    change_light: bool = False):
     """Returns fn(PIL, seed) -> HWC float array."""
     from laudnet_tpu.data.auto_augment import auto_augment_transform
 
@@ -81,7 +101,12 @@ def train_transform(size: int = 224, color_jitter: float = 0.0,
             img = _color_jitter(img, color_jitter, rng)
         if aa is not None:
             img = aa(img, rng)
-        return _to_array(img, normalize)
+        x = _to_array(img, normalize=False)
+        if change_light:
+            x = lighting_noise(x, rng)
+        if normalize:
+            x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        return x
 
     return fn
 

@@ -98,6 +98,11 @@ def parse_args(argv=None):
     p.add_argument("--no_native_loader", action="store_true",
                    help="force the PIL input pipeline even when the native "
                         "C++ loader is available")
+    # extra train-time augmentations (reference --colorjitter /
+    # --autoaugment / --change_light); any of these forces the PIL loader
+    p.add_argument("--colorjitter", action="store_true")
+    p.add_argument("--autoaugment", action="store_true")
+    p.add_argument("--change_light", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -202,9 +207,16 @@ def main(argv=None):
 
     # data
     if args.data_url:
+        extra_aug = (args.colorjitter or args.autoaugment
+                     or args.change_light)
         train_ds = ImageFolderDataset(
             os.path.join(args.data_url, "train"),
-            train_transform(args.input_size),
+            train_transform(
+                args.input_size,
+                color_jitter=0.4 if args.colorjitter else 0.0,
+                auto_augment="original" if args.autoaugment else None,
+                change_light=args.change_light,
+            ),
         )
         val_ds = ImageFolderDataset(
             os.path.join(args.data_url, "val"), eval_transform(args.input_size)
@@ -213,7 +225,7 @@ def main(argv=None):
             NativeDataLoader, native_available,
         )
 
-        if native_available() and not args.no_native_loader:
+        if native_available() and not args.no_native_loader and not extra_aug:
             log("input pipeline: native C++ loader (data/csrc/loader.cpp)")
             train_loader = NativeDataLoader(
                 train_ds, batch_size, train=True, size=args.input_size,

@@ -112,3 +112,36 @@ def test_solarize_add_lut(ref, img):
             ref.solarize_add(img, add),
             f"add {add}",
         )
+
+
+def test_lighting_noise_matches_reference_formula():
+    """PCA lighting: shift = eigvec @ (alpha * eigval), alpha ~ N(0, std)
+    (reference `utils/transform.py:60-84`); zero std -> identity."""
+    import random
+
+    import numpy as np
+
+    from laudnet_tpu.data.transforms import (
+        LIGHTING_EIGVAL, LIGHTING_EIGVEC, lighting_noise, train_transform,
+    )
+
+    x = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    rng = random.Random(3)
+    out = lighting_noise(x, rng, alphastd=0.1)
+    rng2 = random.Random(3)
+    alpha = np.array([rng2.gauss(0.0, 0.1) for _ in range(3)], np.float32)
+    want = x + (LIGHTING_EIGVEC @ (alpha * LIGHTING_EIGVAL))[None, None]
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+    # the shift is constant across pixels
+    d = out - x
+    assert np.allclose(d, d[0, 0][None, None], atol=1e-7)
+    np.testing.assert_allclose(lighting_noise(x, rng, 0.0), x)
+
+    # end-to-end through train_transform(change_light=True)
+    from PIL import Image
+
+    img = Image.fromarray((x * 255).astype(np.uint8)).resize((64, 64))
+    t_on = train_transform(32, change_light=True)
+    t_off = train_transform(32)
+    a, b = t_on(img, 5), t_off(img, 5)
+    assert a.shape == b.shape and not np.allclose(a, b)
