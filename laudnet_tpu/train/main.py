@@ -284,13 +284,13 @@ def main(argv=None):
     )()
     if args.finetune_from:
         from laudnet_tpu.convert import (
-            convert_regnet_state_dict, convert_resnet_state_dict, load_pth_tar,
+            convert_regnet_state_dict, convert_resnet_state_dict,
+            convert_vit_state_dict, load_pth_tar,
         )
 
-        if family == "vit":
-            raise SystemExit("--finetune_from: no torch ViT converter")
-        convert = (convert_regnet_state_dict if family == "regnet"
-                   else convert_resnet_state_dict)
+        convert = {"regnet": convert_regnet_state_dict,
+                   "vit": convert_vit_state_dict,
+                   "resnet": convert_resnet_state_dict}[family]
         loaded = convert(load_pth_tar(args.finetune_from))
         variables = _merge_loose(variables, loaded)
         log(f"loaded finetune weights from {args.finetune_from}")
@@ -304,17 +304,13 @@ def main(argv=None):
     teacher_vars = jax.jit(init_teacher)()
     if args.teacher_path:
         from laudnet_tpu.convert import (
-            convert_regnet_state_dict, convert_resnet_state_dict, load_pth_tar,
+            convert_regnet_state_dict, convert_resnet_state_dict,
+            convert_vit_state_dict, load_pth_tar,
         )
 
-        if family == "vit":
-            raise SystemExit(
-                "--teacher_path: no torch ViT converter (the reference "
-                "publishes no LAUD-ViT checkpoints); train the dense "
-                "teacher natively instead"
-            )
-        convert = (convert_regnet_state_dict if family == "regnet"
-                   else convert_resnet_state_dict)
+        convert = {"regnet": convert_regnet_state_dict,
+                   "vit": convert_vit_state_dict,
+                   "resnet": convert_resnet_state_dict}[family]
         teacher_vars = _merge_loose(
             teacher_vars, convert(load_pth_tar(args.teacher_path))
         )
@@ -349,15 +345,22 @@ def main(argv=None):
     if args.evaluate_from:
         # evaluation-only path (reference `main.py:304-307,435-436`)
         from laudnet_tpu.convert import (
-            convert_regnet_state_dict, convert_resnet_state_dict, load_pth_tar,
+            convert_regnet_state_dict, convert_resnet_state_dict,
+            convert_vit_state_dict, load_pth_tar,
         )
 
-        if family == "vit":
-            raise SystemExit("--evaluate_from: no torch ViT converter")
-        convert = (convert_regnet_state_dict if family == "regnet"
-                   else convert_resnet_state_dict)
+        convert = {"regnet": convert_regnet_state_dict,
+                   "vit": convert_vit_state_dict,
+                   "resnet": convert_resnet_state_dict}[family]
         loaded = convert(load_pth_tar(args.evaluate_from))
-        params = loaded["params"]
+        if family == "vit":
+            # plain DeiT checkpoints carry no policy heads; keep init ones
+            from laudnet_tpu.convert import merge_variables
+
+            params = merge_variables(jax.device_get(state.params),
+                                     loaded["params"])
+        else:
+            params = loaded["params"]
         bstats = loaded.get("batch_stats", state.batch_stats)
         top1 = top5 = act = gflops = 0.0
         n_val = 0
