@@ -88,12 +88,24 @@ class LAUDViTBlock(nn.Module):
         key = lambda: self.make_rng("gumbel") if training else None
         cls = x[:, 0]
 
+        # Policy biases initialize gates OPEN (keep-logit +2, skip-logit
+        # -2) so a fresh model starts dense and the sparsity loss anneals
+        # it down — the reference maskers' init philosophy
+        # (`models/utils.py:107-111`: bias[:g]=2.0, bias[g+1:]=-2.0).
+        def open_bias(split):
+            def init(key, shape, dtype=jnp.float32):
+                b = jnp.full(shape, -2.0, dtype)
+                return b.at[:split].set(2.0)
+
+            return init
+
         # --- policy heads (AdaViT: linear heads on the class token) -----
         attn_keep = mlp_keep = one
         attn_gate = mlp_gate = None
         policy_flops = 0
         if self.layer_skip:
             logits = nn.Dense(4, name="layer_policy",
+                              bias_init=open_bias(2),
                               param_dtype=self.param_dtype)(cls)
             pair = logits.reshape(b, 2, 2)  # (B, on/off, [attn, mlp])
             gate = gating.binary_gate(pair, temperature, training=training,
@@ -106,6 +118,7 @@ class LAUDViTBlock(nn.Module):
         head_density = one
         if self.head_skip:
             hlogits = nn.Dense(2 * h, name="head_policy",
+                               bias_init=open_bias(h),
                                param_dtype=self.param_dtype)(cls)
             head_mask = gating.binary_gate(
                 hlogits.reshape(b, 2, h), temperature, training=training,
@@ -117,6 +130,7 @@ class LAUDViTBlock(nn.Module):
         token_score = jnp.zeros((b, l), jnp.float32)
         if self.token_skip:
             tlogits = nn.Dense(2, name="token_policy",
+                               bias_init=open_bias(1),
                                param_dtype=self.param_dtype)(x)
             tmask = gating.binary_gate(
                 tlogits.reshape(b, l, 2, 1), temperature, training=training,
