@@ -78,4 +78,12 @@ def convert_vit_state_dict(state: Mapping[str, np.ndarray]) -> Dict[str, Any]:
                     put((scope, flax_name, "kernel"), v.T)
                 else:
                     put((scope, flax_name, "bias"), v)
+            else:
+                # an unmapped BLOCK weight (layer-scale gamma, qk-norm, ...)
+                # would silently change the function — refuse, don't misload
+                raise ValueError(
+                    f"unsupported ViT block parameter {name!r}: this "
+                    "checkpoint is not plain-DeiT-shaped (layer scale / "
+                    "qk-norm have no LAUDViT analog)"
+                )
     return {"params": params}

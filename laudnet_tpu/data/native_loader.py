@@ -173,13 +173,14 @@ class NativeDataLoader:
                  size: int = 224, normalize: bool = True,
                  shuffle: Optional[bool] = None, drop_last: bool = True,
                  seed: int = 0, shard: Optional[Tuple[int, int]] = None,
-                 num_threads: Optional[int] = None):
+                 num_threads: Optional[int] = None, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = train if shuffle is None else shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.shard = shard or (0, 1)
+        self.prefetch = prefetch
         self.transform = NativeBatchTransform(
             size=size, train=train, normalize=normalize,
             num_threads=num_threads,
@@ -192,17 +193,36 @@ class NativeDataLoader:
                 else -(-n // self.batch_size))
 
     def epoch(self, epoch: int):
+        import queue
+
         rng = np.random.default_rng(self.seed + epoch)
         order = (rng.permutation(len(self.dataset)) if self.shuffle
                  else np.arange(len(self.dataset)))
         idx, count = self.shard
         order = order[idx::count]
-        for b in range(len(self)):
-            chunk = order[b * self.batch_size:(b + 1) * self.batch_size]
-            if len(chunk) == 0:
+        n_batches = len(self)
+
+        # background producer so batch b+1 decodes (GIL released inside
+        # ln_load_batch) while the device steps on batch b — matching the
+        # Python DataLoader's prefetch overlap
+        q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
+
+        def produce():
+            for b in range(n_batches):
+                chunk = order[b * self.batch_size:(b + 1) * self.batch_size]
+                if len(chunk) == 0:
+                    break
+                paths = [self.dataset.samples[i][0] for i in chunk]
+                labels = np.asarray(
+                    [self.dataset.samples[i][1] for i in chunk], np.int32)
+                seeds = (self.seed + epoch) * 1_000_003 + chunk
+                q.put((self.transform.load(paths, seeds.tolist()), labels))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
                 return
-            paths = [self.dataset.samples[i][0] for i in chunk]
-            labels = np.asarray(
-                [self.dataset.samples[i][1] for i in chunk], np.int32)
-            seeds = (self.seed + epoch) * 1_000_003 + chunk
-            yield self.transform.load(paths, seeds.tolist()), labels
+            yield item

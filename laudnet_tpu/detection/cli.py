@@ -103,8 +103,11 @@ def main(argv=None):
         )
         with open(os.path.join(args.work_dir, "log.json"), "w") as f:
             json.dump(history, f, indent=1)
-        print(f"done: final loss {history[-1]['loss']:.4f} "
-              f"flops_rate {history[-1].get('flops_rate', 1.0):.3f}")
+        if history:
+            print(f"done: final loss {history[-1]['loss']:.4f} "
+                  f"flops_rate {history[-1].get('flops_rate', 1.0):.3f}")
+        else:  # auto-resume found the run already complete
+            print("done: checkpoint already at the final step; nothing to do")
         return history
 
     # eval_info: restore the latest checkpoint and run mAP + FLOPs accounting

@@ -69,8 +69,10 @@ class ServingEngine:
             from laudnet_tpu.infer.calibrate import calibrate_token_capacity
 
             m = self.model
+            seen_size = [None]  # ranked geometry must match the real inputs
 
             def apply_fn(x):
+                seen_size[0] = x.shape[1]
                 return m.apply(self.variables, x, self.temperature,
                                training=False)
 
@@ -79,6 +81,7 @@ class ServingEngine:
             self.plan = plan_vit_serving(
                 keeps, depth=m.depth, dim=m.dim, num_heads=m.num_heads,
                 mlp_ratio=m.mlp_ratio, patch_size=m.patch_size,
+                input_size=seen_size[0] or 224,
                 spec=self.spec, batch_size=self.batch_size,
             )
             if self.plan.mode == "token":

@@ -145,6 +145,7 @@ class LAUDViTBlock(nn.Module):
             policy_flops += l * d * 2
         token_density = token_mask.mean()
         token_keep = token_mask.mean(axis=1)
+        l_in = l  # pre-selection length: the bookkeeping frame of reference
 
         if (self.capacity is not None and not training
                 and self.capacity < l):
@@ -194,11 +195,15 @@ class LAUDViTBlock(nn.Module):
         x = x + y
 
         # --- FLOPs bookkeeping (simulator cost model) ----------------------
+        # Accounted at the PRE-selection length l_in: token_density is
+        # measured over l_in tokens, so using the post-gather l here would
+        # double-count the reduction and break parity with the masked-graph
+        # accounting (capacity selection never changes reported FLOPs).
         def block_flops(tok, hd, ak, mk):
-            qkv_f = 3 * l * d * d * hd
-            attn_f = 2 * h * (l * tok) ** 2 * dh * hd
-            proj_f = (l * tok) * d * d * hd * hd
-            mlp_f = (l * tok) * d * hidden * (hd + 1.0)
+            qkv_f = 3 * l_in * d * d * hd
+            attn_f = 2 * h * (l_in * tok) ** 2 * dh * hd
+            proj_f = (l_in * tok) * d * d * hd * hd
+            mlp_f = (l_in * tok) * d * hidden * (hd + 1.0)
             return ak * (qkv_f + attn_f + proj_f) + mk * mlp_f
 
         sparse = f32(policy_flops) + block_flops(

@@ -126,10 +126,12 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
                                    grans).latency
 
     dense = lat("static", [1.0] * n_blocks)
-    ranking = {"dense": dense, "dense-masked": lat(dyn_mode
-                                                   if dyn_mode == "channel"
-                                                   else "spatial")}
+    # dense-masked = static body + masker heads, whatever the paradigm:
+    # the 0/1 mask multiplies fuse for free, only the gating heads add
+    # cost. The predictor's 'channel' mode prices exactly that shape.
+    ranking = {"dense": dense, "dense-masked": lat("channel")}
     if dyn_mode == "spatial":
+        ranking["spatial-capacity"] = lat("spatial")  # gather engine
         ranking["pallas"] = lat("pallas")
     if dyn_mode == "layer" and batch_size == 1:
         ranking["layerskip"] = lat("layer")

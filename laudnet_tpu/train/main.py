@@ -225,7 +225,10 @@ def main(argv=None):
             NativeDataLoader, native_available,
         )
 
-        if native_available() and not args.no_native_loader and not extra_aug:
+        # flags first: native_available() may compile the C++ loader, which
+        # must not run when the user opted out or needs the PIL-only augs
+        if (not args.no_native_loader and not extra_aug
+                and native_available()):
             log("input pipeline: native C++ loader (data/csrc/loader.cpp)")
             train_loader = NativeDataLoader(
                 train_ds, batch_size, train=True, size=args.input_size,

@@ -28,7 +28,11 @@ class AverageMeter:
 
 
 def topk_accuracy(logits, labels, topk=(1,)):
-    """Top-k accuracy in percent, per the reference's `accuracy()`."""
+    """Top-k accuracy in percent, per the reference's `accuracy()`.
+
+    When k exceeds the class count (smoke runs with --num_classes < 5),
+    the entry degrades to top-C accuracy (trivially 100%) rather than
+    erroring — the log column is only meaningful when C >= k."""
     import jax
 
     maxk = min(max(topk), logits.shape[-1])  # k may exceed tiny class counts

@@ -262,3 +262,28 @@ def test_policy_params_grouped_as_masker():
     assert b0["head_policy"]["kernel"] == "masker"
     assert b0["layer_policy"]["kernel"] == "masker"
     assert b0["qkv"]["kernel"] == "backbone"
+
+
+def test_token_selection_flops_match_masked_graph():
+    """Capacity selection is an execution strategy, not a model change: with
+    budget covering the realized keeps, reported FLOPs must equal the masked
+    graph's (regression: the in-block gather once double-counted the
+    reduction by mixing the post-gather length with pre-gather density)."""
+    kw = dict(depth=3, dim=64, num_heads=4, mlp_ratio=2.0, patch_size=8,
+              num_classes=10, head_skip=False, layer_skip=False)
+    m = tiny_vit(**kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    params = jax.device_get(v["params"])
+    for i in range(3):
+        bias = np.zeros(2, np.float32)
+        bias[1] = 2.0
+        params[f"block_{i}"]["token_policy"]["bias"] = jnp.asarray(bias)
+    v = {"params": params}
+    out_m = m.apply(v, x, 0.1, training=False)
+    sel = tiny_vit(token_capacity=(1.0, 1.0, 1.0), **kw)
+    out_s = sel.apply(v, x, 0.1, training=False)
+    np.testing.assert_allclose(float(out_s.flops), float(out_m.flops),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_s.flops_perc),
+                               np.asarray(out_m.flops_perc), rtol=1e-6)
