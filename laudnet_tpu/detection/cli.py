@@ -76,7 +76,9 @@ def main(argv=None):
     model, kind, model_cfg, train_cfg = _build(args)
     os.makedirs(args.work_dir, exist_ok=True)
     num_classes = model_cfg["num_classes"]
-    with_masks = bool(model_cfg.get("with_masks", False))
+    # from the built model, not the raw config: MaskRCNN/Mask2Former types
+    # imply with_masks=True inside build_detector
+    with_masks = bool(getattr(model, "with_masks", False))
 
     if args.cmd == "train":
         init_from = args.init_from
@@ -138,8 +140,9 @@ def main(argv=None):
         for b in synthetic_coco_batches(
             args.batch_size, args.image_size, num_classes,
             steps=args.eval_steps, seed=args.seed + 1,
+            with_masks=with_masks,
         ):
-            yield b[:4]
+            yield b  # (images, boxes, labels, valid[, masks])
 
     res = evaluate_detector(
         model, params, batch_stats, batches(), num_classes=num_classes,

@@ -305,6 +305,8 @@ def detr_detect(outputs, image_size: float, score_threshold: float = 0.05,
             "boxes": bx[top_i],
             "scores": jnp.where(top_s > score_threshold, top_s, 0.0),
             "classes": c[top_i],
+            # query index per detection, for gathering mask_logits
+            "indices": top_i,
         }
 
     return jax.vmap(per_image)(scores, classes, boxes)

@@ -223,6 +223,45 @@ def synthetic_coco_batches(batch_size: int, image_size: int, num_classes: int,
         yield out + ((masks,) if with_masks else ())
 
 
+# --- masks -------------------------------------------------------------------
+
+def paste_mask(prob: np.ndarray, box: np.ndarray, img_h: int,
+               img_w: int, threshold: float = 0.5) -> np.ndarray:
+    """Paste a (m, m) mask probability map into its box on an (img_h,
+    img_w) canvas — Mask-RCNN's paste step (bilinear resize to the box
+    rect, threshold). Returns a bool mask."""
+    out = np.zeros((img_h, img_w), bool)
+    x0, y0, x1, y1 = [float(v) for v in box]
+    x0i, y0i = max(int(np.floor(x0)), 0), max(int(np.floor(y0)), 0)
+    x1i, y1i = min(int(np.ceil(x1)), img_w), min(int(np.ceil(y1)), img_h)
+    w, h = x1i - x0i, y1i - y0i
+    if w <= 0 or h <= 0:
+        return out
+    m = prob.shape[0]
+    ys = (np.arange(h) + 0.5) * (m / h) - 0.5
+    xs = (np.arange(w) + 0.5) * (m / w) - 0.5
+    y_idx = np.clip(ys, 0, m - 1)
+    x_idx = np.clip(xs, 0, m - 1)
+    y0f = np.clip(np.floor(y_idx).astype(int), 0, m - 1)
+    x0f = np.clip(np.floor(x_idx).astype(int), 0, m - 1)
+    y1f = np.minimum(y0f + 1, m - 1)
+    x1f = np.minimum(x0f + 1, m - 1)
+    wy = (y_idx - y0f)[:, None]
+    wx = (x_idx - x0f)[None, :]
+    interp = (prob[np.ix_(y0f, x0f)] * (1 - wy) * (1 - wx)
+              + prob[np.ix_(y1f, x0f)] * wy * (1 - wx)
+              + prob[np.ix_(y0f, x1f)] * (1 - wy) * wx
+              + prob[np.ix_(y1f, x1f)] * wy * wx)
+    out[y0i:y1i, x0i:x1i] = interp >= threshold
+    return out
+
+
+def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.logical_and(a, b).sum()
+    union = np.logical_or(a, b).sum()
+    return float(inter) / float(union) if union else 0.0
+
+
 # --- mAP -------------------------------------------------------------------
 
 def average_precision(recalls, precisions):
@@ -236,25 +275,28 @@ def average_precision(recalls, precisions):
 
 
 def mean_average_precision(detections, ground_truths, num_classes: int,
-                           iou_threshold: float = 0.5) -> dict:
+                           iou_threshold: float = 0.5,
+                           use_masks: bool = False) -> dict:
     """mAP over a list of per-image detections and ground truths.
 
     ``detections``: list of dicts with 'boxes' (N,4), 'scores' (N,),
-    'classes' (N,); ``ground_truths``: list of dicts with 'boxes' (M,4),
-    'labels' (M,). Zero-score detections are ignored (the static-shape
-    pads). Returns {'mAP': float, 'ap_per_class': array}.
+    'classes' (N,) and — for ``use_masks`` (segm mAP, the Mask-RCNN /
+    Mask2Former metric) — 'masks' (N,H,W) bool; ``ground_truths``: dicts
+    with 'boxes' (M,4), 'labels' (M,) [and 'masks' (M,H,W)]. Zero-score
+    detections are ignored (the static-shape pads). Returns
+    {'mAP': float, 'ap_per_class': array}.
     """
     aps = []
     for c in range(num_classes):
-        scored = []  # (score, image_idx, box)
+        scored = []  # (score, image_idx, det_idx)
         n_gt = 0
         for i, (det, gt) in enumerate(zip(detections, ground_truths)):
             keep = (np.asarray(det["classes"]) == c) & (
                 np.asarray(det["scores"]) > 0
             )
-            for s, b in zip(np.asarray(det["scores"])[keep],
-                            np.asarray(det["boxes"])[keep]):
-                scored.append((float(s), i, b))
+            for d_idx in np.where(keep)[0]:
+                scored.append((float(np.asarray(det["scores"])[d_idx]),
+                               i, int(d_idx)))
             n_gt += int((np.asarray(gt["labels"]) == c).sum())
         if n_gt == 0:
             continue
@@ -262,17 +304,25 @@ def mean_average_precision(detections, ground_truths, num_classes: int,
         matched = [set() for _ in ground_truths]
         tp = np.zeros(len(scored))
         fp = np.zeros(len(scored))
-        for k, (s, i, box) in enumerate(scored):
+        for k, (s, i, d_idx) in enumerate(scored):
             gt = ground_truths[i]
-            gt_mask = np.asarray(gt["labels"]) == c
-            gt_boxes = np.asarray(gt["boxes"])[gt_mask]
-            gt_idx = np.where(gt_mask)[0]
-            if len(gt_boxes) == 0:
+            gt_sel = np.asarray(gt["labels"]) == c
+            gt_idx = np.where(gt_sel)[0]
+            if len(gt_idx) == 0:
                 fp[k] = 1
                 continue
-            ious = np.asarray(
-                box_iou(jnp.asarray(box[None]), jnp.asarray(gt_boxes))
-            )[0]
+            if use_masks:
+                dm = np.asarray(detections[i]["masks"][d_idx])
+                ious = np.asarray([
+                    mask_iou(dm, np.asarray(gt["masks"][g]) > 0.5)
+                    for g in gt_idx
+                ])
+            else:
+                box = np.asarray(detections[i]["boxes"])[d_idx]
+                ious = np.asarray(
+                    box_iou(jnp.asarray(box[None]),
+                            jnp.asarray(np.asarray(gt["boxes"])[gt_sel]))
+                )[0]
             j = int(np.argmax(ious))
             if ious[j] >= iou_threshold and gt_idx[j] not in matched[i]:
                 tp[k] = 1
@@ -378,8 +428,11 @@ def evaluate_detector(model, params, batch_stats, batches, *,
     reference's ``single_gpu_test_get_info`` role (`mmdet/apis/test.py:
     75-145`) with the metric computed in-process.
 
-    ``batches``: iterator of (images, boxes, labels, valid). Returns
-    {'mAP', 'ap_per_class', 'mean_flops', 'mean_flops_rate', ...}.
+    ``batches``: iterator of (images, boxes, labels, valid[, masks]); when
+    masks are present and the model emits ``mask_logits``, segm mAP (mask
+    IoU — the Mask-RCNN/Mask2Former metric) is computed alongside box mAP.
+    Returns {'mAP', 'ap_per_class', 'mean_flops', 'mean_flops_rate', ...
+    [, 'segm_mAP']}.
     """
     variables = {"params": params, "batch_stats": batch_stats}
 
@@ -393,7 +446,9 @@ def evaluate_detector(model, params, batch_stats, batches, *,
     detections, gts = [], []
     n = 0
     flops = dense = 0.0
-    for images, boxes, labels, valid in batches:
+    for batch in batches:
+        images, boxes, labels, valid = batch[:4]
+        gt_masks = batch[4] if len(batch) > 4 else None
         out = dict(fwd(jnp.asarray(images)))
         out["image_hw"] = (images.shape[1], images.shape[2])
         if kind == "faster_rcnn":
@@ -412,17 +467,48 @@ def evaluate_detector(model, params, batch_stats, batches, *,
                 out, images.shape[1], score_threshold=score_threshold))
         add = jax.device_get(out["additional"])
         bsz = images.shape[0]
+        img_h, img_w = images.shape[1], images.shape[2]
         n += bsz
         flops += float(add["flops"]) * bsz
         dense += float(add["dense_flops"]) * bsz
+        mask_logits = (jax.device_get(out["mask_logits"])
+                       if "mask_logits" in out and gt_masks is not None
+                       else None)
         for i in range(bsz):
-            detections.append({k: np.asarray(det[k][i])
-                               for k in ("boxes", "scores", "classes")})
+            d = {k: np.asarray(det[k][i])
+                 for k in ("boxes", "scores", "classes")}
+            if mask_logits is not None:
+                idx = np.asarray(det["indices"][i])
+                pasted = []
+                for j in range(len(idx)):
+                    if d["scores"][j] <= 0:
+                        pasted.append(np.zeros((img_h, img_w), bool))
+                        continue
+                    ml = mask_logits[i, idx[j]]
+                    if ml.ndim == 3:  # Mask-RCNN: (14, 14, K), class slice
+                        prob = 1.0 / (1.0 + np.exp(-ml[..., d["classes"][j]]))
+                        pasted.append(paste_mask(prob, d["boxes"][j],
+                                                 img_h, img_w))
+                    else:  # DETR/Mask2Former: (h, w) over the whole image
+                        prob = 1.0 / (1.0 + np.exp(-ml))
+                        pasted.append(paste_mask(
+                            prob, np.array([0, 0, img_w, img_h]),
+                            img_h, img_w))
+                d["masks"] = pasted
+            detections.append(d)
             keep = np.asarray(valid[i]) > 0
-            gts.append(dict(boxes=np.asarray(boxes[i])[keep],
-                            labels=np.asarray(labels[i])[keep]))
+            g = dict(boxes=np.asarray(boxes[i])[keep],
+                     labels=np.asarray(labels[i])[keep])
+            if gt_masks is not None:
+                g["masks"] = np.asarray(gt_masks[i])[keep]
+            gts.append(g)
     res = mean_average_precision(detections, gts, num_classes,
                                  iou_threshold)
+    if detections and "masks" in detections[0]:
+        segm = mean_average_precision(detections, gts, num_classes,
+                                      iou_threshold, use_masks=True)
+        res = dict(res, segm_mAP=segm["mAP"],
+                   segm_ap_per_class=segm["ap_per_class"])
     res.update(
         n_images=n,
         mean_flops=flops / max(n, 1),

@@ -276,6 +276,9 @@ class FasterRCNN(nn.Module):
                 "boxes": refined[top_i],
                 "scores": jnp.where(top_s > score_threshold, top_s, 0.0),
                 "classes": classes[top_i],
+                # proposal index of each detection — lets callers gather
+                # the matching mask_logits for segm evaluation
+                "indices": top_i,
             }
 
         return jax.vmap(per_image)(
