@@ -113,7 +113,36 @@ def main(argv=None):
     ap.add_argument("--granularity", default="4-4-2-1",
                     help="per-stage spatial patch sizes, dash separated")
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--plan", default=None, metavar="KEEPS",
+                    help="comma-separated calibrated per-block token keeps "
+                         "(ViT models): rank the paradigms and print the "
+                         "chosen ExecutionPlan instead of the latency table")
     args = ap.parse_args(argv)
+
+    if args.plan is not None:
+        from laudnet_tpu.sim.plan import plan_vit_serving
+
+        if args.model not in VIT_GEOMETRY:
+            raise SystemExit("--plan currently supports the ViT models")
+        g = VIT_GEOMETRY[args.model]
+        keeps = [float(v) for v in args.plan.split(",")]
+        plan = plan_vit_serving(
+            keeps, depth=g["depth"], dim=g["dim"],
+            num_heads=g["num_heads"], mlp_ratio=g["mlp_ratio"],
+            spec=args.hardware if args.hardware in TPU_PRESETS else "v5e",
+            batch_size=args.batch_size or 128,
+        )
+        print(f"# {args.model} serving plan ({args.hardware})")
+        print(f"mode     : {plan.mode}")
+        if plan.token_capacity:
+            print("caps     : "
+                  + ",".join(f"{c:.3f}" for c in plan.token_capacity))
+        print(f"latency  : {plan.predicted_latency * 1e3:.3f} ms/batch "
+              f"(dense {plan.dense_latency * 1e3:.3f})")
+        print(f"speedup  : {plan.predicted_speedup:.3f}x")
+        for m, v in sorted(plan.ranking.items(), key=lambda kv: kv[1]):
+            print(f"  {m:8s} {v * 1e3:8.3f} ms")
+        return plan
 
     if args.model in VIT_GEOMETRY:
         if args.hardware in GPU_PRESETS:

@@ -102,3 +102,13 @@ def test_serving_engine_resnet_plan():
     assert plan.kind == "resnet"
     assert plan.exact
     assert "dense-masked" in plan.ranking
+
+
+def test_sim_cli_plan_subcommand(capsys):
+    from laudnet_tpu.sim.cli import main as sim_main
+
+    plan = sim_main(["deit_small", "--hardware", "v5e",
+                     "--plan", ",".join(["1.0"] * 3 + ["0.5"] * 9)])
+    assert plan.mode == "token"
+    out = capsys.readouterr().out
+    assert "speedup" in out and "token" in out

