@@ -60,8 +60,12 @@ class ServingEngine:
     def calibrate(self, batches: Iterable, *, quantile: float = 0.99,
                   margin: float = 0.05,
                   allow_static_export: bool = False):
-        """Measure the policy on ``batches``, rank execution paths on the
-        TPU latency model, compile the winner. Returns the
+        """Measure the policy on ``batches`` and rank execution paths on
+        the TPU latency model. For ViTs the winner is compiled (token
+        selection or dense-masked); for CNNs the engine keeps serving the
+        exact dense-masked graph and the ranking — priced at the measured
+        activation rate — is a recommendation (``plan.served`` names the
+        compiled path, ``plan.mode`` the recommended one). Returns the
         :class:`~laudnet_tpu.sim.plan.ExecutionPlan`."""
         from laudnet_tpu.sim.plan import plan_resnet_serving, plan_vit_serving
 
@@ -87,21 +91,43 @@ class ServingEngine:
             if self.plan.mode == "token":
                 select = m.clone(token_capacity=self.plan.token_capacity)
                 self._fwd = self._compile(select)
+            self.plan.served = self.plan.mode
         else:
-            # The CNN paths: rank analytically; only exact paths are
-            # compiled here (static export is a separate, opt-in pipeline —
-            # `infer/export_pruned.py` — because it changes the model).
+            # The CNN engine always serves the dense-masked graph (the
+            # exact in-process path); the ranking is a RECOMMENDATION —
+            # pallas / layerskip / static export are separate pipelines.
+            from laudnet_tpu.sim.plan import ExecutionPlan
+
             dyn = self.model.dyn_mode[0] if hasattr(self.model, "dyn_mode") \
                 else "channel"
+            # measure the policy's realized activation rate on the
+            # calibration batches (this is what the ranking is priced at)
+            m = self.model
+            rates = []
+            for x in batches:
+                out = m.apply(self.variables, jnp.asarray(x),
+                              self.temperature, training=False)
+                rates.append(float(out.flops_perc.mean()))
+            act_rate = float(sum(rates) / len(rates)) if rates else 1.0
+
             depth_map = {16: "resnet50", 33: "resnet101"}
-            n_blocks = sum(self.model.layers)
-            name = depth_map.get(n_blocks, "resnet101")
-            self.plan = plan_resnet_serving(
-                name, dyn_mode=dyn, spec=self.spec,
-                batch_size=self.batch_size,
-                allow_static_export=allow_static_export,
-            )
-            # dense-masked is the compiled exact winner on TPU today
+            name = depth_map.get(sum(self.model.layers))
+            if name is None:
+                # no analytic geometry for this depth: serve dense-masked,
+                # return an honest no-ranking plan instead of pricing the
+                # wrong network
+                self.plan = ExecutionPlan(
+                    kind="resnet", mode="dense-masked",
+                    served="dense-masked", exact=True,
+                    predicted_speedup=1.0, ranking={},
+                )
+            else:
+                self.plan = plan_resnet_serving(
+                    name, dyn_mode=dyn, act_rate=act_rate, spec=self.spec,
+                    batch_size=self.batch_size,
+                    allow_static_export=allow_static_export,
+                )
+                self.plan.served = "dense-masked"
         return self.plan
 
     # --- serving --------------------------------------------------------------

@@ -78,8 +78,8 @@ def build_layer_skip_resnet(variables, layers: Sequence[int] = (3, 4, 23, 3)):
         h = _conv(x, params["conv1"]["kernel"], stride=2, padding=3)
         h = jnp.maximum(_bn(h, {**params["bn1"], **stats["bn1"]}), 0.0)
         h = lax.reduce_window(
-            h, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-            ((0, 0), (1, 1), (1, 1), (0, 0)),
+            h, jnp.asarray(-jnp.inf, h.dtype), lax.max, (1, 3, 3, 1),
+            (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
         )
         n_run = jnp.int32(0)
         inplanes = 64

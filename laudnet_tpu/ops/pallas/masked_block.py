@@ -98,18 +98,28 @@ def _kernel(idx_ref, valid_ref,  # scalar prefetch (SMEM)
         )
 
     # --- input pipeline: prime step 0, prefetch step+1 -------------------
+    # Input DMAs are predicated on slot validity exactly like the output
+    # scatters: a padding slot's compute result is discarded anyway, and
+    # the per-DMA issue floor (~0.27 us) is the kernel's dominant cost, so
+    # skipping invalid windows directly saves capacity-minus-realized work.
     @pl.when(step == 0)
     def _():
         for p in range(p_count):
-            in_dma(step, slot, p).start()
+            @pl.when(valid_ref[step * p_count + p] > 0)
+            def _():
+                in_dma(step, slot, p).start()
 
     @pl.when(step + 1 < n_steps)
     def _():
         for p in range(p_count):
-            in_dma(step + 1, (step + 1) % 2, p).start()
+            @pl.when(valid_ref[(step + 1) * p_count + p] > 0)
+            def _():
+                in_dma(step + 1, (step + 1) % 2, p).start()
 
     for p in range(p_count):
-        in_dma(step, slot, p).wait()
+        @pl.when(valid_ref[step * p_count + p] > 0)
+        def _():
+            in_dma(step, slot, p).wait()
 
     # --- output slot reuse: wait step-2's writes on this slot ------------
     @pl.when(step >= 2)

@@ -94,19 +94,6 @@ def scatter_patches_add(base, patches, idx, valid, patch):
     return cells.reshape(b, h, w, c)
 
 
-def conv_on_patches(patches, kernel, *, valid_conv=True):
-    """Run a conv over gathered patches: (B, K, ph, pw, C) x HWIO kernel.
-
-    Flattens (B, K) into the batch so XLA sees one big NHWC conv — patch
-    rows become MXU matmul rows after im2col. VALID padding consumes the
-    halo that :func:`gather_patches` added.
-    """
-    b, k, ph, pw, c = patches.shape
-    flat = patches.reshape(b * k, ph, pw, c)
-    out = jax.lax.conv_general_dilated(
-        flat, kernel,
-        window_strides=(1, 1),
-        padding="VALID" if valid_conv else "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return out.reshape(b, k, out.shape[1], out.shape[2], out.shape[3])
+# (a conv_on_patches helper used to live here; the model path inlines its
+# own nn.Conv over gathered patches — laud_resnet.py — so it was removed
+# rather than kept as drift-prone dead API)

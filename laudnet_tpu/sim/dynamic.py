@@ -7,8 +7,11 @@ convolutions execute as patch batches (``n_patches_parallel`` patches per
 wave), latency is bounded by the straggler channel tile under random masks,
 gather/scatter are pure memory ops with coalescing losses, and the
 masker+conv1 stage picks min(fused widened conv, separate masker + dynamic
-conv). Expected patch count uses the mean over 1..n_patches (the reference's
-``mean_n_patches``), making predictions density-aware but input-independent.
+conv). Expected patch count is ``ceil(density * total_patches)`` — a
+deliberate deviation from the reference's density-independent
+``mean_n_patches = (1+..+N)/N`` (`multi_cores.py:392`): the rebuild's
+predictions are driven by the caller's activation rate, which is what the
+paradigm-selection loop actually knows.
 """
 
 from __future__ import annotations
@@ -83,9 +86,9 @@ class DynamicPredictor(Predictor):
         """Convolution over gathered active patches.
 
         Tiles (c, h, w within a patch) x ``n_patches_parallel`` per wave;
-        expected #patches = mean over 1..total (density enters via the
-        channel densities and the caller's patch count); memory includes the
-        gathered-vs-strided input tradeoff."""
+        expected #patches = ``ceil(density * total)`` (see module docstring
+        for the deliberate deviation from the reference's mean); memory
+        includes the gathered-vs-strided input tradeoff."""
         s = self.spec
         n_h = math.ceil(outh / granul_size)
         n_w = math.ceil(outw / granul_size)
@@ -104,7 +107,11 @@ class DynamicPredictor(Predictor):
 
                         # memory
                         wpc = c_t * (cin // groups) * ks * ks
-                        ipc = ((cin // groups)
+                        # a channel tile spanning several conv groups reads
+                        # each group's input slice (reference
+                        # `dynamic_conv.py` pe_input n_groups factor)
+                        gpc = math.ceil(c_t / max(cout // groups, 1))
+                        ipc = (gpc * (cin // groups)
                                * (h_t + ks - 1) * stride
                                * (w_t + ks - 1) * stride * n_patches)
                         opc = c_t * h_t * w_t * n_patches

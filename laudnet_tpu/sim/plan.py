@@ -21,16 +21,24 @@ from laudnet_tpu.sim.tpu import TPUPredictor, tpu_predict_network, tpu_predict_v
 
 @dataclass
 class ExecutionPlan:
-    """A chosen serving configuration with its predicted economics."""
+    """A chosen serving configuration with its predicted economics.
+
+    ``mode`` is the RECOMMENDED path under the latency model; ``served``
+    is what the caller actually compiled (ServingEngine serves the exact
+    in-process paths — dense-masked / token-select; the Pallas kernel,
+    layer-skip engine and static export are separate pipelines the plan
+    can recommend but the engine does not swap in automatically).
+    """
 
     kind: str  # 'vit' | 'resnet' | ...
-    mode: str  # winning paradigm / execution path
+    mode: str  # winning paradigm / execution path (recommendation)
     token_capacity: Optional[Sequence[float]] = None
     predicted_latency: float = 0.0  # seconds / batch
     dense_latency: float = 0.0
     predicted_speedup: float = 1.0
     ranking: dict = field(default_factory=dict)  # mode -> predicted seconds
     exact: bool = True  # bit-equivalent to the masked graph?
+    served: Optional[str] = None  # path actually compiled (None = mode)
 
 
 def rank_vit_paradigms(p: TPUPredictor, *, depth: int = 12, dim: int = 384,

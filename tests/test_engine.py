@@ -101,7 +101,27 @@ def test_serving_engine_resnet_plan():
     plan = engine.calibrate([x])
     assert plan.kind == "resnet"
     assert plan.exact
+    # tiny (1,1,1,1) geometry has no analytic model: the plan must say so
+    # (empty ranking) rather than price the wrong network
+    assert plan.ranking == {}
+    assert plan.served == "dense-masked"
+
+
+def test_serving_engine_resnet101_ranked_plan():
+    """A real-geometry model gets a ranked plan priced at the MEASURED
+    activation rate, and the engine reports the served path separately."""
+    from laudnet_tpu.models import LAUDResNet
+
+    m = LAUDResNet(layers=(3, 4, 23, 3), num_classes=10, input_size=64,
+                   dyn_mode=("channel",) * 4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                               training=False))()
+    engine = ServingEngine(m, v)
+    plan = engine.calibrate([x])
     assert "dense-masked" in plan.ranking
+    assert plan.served == "dense-masked"
+    assert plan.exact
 
 
 def test_sim_cli_plan_subcommand(capsys):
