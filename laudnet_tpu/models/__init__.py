@@ -24,6 +24,7 @@ from laudnet_tpu.models.laud_vit import (
     LAUDViT,
     LAUDViTBlock,
     LAUDViTOutput,
+    laud_deit_base,
     laud_deit_small,
     laud_deit_tiny,
     laud_t2t_vit_19_backbone,

@@ -373,6 +373,10 @@ def laud_deit_tiny(**kwargs) -> LAUDViT:
     return LAUDViT(depth=12, dim=192, num_heads=3, mlp_ratio=4.0, **kwargs)
 
 
+def laud_deit_base(**kwargs) -> LAUDViT:
+    return LAUDViT(depth=12, dim=768, num_heads=12, mlp_ratio=4.0, **kwargs)
+
+
 def laud_t2t_vit_19_backbone(**kwargs) -> LAUDViT:
     """The T2T-ViT-19 transformer trunk geometry (dim 448, 7 heads, 14
     blocks, mlp ratio 3) with the LAUD paradigms; the tokens-to-token stem is

@@ -36,7 +36,8 @@ REGNET_ARCHS = tuple(
         "x_8gf", "x_16gf", "x_32gf",
     )
 )
-VIT_ARCHS = ("laud_deit_small", "laud_deit_tiny", "laud_t2t_vit_19")
+VIT_ARCHS = ("laud_deit_small", "laud_deit_tiny", "laud_deit_base",
+             "laud_t2t_vit_19")
 
 
 def arch_family(arch: str) -> str:
