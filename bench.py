@@ -368,9 +368,67 @@ def main_pallas():
     }))
 
 
+def main_train():
+    """Training throughput: one jitted LAUD-ResNet50 spatial-4421 train
+    step (Gumbel-ST student + frozen dense teacher KD + bounds sparsity +
+    SGD) vs the same step on the plain dense ResNet-50 (CE only) — the
+    measured cost of the LAUD training graph over vanilla training."""
+    import jax.random as jr
+
+    from laudnet_tpu.models import ResNet, uni_resnet50
+    from laudnet_tpu.train import optim
+    from laudnet_tpu.train.trainer import (
+        TrainConfig, create_train_state, make_train_step,
+    )
+
+    batch = 64  # training holds activations + grads; 128 is tight on 16 GB
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, SIZE, SIZE, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 1000, (batch,)), jnp.int32)
+
+    model = uni_resnet50(
+        dyn_mode=("spatial",) * 4, mask_spatial_granularity=(4, 4, 2, 1),
+        channel_masker=("MLP",) * 4, channel_masker_layers=(1, 1, 1, 1),
+    )
+    teacher = ResNet(layers=(3, 4, 6, 3))
+    cfg = TrainConfig(num_epochs=100, steps_per_epoch=100, base_lr=0.04,
+                      full_flops=4.1e9)
+    teacher_vars = jax.jit(lambda: teacher.init(
+        {"params": jr.PRNGKey(1)}, x, training=False))()
+    optimizer = optim.make_sgd(jax.jit(lambda: model.init(
+        {"params": jr.PRNGKey(0)}, x, 1.0, training=False))()["params"])
+    state = create_train_state(model, optimizer, x, rng=jr.PRNGKey(0))
+    step = jax.jit(make_train_step(model, teacher, teacher_vars, optimizer,
+                                   cfg))
+
+    def timed(state):
+        import time as _t
+
+        state, m = step(state, x, y, jr.PRNGKey(2))
+        float(m["loss"])  # fence
+        t0 = _t.perf_counter()
+        iters = 10
+        for i in range(iters):
+            state, m = step(state, x, y, jr.fold_in(jr.PRNGKey(3), i))
+        float(m["loss"])  # fence (donated state chains the dependency)
+        return batch * iters / (_t.perf_counter() - t0)
+
+    laud_ips = timed(state)
+    print(json.dumps({
+        "metric": ("train images/sec/chip LAUD-ResNet50 spatial-4421 full "
+                   "step (KD + sparsity + SGD), bs64 fp32"),
+        "value": round(laud_ips, 1),
+        "unit": "img/s",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     import sys
 
+    if "--train" in sys.argv:
+        main_train()
+        return
     if "--resnet-masked" in sys.argv:
         main_resnet()  # dense-masked graph vs dense (correctness oracle path)
     elif "--r101-static" in sys.argv:
