@@ -243,13 +243,16 @@ class TPUPredictor:
 
     def token_select(self, l_from: int, l_to: int, d: int) -> SimulationReport:
         """Fixed-capacity top-k token selection: rank + top_k over the mask
-        (VPU over B*L) + one 1-D gather of k rows (pure HBM)."""
+        (VPU over B*L) + gathers of x/mask/score rows. This lowers to ~4
+        fused regions (rank build, sort, two gathers), so the dispatch
+        overhead is charged 4x — negligible at bs128, decisive at batch 1
+        where every matmul is tiny."""
         b = self.spec.batch_size
         comp = 8.0 * b * l_from / self.spec.vpu_flops
         bytes_moved = 2.0 * b * l_to * d * self.dtype_bytes
         mem = bytes_moved / self.spec.mem_bandwidth
         return SimulationReport(
-            latency=max(comp, mem) + self.spec.fusion_overhead,
+            latency=max(comp, mem) + 4.0 * self.spec.fusion_overhead,
             compute_latency=comp, memory_latency=mem,
             cfg=[dict(op="token_select", k=l_to)],
         )
@@ -272,6 +275,13 @@ def tpu_vit_block(p: TPUPredictor, l: int, dim: int, heads: int,
         rep = rep + p.matmul(b, dim, 2 * heads)
     if token_policy:
         rep = rep + p.matmul(rows, dim, 2)
+        # gate compose + key-mask add + output-mask multiplies: one more
+        # fused elementwise region (its dispatch cost matters at batch 1)
+        gate_mem = rows * p.dtype_bytes / p.spec.mem_bandwidth
+        rep = rep + SimulationReport(
+            latency=p.spec.fusion_overhead + gate_mem,
+            memory_latency=gate_mem, cfg=[dict(op="token_gate")],
+        )
     rep = rep + p.layernorm(rows * dim)  # norm1
     rep = rep + p.matmul(rows, dim, 3 * dim)  # qkv
     rep = rep + p.transpose(rows * 3 * dim)  # (B,L,3,H,dh)->(3,B,H,L,dh)
