@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from laudnet_tpu.models.laud_resnet import LAUDOutput, he_normal_fan_out
+from laudnet_tpu.models.laud_resnet import (
+    LAUDOutput,
+    he_normal_fan_out,
+    torch_linear_bias_init,
+)
 from laudnet_tpu.models.maskers import (
     ChannelMaskerConvLinear,
     ChannelMaskerMLP,
@@ -110,10 +114,17 @@ class SqueezeExcitation(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         s = masking.global_avg_pool(x)[:, None, None, :]
+        # the reference's init loop applies kaiming_normal fan_out to EVERY
+        # non-masker conv, SE included (`laud_regnet.py:562-566`); biases
+        # keep torch's Conv2d default uniform
         s = nn.Conv(self.squeeze_channels, (1, 1), use_bias=True, name="fc1",
+                    kernel_init=he_normal_fan_out(),
+                    bias_init=torch_linear_bias_init(c),
                     param_dtype=self.param_dtype)(s)
         s = nn.relu(s)
         s = nn.Conv(c, (1, 1), use_bias=True, name="fc2",
+                    kernel_init=he_normal_fan_out(),
+                    bias_init=torch_linear_bias_init(self.squeeze_channels),
                     param_dtype=self.param_dtype)(s)
         return x * jax.nn.sigmoid(s)
 

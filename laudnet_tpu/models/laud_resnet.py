@@ -19,6 +19,7 @@ is a spatial masker with ``mask_size=1`` (`laud_resnet.py:72`).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
@@ -30,6 +31,8 @@ from laudnet_tpu.models.maskers import (
     ChannelMaskerConvLinear,
     ChannelMaskerMLP,
     SpatialMasker,
+    torch_default_bias_init as torch_linear_bias_init,
+    torch_default_kernel_init as torch_linear_kernel_init,
 )
 from laudnet_tpu.ops import masking
 
@@ -245,7 +248,9 @@ class LAUDBottleneck(nn.Module):
 
             patch = self.mask_spatial_granularity
             m = mask_size
-            capacity = max(1, min(m * m, -(-int(self.patch_capacity * m * m))))
+            capacity = max(
+                1, min(m * m, math.ceil(self.patch_capacity * m * m))
+            )
 
             x1 = nn.relu(bn("bn1")(conv1(x)))
 
@@ -432,19 +437,8 @@ class LAUDResNet(nn.Module):
         )
 
 
-def torch_linear_kernel_init():
-    return jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
-
-
-def torch_linear_bias_init(fan_in):
-    import math
-
-    bound = 1.0 / math.sqrt(fan_in)
-
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
-
-    return init
+# torch nn.Linear default init: re-exported from maskers.py (single
+# definition) as torch_linear_{kernel,bias}_init for resnet.py.
 
 
 def uni_resnet50(**kwargs) -> LAUDResNet:

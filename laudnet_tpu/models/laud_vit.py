@@ -74,11 +74,16 @@ class LAUDViTBlock(nn.Module):
     # the masked graph whenever capacity covers the realized keep count,
     # and this block's own matmuls already run at the reduced length.
     capacity: Any = None
+    # FLOPs-bookkeeping length: the ORIGINAL token count (N+1), so reported
+    # FLOPs stay in the masked-graph frame even after earlier blocks have
+    # gathered the buffer down (None -> the incoming buffer length).
+    book_len: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, token_mask, temperature, *, training: bool):
         b, l, d = x.shape
+        l_book = self.book_len or l  # masked-graph bookkeeping length
         h = self.num_heads
         dh = d // h
         hidden = int(d * self.mlp_ratio)
@@ -142,10 +147,14 @@ class LAUDViTBlock(nn.Module):
             token_score = (tlogits[..., 0] - tlogits[..., 1]).astype(
                 jnp.float32
             )
-            policy_flops += l * d * 2
-        token_density = token_mask.mean()
-        token_keep = token_mask.mean(axis=1)
-        l_in = l  # pre-selection length: the bookkeeping frame of reference
+            policy_flops += l_book * d * 2
+        # Bookkeeping frame: full length for the dense-shape terms (qkv,
+        # policy), kept-token COUNT for the gated terms. token_density is a
+        # fraction of the current buffer; rescale it to the full length so
+        # l_book * density == kept count regardless of earlier gathers
+        # (zombie slots removed by selection are gate-0 either way).
+        token_density = token_mask.mean() * (l / l_book)
+        token_keep = token_mask.mean(axis=1) * (l / l_book)
 
         if (self.capacity is not None and not training
                 and self.capacity < l):
@@ -195,15 +204,15 @@ class LAUDViTBlock(nn.Module):
         x = x + y
 
         # --- FLOPs bookkeeping (simulator cost model) ----------------------
-        # Accounted at the PRE-selection length l_in: token_density is
-        # measured over l_in tokens, so using the post-gather l here would
-        # double-count the reduction and break parity with the masked-graph
-        # accounting (capacity selection never changes reported FLOPs).
+        # Accounted at the masked-graph length l_book (token_density is
+        # rescaled to the same frame above), so capacity selection never
+        # changes reported FLOPs: dense-shape terms use l_book and gated
+        # terms use the kept-token count l_book * tok.
         def block_flops(tok, hd, ak, mk):
-            qkv_f = 3 * l_in * d * d * hd
-            attn_f = 2 * h * (l_in * tok) ** 2 * dh * hd
-            proj_f = (l_in * tok) * d * d * hd * hd
-            mlp_f = (l_in * tok) * d * hidden * (hd + 1.0)
+            qkv_f = 3 * l_book * d * d * hd
+            attn_f = 2 * h * (l_book * tok) ** 2 * dh * hd
+            proj_f = (l_book * tok) * d * d * hd * hd
+            mlp_f = (l_book * tok) * d * hidden * (hd + 1.0)
             return ak * (qkv_f + attn_f + proj_f) + mk * mlp_f
 
         sparse = f32(policy_flops) + block_flops(
@@ -304,7 +313,7 @@ class LAUDViT(nn.Module):
                 dim=self.dim, num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio, token_skip=self.token_skip,
                 head_skip=self.head_skip, layer_skip=self.layer_skip,
-                capacity=cap,
+                capacity=cap, book_len=n + 1,
                 name=f"block_{i}", param_dtype=self.param_dtype,
             )(x, token_mask, temperature, training=training)
             stats_all.append(st)

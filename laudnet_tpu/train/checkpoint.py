@@ -27,6 +27,17 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True
             ),
         )
+        self._best_mgr = None  # created lazily on the first is_best save
+
+    def _best(self):
+        if self._best_mgr is None:
+            self._best_mgr = ocp.CheckpointManager(
+                os.path.join(self.directory, "best"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1, create=True
+                ),
+            )
+        return self._best_mgr
 
     def save(self, step: int, state, metadata: Optional[Dict[str, Any]] = None,
              is_best: bool = False):
@@ -41,6 +52,14 @@ class CheckpointManager:
             with open(os.path.join(self.directory, f"meta_{step}.json"), "w") as f:
                 json.dump(metadata, f)
         if is_best:
+            # a separate max_to_keep=1 manager, so the best weights survive
+            # the rolling GC of the main manager (the model_best.pth.tar
+            # copy, reference `utils/utils.py:8-17`)
+            self._best().save(
+                step,
+                args=ocp.args.Composite(state=ocp.args.StandardSave(state)),
+            )
+            self._best().wait_until_finished()
             with open(os.path.join(self.directory, "best.json"), "w") as f:
                 json.dump({"step": step, **(metadata or {})}, f)
 
@@ -66,5 +85,26 @@ class CheckpointManager:
                 metadata = json.load(f)
         return restored["state"], metadata
 
+    def restore_best(self, abstract_state) -> Tuple[Any, Dict[str, Any]]:
+        """Restore the best-metric checkpoint saved with ``is_best=True``."""
+        best = self._best()
+        step = best.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no best checkpoint in {self.directory}")
+        restored = best.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract_state),
+            ),
+        )
+        meta_path = os.path.join(self.directory, "best.json")
+        metadata = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                metadata = json.load(f)
+        return restored["state"], metadata
+
     def close(self):
         self._mgr.close()
+        if self._best_mgr is not None:
+            self._best_mgr.close()

@@ -266,13 +266,22 @@ def main(argv=None):
         del tv
     log(f"full_flops (dense multiply-adds): {full_flops / 1e9:.3f} G")
 
+    alpha_kd = args.alpha_kd
+    if args.teacher_path is None and args.data_url:
+        # The reference REQUIRES teacher weights (strict load,
+        # `train/main.py:294`); distilling a real run toward a random
+        # teacher would silently degrade accuracy, so disable KD instead.
+        # (Synthetic smoke runs keep KD to exercise the code path.)
+        log("WARNING: no --teacher_path; disabling KD (alpha_kd=0) — a "
+            "random teacher would corrupt real-data training")
+        alpha_kd = 0.0
     cfg = TrainConfig(
         num_epochs=epochs, steps_per_epoch=steps_per_epoch,
         base_lr=recipe.lr, lr_min=recipe.lr_min, scheduler=recipe.scheduler,
         warmup_epochs=recipe.warmup_epochs,
         t0=args.t0, t_last=args.t_last, t_last_epoch=t_last_epoch,
         temp_scheduler=args.temp_scheduler,
-        lambda_act=args.lambda_act, alpha_kd=args.alpha_kd, t_kd=args.T_kd,
+        lambda_act=args.lambda_act, alpha_kd=alpha_kd, t_kd=args.T_kd,
         label_smooth=recipe.label_smooth, target_rate=args.target_rate,
         full_flops=full_flops,
     )
@@ -320,17 +329,18 @@ def main(argv=None):
         )
         log(f"loaded teacher from {args.teacher_path}")
 
+    # lr_mult scales the BACKBONE group (maskers stay at 1.0) — the
+    # reference's get_optim_policies convention (`laud_resnet.py:399-400`;
+    # its per-iter scheduler has an inverted branch that is dead for every
+    # shipped arch name — SURVEY.md §2.2 scheduler quirk)
     optimizer = optim.make_sgd(
         variables["params"],
         momentum=recipe.momentum, nesterov=recipe.nesterov,
         weight_decay=recipe.weight_decay,
         backbone_lr_mult=args.lr_mult, masker_lr_mult=1.0,
     )
-    state = create_train_state(model, optimizer, sample, rng=rng)
-    state = state.replace(
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-    )
+    state = create_train_state(model, optimizer, sample, rng=rng,
+                               variables=variables)
     state = jax.device_put(state, repl)
     teacher_vars = jax.device_put(teacher_vars, repl)
 
@@ -411,6 +421,8 @@ def main(argv=None):
     for epoch in range(start_epoch, epochs):
         meters = {k: AverageMeter(k) for k in
                   ("loss", "top1", "act_rate", "flops")}
+        dev_sums = {k: jnp.float32(0.0) for k in meters}
+        dev_count = 0
         batches = (
             train_loader.epoch(epoch) if args.data_url
             else synthetic_batches(batch_size, args.input_size,
@@ -423,14 +435,24 @@ def main(argv=None):
             images = jax.device_put(jnp.asarray(images), batch_sh)
             labels = jax.device_put(jnp.asarray(labels), batch_sh)
             state, m = train_step(state, images, labels, rng)
+            # metrics accumulate on-device EVERY step (reference averages
+            # every iteration, `main.py:581-588`) without a per-step host
+            # sync; the epoch-end device_get folds them into the meters
+            bsz = len(labels)
+            for k in meters:
+                dev_sums[k] = dev_sums[k] + m[k] * bsz
+            dev_count += bsz
             if i % args.print_freq == 0:
                 m_host = jax.device_get(m)
-                for k in meters:
-                    meters[k].update(float(m_host[k]), len(labels))
                 log(f"epoch {epoch} [{i}/{steps_per_epoch}] "
-                    f"loss {meters['loss'].avg:.4f} top1 {meters['top1'].avg:.2f} "
-                    f"act {meters['act_rate'].avg:.3f} "
+                    f"loss {float(m_host['loss']):.4f} "
+                    f"top1 {float(m_host['top1']):.2f} "
+                    f"act {float(m_host['act_rate']):.3f} "
                     f"lr {float(m_host['lr']):.5f} T {float(m_host['temperature']):.3f}")
+        if dev_count:
+            sums_host = jax.device_get(dev_sums)
+            for k in meters:
+                meters[k].update(float(sums_host[k]) / dev_count, dev_count)
         train_time = time.time() - t0
 
         # validation
@@ -454,7 +476,12 @@ def main(argv=None):
             act += float(s["act_rate"]) * bsz
             gflops += float(s["flops"]) / 1e9 * bsz
             n_val += bsz
-            density_rows = _density_rows(s)
+            # batch-size-weighted val-set average (reference accumulates
+            # densities over the whole val set, `main.py:625-660`)
+            rows = _density_rows(s) * bsz
+            density_rows = rows if density_rows is None else (
+                density_rows + rows)
+        density_rows = density_rows / max(n_val, 1)
         val_top1, val_top5 = val_top1 / n_val, val_top5 / n_val
         act, gflops = act / n_val, gflops / n_val
         log(f"epoch {epoch}: val top1 {val_top1:.3f} top5 {val_top5:.3f} "

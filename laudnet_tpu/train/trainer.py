@@ -118,10 +118,14 @@ def compute_sparsity_loss(cfg: TrainConfig, epoch, out):
 
 
 def create_train_state(model, optimizer, sample_batch, *, rng,
-                       temperature=5.0) -> TrainState:
-    variables = model.init(
-        {"params": rng}, sample_batch, temperature, training=False
-    )
+                       temperature=5.0, variables=None) -> TrainState:
+    """Pass ``variables`` (an already-initialized/loaded dict) to skip the
+    model.init forward — at real batch sizes an eager init costs minutes of
+    op-by-op work whose result would be immediately replaced."""
+    if variables is None:
+        variables = model.init(
+            {"params": rng}, sample_batch, temperature, training=False
+        )
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -287,3 +287,19 @@ def test_token_selection_flops_match_masked_graph():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out_s.flops_perc),
                                np.asarray(out_m.flops_perc), rtol=1e-6)
+
+    # truncating budgets that still COVER the realized keeps: accounting
+    # must stay in the masked frame (book_len threads the full length)
+    from laudnet_tpu.infer import calibrate_token_capacity
+
+    caps = calibrate_token_capacity(
+        lambda b: m.apply(v, b, 0.1, training=False), [x],
+        quantile=1.0, margin=1e-6,
+    )
+    sel2 = tiny_vit(token_capacity=caps, **kw)
+    out_t = sel2.apply(v, x, 0.1, training=False)
+    np.testing.assert_allclose(float(out_t.flops), float(out_m.flops),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_t.logits),
+                               np.asarray(out_m.logits), rtol=1e-4,
+                               atol=1e-4)
