@@ -129,3 +129,22 @@ def test_corrupt_jpeg_falls_back(tmp_path):
     out = t.load([good], [0])
     assert out.shape == (1, 32, 32, 3)
     assert crashed or True
+
+
+def test_grayscale_jpeg_decodes_to_rgb(tmp_path):
+    """libjpeg converts grayscale to RGB in-decoder (JCS_RGB); the three
+    channels must be equal and match PIL's conversion."""
+    rng = np.random.default_rng(9)
+    img = Image.fromarray(rng.integers(0, 255, (60, 70), np.uint8), "L")
+    p = str(tmp_path / "gray.jpg")
+    img.save(p, quality=95)
+    native = decode_image(p)
+    assert native.shape == (60, 70, 3)
+    np.testing.assert_array_equal(native[..., 0], native[..., 1])
+    with Image.open(p) as im:
+        pil = np.asarray(im.convert("RGB"), np.float32)
+    assert np.abs(native - pil).max() <= 1.0 + 1e-6
+    # and through the full transform
+    t = NativeBatchTransform(size=32, train=False, normalize=False)
+    out = t.load([p], [0])
+    assert out.shape == (1, 32, 32, 3)
