@@ -1,4 +1,5 @@
 from laudnet_tpu.detection.backbone import LAUDDetBackbone
+from laudnet_tpu.detection.eval_info import evaluate_get_info
 from laudnet_tpu.detection.fpn import FPN
 from laudnet_tpu.detection.retinanet import RetinaNet, RetinaNetHead
 from laudnet_tpu.detection.losses import loss_sparse
@@ -33,5 +34,5 @@ __all__ = [
     "make_detection_sgd", "make_detector_train_step",
     "mean_average_precision", "synthetic_coco_batches", "train_detector",
     "DETRDetector", "detr_loss", "detr_detect", "hungarian_match",
-    "build_detector", "evaluate_detector",
+    "build_detector", "evaluate_detector", "evaluate_get_info",
 ]

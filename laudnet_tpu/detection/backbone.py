@@ -11,8 +11,11 @@ eval-with-info accounting), and ``model_configs`` carries
 Detection-specific behaviors reproduced: **fixed Gumbel temperature**
 (`lad_mmdet_resnet.py:679-682` — detectors never anneal), optional frozen
 stages, and ``norm_eval`` (BN always uses running stats,
-`lad_mmdet_resnet.py:753-762`). Variable input sizes are handled by
-deriving mask sizes from the actual feature resolution.
+`lad_mmdet_resnet.py:753-762`). Mask sizes derive from the traced feature
+resolution, so each input size compiles its own masks; dynamic modes
+require SQUARE inputs (square mask grids, like the reference's
+``ResNet_sd``) — pad detection batches to square, the standard TPU
+contract (LSJ crops are square already).
 """
 
 from __future__ import annotations
@@ -64,6 +67,20 @@ class LAUDDetBackbone(nn.Module):
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
 
+        # The masker grids and FLOPs bookkeeping are square (LAUDBottleneck
+        # output_size is one int, like the reference's mask_size); detection
+        # inputs must be square-padded for the dynamic modes — the standard
+        # TPU detection contract (our runner/configs and Mask2Former's LSJ
+        # recipe use square crops). Fail loudly instead of broadcast-crashing
+        # deep inside a masker on 800x1333-style inputs.
+        if x.shape[1] != x.shape[2] and any(
+                m != "static" for m in self.dyn_mode):
+            raise ValueError(
+                f"LAUDDetBackbone dynamic modes need square inputs; got "
+                f"{x.shape[1]}x{x.shape[2]} (pad to square, reference "
+                f"ResNet_sd has the same square mask-grid assumption)"
+            )
+
         outs = []
         sparse_flops = jnp.float32(0.0)
         dense_flops = jnp.float32(0.0)
@@ -76,13 +93,17 @@ class LAUDDetBackbone(nn.Module):
             for b in range(self.layers[s]):
                 stride = (2 if s > 0 else 1) if b == 0 else 1
                 has_ds = b == 0 and (stride != 1 or inplanes != planes * EXPANSION)
-                out_size = x.shape[1] // stride
+                out_size = -(-x.shape[1] // stride)  # SAME-conv ceil div
                 name = f"layer{s + 1}_{b}"
                 if mode == "static":
-                    x, st = self._static_block(
+                    x, blk_flops = self._static_block(
                         x, planes, stride, has_ds, name,
                         stage_training and bn_training,
                     )
+                    # static blocks still execute dense compute: account it
+                    # (all-static backbones otherwise report flops_rate 0)
+                    sparse_flops += blk_flops
+                    dense_flops += blk_flops
                 else:
                     x, st = LAUDBottleneck(
                         planes=planes, stride=stride, has_downsample=has_ds,
@@ -122,13 +143,22 @@ class LAUDDetBackbone(nn.Module):
         return tuple(outs), additional, model_configs
 
     def _static_block(self, x, planes, stride, has_ds, name, training):
+        """Plain bottleneck; returns (out, dense multiply-adds) with the
+        same per-block formulas as LAUDBottleneck's bookkeeping
+        (`laud_resnet.py:223-239`), rectangular-safe."""
         from laudnet_tpu.models.resnet import Bottleneck
 
+        inplanes = x.shape[-1]
+        in_hw = x.shape[1] * x.shape[2]
         out = Bottleneck(planes=planes, stride=stride, has_downsample=has_ds,
                          name=name, param_dtype=self.param_dtype)(
             x, training=training
         )
-        from laudnet_tpu.models.laud_resnet import BlockStats
-
-        one = jnp.float32(1.0)
-        return out, BlockStats(one, one, one, one, one, jnp.float32(0.0))
+        out_hw = out.shape[1] * out.shape[2]
+        out_planes = planes * EXPANSION
+        flops = (inplanes * planes * in_hw          # conv1 1x1
+                 + planes * planes * 9 * out_hw     # conv2 3x3
+                 + planes * out_planes * out_hw)    # conv3 1x1
+        if has_ds:
+            flops += inplanes * out_planes * out_hw
+        return out, jnp.float32(flops)

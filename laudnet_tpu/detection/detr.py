@@ -175,7 +175,16 @@ def hungarian_match(cost):
     """Exact bipartite matching via scipy through pure_callback.
 
     ``cost``: (B, Q, M). Returns (B, M) int32: the query assigned to each
-    GT slot (garbage for invalid slots — mask downstream)."""
+    GT slot (garbage for invalid slots — mask downstream). Requires
+    M <= Q: with more GT slots than queries, linear_sum_assignment leaves
+    some columns unmatched and they would all alias query 0, producing
+    duplicate scatter indices downstream."""
+    if cost.shape[2] > cost.shape[1]:
+        raise ValueError(
+            f"hungarian_match needs num_queries >= max GT slots; got "
+            f"Q={cost.shape[1]} < M={cost.shape[2]} — raise num_queries or "
+            f"shrink the GT padding"
+        )
 
     def host_match(c):
         from scipy.optimize import linear_sum_assignment

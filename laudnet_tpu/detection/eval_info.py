@@ -34,6 +34,8 @@ def evaluate_get_info(apply_fn: Callable, images: Iterable) -> dict:
               if ly is None else ly + np.asarray(add["layer_sparsity"]) * bsz)
         fp = (np.asarray(add["flops_perc"]) * bsz
               if fp is None else fp + np.asarray(add["flops_perc"]) * bsz)
+    if n == 0:
+        raise ValueError("evaluate_get_info: empty image iterable")
     return {
         "n_images": n,
         "mean_flops": flops / n,

@@ -111,13 +111,16 @@ class DetTrainConfig:
 
 def lr_at(step, cfg: DetTrainConfig):
     """mmdet 1x-style schedule: linear warmup then step decay at epochs
-    8 and 11 (of 12)."""
+    8 and 11 (of 12). Decay thresholds that truncate to 0 (short smoke
+    runs, e.g. --epochs 1) are disabled rather than decaying from step 0."""
     warm = jnp.minimum(
         (step.astype(jnp.float32) + 1.0) / max(cfg.warmup_steps, 1), 1.0
     )
     epoch = step // cfg.steps_per_epoch
-    decay = jnp.where(epoch >= int(cfg.epochs * 11 / 12), 0.01,
-                      jnp.where(epoch >= int(cfg.epochs * 8 / 12), 0.1, 1.0))
+    e8 = int(cfg.epochs * 8 / 12) or cfg.epochs + 1
+    e11 = int(cfg.epochs * 11 / 12) or cfg.epochs + 1
+    decay = jnp.where(epoch >= e11, 0.01,
+                      jnp.where(epoch >= e8, 0.1, 1.0))
     return cfg.base_lr * warm * decay
 
 
@@ -323,11 +326,20 @@ def mean_average_precision(detections, ground_truths, num_classes: int,
                     box_iou(jnp.asarray(box[None]),
                             jnp.asarray(np.asarray(gt["boxes"])[gt_sel]))
                 )[0]
-            j = int(np.argmax(ious))
-            if ious[j] >= iou_threshold and gt_idx[j] not in matched[i]:
-                tp[k] = 1
-                matched[i].add(gt_idx[j])
-            else:
+            # COCO-style matching: try GTs in IoU order, take the best
+            # still-unmatched one above threshold (greedy best-only would
+            # mark duplicates of a taken GT as FP even when another GT
+            # overlaps above threshold)
+            hit = False
+            for j in np.argsort(-ious):
+                if ious[j] < iou_threshold:
+                    break
+                if gt_idx[j] not in matched[i]:
+                    tp[k] = 1
+                    matched[i].add(gt_idx[j])
+                    hit = True
+                    break
+            if not hit:
                 fp[k] = 1
         ctp, cfp = np.cumsum(tp), np.cumsum(fp)
         recalls = ctp / n_gt

@@ -58,14 +58,21 @@ def encode_boxes(anchors, boxes):
 def assign_targets(anchors, gt_boxes, gt_labels, gt_valid, num_classes,
                    pos_iou=0.5, neg_iou=0.4):
     """Max-IoU assignment with padded GT. Returns (cls_onehot, box_targets,
-    pos_mask, valid_mask) per anchor."""
+    pos_mask, valid_mask) per anchor. Includes mmdet MaxIoUAssigner's
+    low-quality match: every valid GT's best anchor is forced positive, so
+    small/extreme-aspect boxes below ``pos_iou`` still train."""
     iou = box_iou(anchors, gt_boxes)  # (A, M)
     iou = jnp.where(gt_valid[None, :] > 0, iou, -1.0)
     best_gt = jnp.argmax(iou, axis=1)
     best_iou = jnp.max(iou, axis=1)
 
     pos = best_iou >= pos_iou
-    neg = best_iou < neg_iou
+    best_anchor_per_gt = jnp.argmax(iou, axis=0)  # (M,)
+    forced = jnp.zeros(anchors.shape[0], bool).at[best_anchor_per_gt].max(
+        gt_valid > 0
+    )
+    pos = pos | forced
+    neg = (best_iou < neg_iou) & ~pos
     valid = pos | neg  # ignore band contributes nothing
 
     labels = gt_labels[best_gt]

@@ -205,7 +205,9 @@ class FasterRCNN(nn.Module):
         # The RoI branch must not backprop through proposal coordinates
         # (mmdet detaches RPN proposals the same way).
         proposals = jax.lax.stop_gradient(proposals)
-        if training and gt_boxes is not None:
+        if training and gt_boxes is not None and gt_boxes.shape[1] > 0:
+            # (m == 0 would make proposals[:, :-m] == [:, :0] and silently
+            # discard every proposal)
             m = gt_boxes.shape[1]
             gv = (gt_valid if gt_valid is not None
                   else jnp.ones(gt_boxes.shape[:2], proposals.dtype))
@@ -271,14 +273,19 @@ class FasterRCNN(nn.Module):
             refined = clip_boxes_to_image(
                 decode_boxes(boxes, deltas), img_h, img_w
             )
-            top_s, top_i = jax.lax.top_k(scores, max_detections)
+            # second-stage NMS on the REFINED boxes: box refinement
+            # collapses near-duplicate proposals onto the same object, and
+            # without suppression every duplicate would count as a false
+            # positive downstream
+            keep, alive = nms(refined, scores, 0.5, max_detections)
+            kept_s = scores[keep] * alive
             return {
-                "boxes": refined[top_i],
-                "scores": jnp.where(top_s > score_threshold, top_s, 0.0),
-                "classes": classes[top_i],
+                "boxes": refined[keep],
+                "scores": jnp.where(kept_s > score_threshold, kept_s, 0.0),
+                "classes": classes[keep],
                 # proposal index of each detection — lets callers gather
                 # the matching mask_logits for segm evaluation
-                "indices": top_i,
+                "indices": keep,
             }
 
         return jax.vmap(per_image)(

@@ -36,9 +36,11 @@ def rpn_assign(anchors, gt_boxes, gt_valid, pos_iou=0.7, neg_iou=0.3):
     best_iou = jnp.max(iou, axis=1)
 
     pos = best_iou >= pos_iou
-    # best anchor for every valid GT is positive (low-quality matches)
+    # best anchor for every valid GT is positive (low-quality matches);
+    # scatter with .max so a padded GT (argmax lands on anchor 0) can never
+    # clobber a valid GT's forced True via duplicate-index scatter
     best_anchor_per_gt = jnp.argmax(iou, axis=0)  # (M,)
-    forced = jnp.zeros(anchors.shape[0], bool).at[best_anchor_per_gt].set(
+    forced = jnp.zeros(anchors.shape[0], bool).at[best_anchor_per_gt].max(
         gt_valid > 0
     )
     pos = pos | forced

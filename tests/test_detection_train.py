@@ -156,7 +156,10 @@ def test_synthetic_coco_convergence_smoke():
     """Tiny-synthetic-COCO convergence: 40 steps of Faster-RCNN on
     learnable rectangles must cut the loss substantially."""
     model = tiny_rcnn()
-    cfg = DetTrainConfig(num_classes=3, base_lr=0.02, lr_mult=0.5, epochs=1,
+    # base_lr 0.005: the 1x schedule has no decay inside a 1-epoch smoke
+    # (decay epochs truncate to 0 and are disabled), so the full LR
+    # applies from warmup end — 0.02 diverges on this tiny model
+    cfg = DetTrainConfig(num_classes=3, base_lr=0.005, lr_mult=0.5, epochs=1,
                          steps_per_epoch=40, warmup_steps=10,
                          lambda_sparse=0.1)
     _, _, history = train_detector(

@@ -76,3 +76,58 @@ def test_detr_masks_eval_reports_segm_map():
     )
     assert "segm_mAP" in res
     assert 0.0 <= res["segm_mAP"] <= 1.0
+
+
+def test_map_coco_matching_overlapping_gts():
+    """COCO matching: a duplicate detection whose best GT is taken must
+    fall through to another unmatched GT above threshold (the greedy
+    best-only rule would count it FP)."""
+    gts = [dict(boxes=np.array([[0, 0, 10, 10], [2, 0, 12, 10]]),
+                labels=np.array([0, 0]))]
+    dets = [dict(boxes=np.array([[0, 0, 10, 10], [1, 0, 11, 10]]),
+                 scores=np.array([0.9, 0.8]), classes=np.array([0, 0]))]
+    r = mean_average_precision(dets, gts, num_classes=1, iou_threshold=0.5)
+    assert r["mAP"] == 1.0  # det2 matches GT B (IoU ~0.69) instead of FP
+
+
+def test_evaluate_get_info_helper():
+    import jax.numpy as jnp
+    import pytest
+
+    from laudnet_tpu.detection import LAUDDetBackbone, evaluate_get_info
+
+    bb = LAUDDetBackbone(layers=(1, 1, 1, 1), dyn_mode=("channel",) * 4)
+    x = jnp.zeros((2, 64, 64, 3))
+    v = bb.init({"params": jax.random.PRNGKey(0)}, x, training=False)
+
+    def apply_fn(b):
+        feats, additional, cfgs = bb.apply(v, b, training=False)
+        return {"additional": additional}
+
+    info = evaluate_get_info(apply_fn, [np.zeros((2, 64, 64, 3), np.float32)])
+    assert info["n_images"] == 2
+    assert 0 < info["mean_flops_rate"] <= 1.0 + 1e-6
+    assert info["mean_channel_sparsity"].shape[0] == 4
+    with pytest.raises(ValueError):
+        evaluate_get_info(apply_fn, [])
+
+
+def test_backbone_rejects_nonsquare_dynamic_and_counts_static():
+    import jax.numpy as jnp
+    import pytest
+
+    from laudnet_tpu.detection import LAUDDetBackbone
+
+    bb = LAUDDetBackbone(layers=(1, 1, 1, 1), dyn_mode=("spatial",) * 4)
+    x = jnp.zeros((1, 64, 96, 3))
+    with pytest.raises(ValueError, match="square"):
+        bb.init({"params": jax.random.PRNGKey(0)}, x, training=False)
+
+    # all-static backbones account real dense FLOPs (rate 1.0, not 0/0)
+    st = LAUDDetBackbone(layers=(1, 1, 1, 1), dyn_mode=("static",) * 4)
+    v = st.init({"params": jax.random.PRNGKey(0)},
+                jnp.zeros((1, 64, 96, 3)), training=False)
+    _, additional, _ = st.apply(v, jnp.zeros((1, 64, 96, 3)),
+                                training=False)
+    assert float(additional["flops"]) > 0
+    assert float(additional["flops"]) == float(additional["dense_flops"])
