@@ -12,10 +12,10 @@ Detection-specific behaviors reproduced: **fixed Gumbel temperature**
 (`lad_mmdet_resnet.py:679-682` — detectors never anneal), optional frozen
 stages, and ``norm_eval`` (BN always uses running stats,
 `lad_mmdet_resnet.py:753-762`). Mask sizes derive from the traced feature
-resolution, so each input size compiles its own masks; dynamic modes
-require SQUARE inputs (square mask grids, like the reference's
-``ResNet_sd``) — pad detection batches to square, the standard TPU
-contract (LSJ crops are square already).
+resolution, so each input size compiles its own masks; rectangular inputs
+(COCO's 800x1333 family) pool a per-dimension masker grid and
+nearest-interpolate the mask onto the rectangular feature map, exactly the
+reference's scheme (`resnet_sd.py:713`, `lad_mmdet_resnet.py:274`).
 """
 
 from __future__ import annotations
@@ -67,24 +67,17 @@ class LAUDDetBackbone(nn.Module):
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
 
-        # The masker grids and FLOPs bookkeeping are square (LAUDBottleneck
-        # output_size is one int, like the reference's mask_size); detection
-        # inputs must be square-padded for the dynamic modes — the standard
-        # TPU detection contract (our runner/configs and Mask2Former's LSJ
-        # recipe use square crops). Fail loudly instead of broadcast-crashing
-        # deep inside a masker on 800x1333-style inputs.
-        if x.shape[1] != x.shape[2] and any(
-                m != "static" for m in self.dyn_mode):
-            raise ValueError(
-                f"LAUDDetBackbone dynamic modes need square inputs; got "
-                f"{x.shape[1]}x{x.shape[2]} (pad to square, reference "
-                f"ResNet_sd has the same square mask-grid assumption)"
-            )
-
+        # Rectangular inputs (COCO's 800x1333 family) are supported for all
+        # modes: the masker grid is pooled per-dimension
+        # (`resnet_sd.py:713`) and the mask nearest-interpolated onto the
+        # rectangular feature map (`lad_mmdet_resnet.py:274`); FLOPs
+        # bookkeeping uses the true rectangular areas.
         outs = []
         sparse_flops = jnp.float32(0.0)
         dense_flops = jnp.float32(0.0)
+        flops_img = jnp.zeros((x.shape[0],), jnp.float32)
         channel_s, layer_s, flops_perc = [], [], []
+        s3_img_all = []
         inplanes = 64
         for s in range(4):
             planes = 64 * (2**s)
@@ -93,7 +86,8 @@ class LAUDDetBackbone(nn.Module):
             for b in range(self.layers[s]):
                 stride = (2 if s > 0 else 1) if b == 0 else 1
                 has_ds = b == 0 and (stride != 1 or inplanes != planes * EXPANSION)
-                out_size = -(-x.shape[1] // stride)  # SAME-conv ceil div
+                out_size = (-(-x.shape[1] // stride),  # SAME-conv ceil div
+                            -(-x.shape[2] // stride))
                 name = f"layer{s + 1}_{b}"
                 if mode == "static":
                     x, blk_flops = self._static_block(
@@ -104,6 +98,7 @@ class LAUDDetBackbone(nn.Module):
                     # (all-static backbones otherwise report flops_rate 0)
                     sparse_flops += blk_flops
                     dense_flops += blk_flops
+                    flops_img = flops_img + blk_flops
                 else:
                     x, st = LAUDBottleneck(
                         planes=planes, stride=stride, has_downsample=has_ds,
@@ -121,8 +116,10 @@ class LAUDDetBackbone(nn.Module):
                     channel_s.append(st.channel_s)
                     layer_s.append(st.spatial_s3)
                     flops_perc.append(st.flops_perc)
+                    s3_img_all.append(st.s3_img)
                     sparse_flops += st.sparse_flops
                     dense_flops += st.dense_flops
+                    flops_img = flops_img + st.flops_img
                 inplanes = planes * EXPANSION
                 if s + 1 <= self.frozen_stages:
                     x = jax.lax.stop_gradient(x)
@@ -135,6 +132,11 @@ class LAUDDetBackbone(nn.Module):
             "flops_perc": jnp.stack(flops_perc) if flops_perc else jnp.ones(1),
             "channel_sparsity": jnp.stack(channel_s) if channel_s else jnp.ones(1),
             "layer_sparsity": jnp.stack(layer_s) if layer_s else jnp.ones(1),
+            # per-image accounting (`mmdet/apis/test.py:75-145`): (B,) sparse
+            # FLOPs per image and (blocks, B) per-image spatial densities
+            "flops_img": flops_img,
+            "s3_img": (jnp.stack(s3_img_all) if s3_img_all
+                       else jnp.ones((1, x.shape[0]))),
         }
         model_configs = {
             "dyn_mode": tuple(self.dyn_mode),

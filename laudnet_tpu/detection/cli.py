@@ -3,15 +3,18 @@
 Reference analogs: ``mmdetection-2.21.0/tools/train.py`` (config-driven
 training, ``--work-dir``), ``tools/test_get_info.py`` (eval with per-image
 FLOPs/sparsity accounting, `mmdet/apis/test.py:75-145`), and the launch
-lines in ``tools/scripts_LAUDNet.sh``. Here one process drives the jitted
-runner; real COCO is out of scope for this container (no dataset), so the
-data source is the synthetic-COCO generator unless a ``--data_dir`` loader
-is wired in by the caller.
+lines in ``tools/scripts_LAUDNet.sh``. One process drives the jitted
+runner. ``--data_dir`` points at a COCO-format dataset (standard
+``annotations/instances_*.json`` layout or a flat ``{split}.json`` +
+``images/``, see :mod:`laudnet_tpu.data.coco`); without it, the
+synthetic-COCO smoke generator is used.
 
 Usage::
 
     python -m laudnet_tpu.detection.cli train configs/detection/retinanet_laud_r101_channel_2222_0x6.py \
         --work_dir out/ --image_size 128 --batch_size 2 --steps_per_epoch 20
+    python -m laudnet_tpu.detection.cli train configs/detection/... \
+        --data_dir /data/coco --image_size 800,1344 --max_gt 64
     python -m laudnet_tpu.detection.cli eval_info configs/detection/... --work_dir out/
 """
 
@@ -41,11 +44,20 @@ def _parser():
         q = sub.add_parser(name)
         q.add_argument("config", help="configs/detection/*.py")
         q.add_argument("--work_dir", default="./det_output")
-        q.add_argument("--image_size", type=int, default=128)
+        q.add_argument("--image_size", default="128",
+                       help="square int or 'H,W' (rectangular COCO sizes)")
         q.add_argument("--batch_size", type=int, default=2)
         q.add_argument("--num_classes", type=int, default=None,
                        help="override the config (synthetic data uses <=3)")
         q.add_argument("--seed", type=int, default=0)
+        q.add_argument("--data_dir", default=None,
+                       help="COCO-format dataset root (annotations/*.json "
+                            "or flat {split}.json + images/); default: "
+                            "synthetic smoke data")
+        q.add_argument("--split", default=None,
+                       help="COCO split (default: train / val per command)")
+        q.add_argument("--max_gt", type=int, default=32,
+                       help="GT box slots per image (static shapes)")
         if name == "train":
             q.add_argument("--epochs", type=int, default=None)
             q.add_argument("--steps_per_epoch", type=int, default=20)
@@ -71,14 +83,50 @@ def _build(args):
     return model, kind, model_cfg, train_cfg
 
 
+def _parse_image_size(s):
+    if "," in str(s):
+        h, w = str(s).split(",")
+        return (int(h), int(w))
+    return int(s)
+
+
 def main(argv=None):
     args = _parser().parse_args(argv)
+    args.image_size = _parse_image_size(args.image_size)
+    dataset = None
+    if args.data_dir:
+        from laudnet_tpu.data.coco import open_coco
+
+        split = args.split or ("train" if args.cmd == "train" else "val")
+        dataset = open_coco(args.data_dir, split)
+        if args.num_classes is None:
+            args.num_classes = dataset.num_classes
+        print(f"COCO {split}: {len(dataset)} images, "
+              f"{dataset.num_classes} classes from {args.data_dir}")
     model, kind, model_cfg, train_cfg = _build(args)
     os.makedirs(args.work_dir, exist_ok=True)
     num_classes = model_cfg["num_classes"]
     # from the built model, not the raw config: MaskRCNN/Mask2Former types
     # imply with_masks=True inside build_detector
     with_masks = bool(getattr(model, "with_masks", False))
+
+    def coco_data_fn(steps, *, shuffle, seed):
+        """Exactly ``steps`` batches, cycling epochs as needed."""
+        import itertools
+
+        from laudnet_tpu.data.coco import coco_detection_batches
+
+        per_epoch = max(1, -(-len(dataset) // args.batch_size))
+        epochs = -(-steps // per_epoch)
+        return itertools.islice(
+            coco_detection_batches(
+                dataset, batch_size=args.batch_size,
+                image_size=args.image_size, max_gt=args.max_gt,
+                with_masks=with_masks, shuffle=shuffle, seed=seed,
+                epochs=epochs,
+            ),
+            steps,
+        )
 
     if args.cmd == "train":
         init_from = args.init_from
@@ -97,10 +145,14 @@ def main(argv=None):
             sparsity_target=float(model_cfg.get("sparsity_target", 0.5)),
             with_masks=with_masks,
         )
+        data_fn = None
+        if dataset is not None:
+            def data_fn(steps):
+                return coco_data_fn(steps, shuffle=True, seed=args.seed)
         params, batch_stats, history = train_detector(
             model, dcfg, kind=kind, image_size=args.image_size,
             batch_size=args.batch_size, seed=args.seed,
-            init_from=init_from,
+            data_fn=data_fn, init_from=init_from,
             checkpoint_dir=os.path.join(args.work_dir, "checkpoint"),
         )
         with open(os.path.join(args.work_dir, "log.json"), "w") as f:
@@ -118,8 +170,9 @@ def main(argv=None):
     from laudnet_tpu.train.checkpoint import CheckpointManager
     from laudnet_tpu.detection.runner import make_detection_sgd
 
-    sample = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3),
-                       jnp.float32)
+    ih, iw = ((args.image_size, args.image_size)
+              if isinstance(args.image_size, int) else args.image_size)
+    sample = jnp.zeros((args.batch_size, ih, iw, 3), jnp.float32)
     variables = jax.jit(lambda: model.init(
         {"params": jax.random.PRNGKey(args.seed)}, sample, training=False))()
     params = variables["params"]
@@ -137,8 +190,12 @@ def main(argv=None):
         mgr.close()
 
     def batches():
+        if dataset is not None:
+            yield from coco_data_fn(args.eval_steps, shuffle=False,
+                                    seed=args.seed + 1)
+            return
         for b in synthetic_coco_batches(
-            args.batch_size, args.image_size, num_classes,
+            args.batch_size, ih, num_classes,
             steps=args.eval_steps, seed=args.seed + 1,
             with_masks=with_masks,
         ):

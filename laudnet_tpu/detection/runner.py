@@ -125,10 +125,13 @@ def lr_at(step, cfg: DetTrainConfig):
 
 
 def make_detector_train_step(model, optimizer, cfg: DetTrainConfig,
-                             kind: str = "faster_rcnn") -> Callable:
+                             kind: str = "faster_rcnn",
+                             seed: int = 0) -> Callable:
     """Jitted step for ``kind`` in {'retinanet', 'faster_rcnn', 'detr'}
     (mask loss switches on automatically when the model emits mask_logits
-    and the batch carries masks)."""
+    and the batch carries masks). ``seed`` keys the Gumbel stream: the
+    per-step gate noise is ``fold_in(PRNGKey(seed), step)``."""
+    gumbel_key = jax.random.PRNGKey(seed)
 
     def train_step(state, images, gt_boxes, gt_labels, gt_valid,
                    gt_masks=None):
@@ -139,8 +142,7 @@ def make_detector_train_step(model, optimizer, cfg: DetTrainConfig,
             if kind == "detr":
                 out, mut = model.apply(
                     variables, images, training=True,
-                    rngs={"gumbel": jax.random.fold_in(
-                        jax.random.PRNGKey(0), step)},
+                    rngs={"gumbel": jax.random.fold_in(gumbel_key, step)},
                     mutable=["batch_stats"],
                 )
                 total, metrics = detr_loss(
@@ -154,8 +156,7 @@ def make_detector_train_step(model, optimizer, cfg: DetTrainConfig,
             elif kind == "retinanet":
                 out, mut = model.apply(
                     variables, images, training=True,
-                    rngs={"gumbel": jax.random.fold_in(
-                        jax.random.PRNGKey(0), step)},
+                    rngs={"gumbel": jax.random.fold_in(gumbel_key, step)},
                     mutable=["batch_stats"],
                 )
                 total, metrics = retinanet_loss(
@@ -168,8 +169,7 @@ def make_detector_train_step(model, optimizer, cfg: DetTrainConfig,
                 out, mut = model.apply(
                     variables, images, training=True,
                     gt_boxes=gt_boxes, gt_valid=gt_valid,
-                    rngs={"gumbel": jax.random.fold_in(
-                        jax.random.PRNGKey(0), step)},
+                    rngs={"gumbel": jax.random.fold_in(gumbel_key, step)},
                     mutable=["batch_stats"],
                 )
                 total, metrics = faster_rcnn_loss(
@@ -277,76 +277,134 @@ def average_precision(recalls, precisions):
     return float(((r[idx + 1] - r[idx]) * p[idx + 1]).sum())
 
 
+COCO_IOU_THRESHOLDS = tuple(np.round(np.arange(0.5, 1.0, 0.05), 2))
+
+
+def _np_box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N,4) x (M,4) xyxy IoU matrix in numpy (host-side eval path)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    tl = np.maximum(a[:, None, :2], b[None, :, :2])
+    br = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(br - tl, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return (inter / np.maximum(union, 1e-9)).astype(np.float32)
+
+
 def mean_average_precision(detections, ground_truths, num_classes: int,
                            iou_threshold: float = 0.5,
-                           use_masks: bool = False) -> dict:
+                           use_masks: bool = False,
+                           iou_thresholds=None) -> dict:
     """mAP over a list of per-image detections and ground truths.
 
     ``detections``: list of dicts with 'boxes' (N,4), 'scores' (N,),
     'classes' (N,) and — for ``use_masks`` (segm mAP, the Mask-RCNN /
     Mask2Former metric) — 'masks' (N,H,W) bool; ``ground_truths``: dicts
     with 'boxes' (M,4), 'labels' (M,) [and 'masks' (M,H,W)]. Zero-score
-    detections are ignored (the static-shape pads). Returns
-    {'mAP': float, 'ap_per_class': array}.
+    detections are ignored (the static-shape pads).
+
+    ``iou_thresholds``: None -> single-threshold AP at ``iou_threshold``
+    (the quick smoke-test metric); 'coco' or an explicit list -> the
+    COCO-standard average over IoU 0.50:0.05:0.95 (COCOeval's headline,
+    `mmdetection-2.21.0/mmdet/datasets/coco.py:419`), reported as 'mAP'
+    with 'mAP50' alongside. Per-image IoU matrices are computed once and
+    shared across thresholds. Returns {'mAP', 'ap_per_class'[, 'mAP50']}.
     """
-    aps = []
+    if iou_thresholds == "coco":
+        thresholds = list(COCO_IOU_THRESHOLDS)
+    elif iou_thresholds is not None:
+        thresholds = [float(t) for t in iou_thresholds]
+    else:
+        thresholds = [iou_threshold]
+
+    ap_per_class = {t: [] for t in thresholds}
+    any_class = False
     for c in range(num_classes):
         scored = []  # (score, image_idx, det_idx)
         n_gt = 0
+        # per-image IoU matrix (class-c dets x class-c gts), computed once
+        ious_by_img = {}
+        gt_idx_by_img = {}
         for i, (det, gt) in enumerate(zip(detections, ground_truths)):
             keep = (np.asarray(det["classes"]) == c) & (
                 np.asarray(det["scores"]) > 0
             )
-            for d_idx in np.where(keep)[0]:
+            det_idx = np.where(keep)[0]
+            gt_idx = np.where(np.asarray(gt["labels"]) == c)[0]
+            n_gt += len(gt_idx)
+            if len(det_idx) == 0:
+                continue
+            for d_idx in det_idx:
                 scored.append((float(np.asarray(det["scores"])[d_idx]),
                                i, int(d_idx)))
-            n_gt += int((np.asarray(gt["labels"]) == c).sum())
-        if n_gt == 0:
-            continue
-        scored.sort(key=lambda t: -t[0])
-        matched = [set() for _ in ground_truths]
-        tp = np.zeros(len(scored))
-        fp = np.zeros(len(scored))
-        for k, (s, i, d_idx) in enumerate(scored):
-            gt = ground_truths[i]
-            gt_sel = np.asarray(gt["labels"]) == c
-            gt_idx = np.where(gt_sel)[0]
+            gt_idx_by_img[i] = gt_idx
             if len(gt_idx) == 0:
-                fp[k] = 1
+                ious_by_img[i] = {}
                 continue
             if use_masks:
-                dm = np.asarray(detections[i]["masks"][d_idx])
-                ious = np.asarray([
-                    mask_iou(dm, np.asarray(gt["masks"][g]) > 0.5)
-                    for g in gt_idx
-                ])
+                ious_by_img[i] = {
+                    int(d): np.asarray([
+                        mask_iou(np.asarray(det["masks"][d]),
+                                 np.asarray(gt["masks"][g]) > 0.5)
+                        for g in gt_idx
+                    ])
+                    for d in det_idx
+                }
             else:
-                box = np.asarray(detections[i]["boxes"])[d_idx]
-                ious = np.asarray(
-                    box_iou(jnp.asarray(box[None]),
-                            jnp.asarray(np.asarray(gt["boxes"])[gt_sel]))
-                )[0]
-            # COCO-style matching: try GTs in IoU order, take the best
-            # still-unmatched one above threshold (greedy best-only would
-            # mark duplicates of a taken GT as FP even when another GT
-            # overlaps above threshold)
-            hit = False
-            for j in np.argsort(-ious):
-                if ious[j] < iou_threshold:
-                    break
-                if gt_idx[j] not in matched[i]:
-                    tp[k] = 1
-                    matched[i].add(gt_idx[j])
-                    hit = True
-                    break
-            if not hit:
-                fp[k] = 1
-        ctp, cfp = np.cumsum(tp), np.cumsum(fp)
-        recalls = ctp / n_gt
-        precisions = ctp / np.maximum(ctp + cfp, 1e-9)
-        aps.append(average_precision(recalls, precisions))
-    m = float(np.mean(aps)) if aps else 0.0
-    return {"mAP": m, "ap_per_class": np.asarray(aps)}
+                mat = _np_box_iou(
+                    np.asarray(det["boxes"], np.float32)[det_idx],
+                    np.asarray(gt["boxes"], np.float32)[gt_idx],
+                )
+                ious_by_img[i] = {
+                    int(d): mat[k] for k, d in enumerate(det_idx)
+                }
+        if n_gt == 0:
+            continue
+        any_class = True
+        scored.sort(key=lambda t: -t[0])
+        for thr in thresholds:
+            matched = [set() for _ in ground_truths]
+            tp = np.zeros(len(scored))
+            fp = np.zeros(len(scored))
+            for k, (s, i, d_idx) in enumerate(scored):
+                gt_idx = gt_idx_by_img.get(i, ())
+                if len(gt_idx) == 0:
+                    fp[k] = 1
+                    continue
+                ious = ious_by_img[i][d_idx]
+                # COCO-style matching: try GTs in IoU order, take the best
+                # still-unmatched one above threshold (greedy best-only
+                # would mark duplicates of a taken GT as FP even when
+                # another GT overlaps above threshold)
+                hit = False
+                for j in np.argsort(-ious):
+                    if ious[j] < thr:
+                        break
+                    if gt_idx[j] not in matched[i]:
+                        tp[k] = 1
+                        matched[i].add(gt_idx[j])
+                        hit = True
+                        break
+                if not hit:
+                    fp[k] = 1
+            ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+            recalls = ctp / n_gt
+            precisions = ctp / np.maximum(ctp + cfp, 1e-9)
+            ap_per_class[thr].append(
+                average_precision(recalls, precisions))
+
+    if not any_class:
+        return {"mAP": 0.0, "ap_per_class": np.asarray([]), "mAP50": 0.0}
+    per_class = np.mean(
+        [np.asarray(ap_per_class[t]) for t in thresholds], axis=0
+    )
+    res = {"mAP": float(per_class.mean()), "ap_per_class": per_class}
+    t50 = min(thresholds, key=lambda t: abs(t - 0.5))
+    res["mAP50"] = float(np.mean(ap_per_class[t50]))
+    return res
 
 
 # --- runner ------------------------------------------------------------------
@@ -366,7 +424,9 @@ def train_detector(model, cfg: DetTrainConfig, *, kind: str = "faster_rcnn",
     enables orbax save + auto-resume (the EpochBasedRunner resume analog).
     Returns (params, batch_stats, history).
     """
-    sample = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
+    ih, iw = ((image_size, image_size) if isinstance(image_size, int)
+              else image_size)
+    sample = jnp.zeros((batch_size, ih, iw, 3), jnp.float32)
     variables = jax.jit(
         lambda: model.init({"params": jax.random.PRNGKey(seed)}, sample,
                            training=False)
@@ -399,12 +459,14 @@ def train_detector(model, cfg: DetTrainConfig, *, kind: str = "faster_rcnn",
             start_step = int(state[0])
             log(f"auto-resumed detector from step {start_step}")
 
-    step_fn = jax.jit(make_detector_train_step(model, optimizer, cfg, kind))
+    step_fn = jax.jit(
+        make_detector_train_step(model, optimizer, cfg, kind, seed=seed)
+    )
 
     if data_fn is None:
         def data_fn(steps):
             return synthetic_coco_batches(
-                batch_size, image_size, cfg.num_classes, steps, seed=seed,
+                batch_size, ih, cfg.num_classes, steps, seed=seed,
                 with_masks=cfg.with_masks,
             )
 
@@ -435,7 +497,8 @@ def train_detector(model, cfg: DetTrainConfig, *, kind: str = "faster_rcnn",
 def evaluate_detector(model, params, batch_stats, batches, *,
                       num_classes: int, kind: str = "faster_rcnn",
                       score_threshold: float = 0.05,
-                      iou_threshold: float = 0.5) -> dict:
+                      iou_threshold: float = 0.5,
+                      iou_thresholds="coco") -> dict:
     """mAP + per-image FLOPs accounting over an eval iterable — the
     reference's ``single_gpu_test_get_info`` role (`mmdet/apis/test.py:
     75-145`) with the metric computed in-process.
@@ -443,7 +506,13 @@ def evaluate_detector(model, params, batch_stats, batches, *,
     ``batches``: iterator of (images, boxes, labels, valid[, masks]); when
     masks are present and the model emits ``mask_logits``, segm mAP (mask
     IoU — the Mask-RCNN/Mask2Former metric) is computed alongside box mAP.
-    Returns {'mAP', 'ap_per_class', 'mean_flops', 'mean_flops_rate', ...
+    The headline 'mAP' is COCO-standard (IoU averaged 0.50:0.05:0.95,
+    `mmdet/datasets/coco.py:419`); pass ``iou_thresholds=None`` for the
+    single-threshold smoke metric at ``iou_threshold``. When the backbone
+    reports per-image FLOPs (``additional['flops_img']``), their
+    mean/std/min/max spread is included — the interesting dynamic-network
+    statistic that batch means hide. Returns {'mAP', 'mAP50',
+    'ap_per_class', 'mean_flops', 'mean_flops_rate', 'flops_img_*', ...
     [, 'segm_mAP']}.
     """
     variables = {"params": params, "batch_stats": batch_stats}
@@ -458,6 +527,7 @@ def evaluate_detector(model, params, batch_stats, batches, *,
     detections, gts = [], []
     n = 0
     flops = dense = 0.0
+    flops_img_all = []
     for batch in batches:
         images, boxes, labels, valid = batch[:4]
         gt_masks = batch[4] if len(batch) > 4 else None
@@ -483,6 +553,8 @@ def evaluate_detector(model, params, batch_stats, batches, *,
         n += bsz
         flops += float(add["flops"]) * bsz
         dense += float(add["dense_flops"]) * bsz
+        if "flops_img" in add:
+            flops_img_all.append(np.asarray(add["flops_img"], np.float64))
         mask_logits = (jax.device_get(out["mask_logits"])
                        if "mask_logits" in out and gt_masks is not None
                        else None)
@@ -515,11 +587,14 @@ def evaluate_detector(model, params, batch_stats, batches, *,
                 g["masks"] = np.asarray(gt_masks[i])[keep]
             gts.append(g)
     res = mean_average_precision(detections, gts, num_classes,
-                                 iou_threshold)
+                                 iou_threshold,
+                                 iou_thresholds=iou_thresholds)
     if detections and "masks" in detections[0]:
         segm = mean_average_precision(detections, gts, num_classes,
-                                      iou_threshold, use_masks=True)
+                                      iou_threshold, use_masks=True,
+                                      iou_thresholds=iou_thresholds)
         res = dict(res, segm_mAP=segm["mAP"],
+                   segm_mAP50=segm.get("mAP50", segm["mAP"]),
                    segm_ap_per_class=segm["ap_per_class"])
     res.update(
         n_images=n,
@@ -527,4 +602,12 @@ def evaluate_detector(model, params, batch_stats, batches, *,
         mean_dense_flops=dense / max(n, 1),
         mean_flops_rate=(flops / dense) if dense else 1.0,
     )
+    if flops_img_all:
+        fi = np.concatenate(flops_img_all)
+        res.update(
+            flops_img_mean=float(fi.mean()),
+            flops_img_std=float(fi.std()),
+            flops_img_min=float(fi.min()),
+            flops_img_max=float(fi.max()),
+        )
     return res

@@ -55,6 +55,10 @@ class BlockStats:
     flops_perc: jnp.ndarray  # sparse/dense FLOPs ratio for this block
     sparse_flops: jnp.ndarray  # absolute sparse FLOPs of this block
     s3_img: Any = None  # (B,) per-image conv3 spatial density
+    # (B,) per-image sparse FLOPs — the same bookkeeping formulas evaluated
+    # with per-image densities (reference accumulates genuinely per-image
+    # FLOPs in eval-with-info, `mmdet/apis/test.py:75-145`)
+    flops_img: Any = None
     # absolute dense FLOPs of this block (explicit accumulation for the
     # detection contract, reference `lad_mmdet_resnet.py:227,300-301` —
     # never derived as sparse/flops_perc, which underflows)
@@ -95,7 +99,9 @@ class LAUDBottleneck(nn.Module):
     dilation: int = 1
     spatial_mask_channel_group: int = 1
     channel_dyn_granularity: int = 1
-    output_size: int = 56
+    # int (square, the ImageNet path) or (h, w) tuple (rectangular
+    # detection features, reference `resnet_sd.py:713`)
+    output_size: Any = 56
     mask_spatial_granularity: int = 1
     dyn_mode: str = "both"
     channel_masker: str = "conv_linear"
@@ -124,10 +130,15 @@ class LAUDBottleneck(nn.Module):
         width = self.planes * self.group_width
         out_planes = self.planes * EXPANSION
         channel_dyn_group = width // self.channel_dyn_granularity
+        if isinstance(self.output_size, int):
+            out_h = out_w = self.output_size
+        else:
+            out_h, out_w = self.output_size
         mask_size = (
-            self.output_size // self.mask_spatial_granularity
+            (max(out_h // self.mask_spatial_granularity, 1),
+             max(out_w // self.mask_spatial_granularity, 1))
             if self.dyn_mode != "layer"
-            else 1
+            else (1, 1)
         )
 
         conv1_fpp = inplanes * width
@@ -173,7 +184,12 @@ class LAUDBottleneck(nn.Module):
             )(x, temperature, training=training)
 
         spatial_mask3_small = spatial_mask3  # pre-upsample (B, m, m, g) mask
-        s3_img = jnp.ones((x.shape[0],), jnp.float32)
+        batch = x.shape[0]
+        s3_img = jnp.ones((batch,), jnp.float32)
+        s1_img = s2_img = jnp.ones((batch,), jnp.float32)
+        ch_img = (channel_mask.astype(jnp.float32).mean(axis=-1)
+                  if channel_mask is not None
+                  else jnp.ones((batch,), jnp.float32))
         if self.dyn_mode != "channel":
             s3_img = spatial_mask3_small.astype(jnp.float32).mean(
                 axis=(1, 2, 3)
@@ -182,7 +198,7 @@ class LAUDBottleneck(nn.Module):
             # dilate backwards through conv2 (1x1-equivalent: group OR) and
             # conv1 (3x3 RF + stride) — reference `laud_resnet.py:105-110`.
             spatial_mask3 = masking.upsample_mask_nearest(
-                spatial_mask3, self.output_size
+                spatial_mask3, (out_h, out_w)
             )
             # The dilated input-side masks feed only the FLOPs bookkeeping,
             # never the compute — but the bookkeeping must stay EXACT (it
@@ -193,11 +209,13 @@ class LAUDBottleneck(nn.Module):
             spatial_mask2 = masking.expand_mask(
                 spatial_mask3, stride=1, padding=0
             )
-            s2 = spatial_mask2.astype(jnp.float32).mean()
+            s2_img = spatial_mask2.astype(jnp.float32).mean(axis=(1, 2, 3))
+            s2 = s2_img.mean()
             spatial_mask1 = masking.expand_mask(
                 spatial_mask2, stride=self.stride, padding=1
             )
-            s1 = spatial_mask1.astype(jnp.float32).mean()
+            s1_img = spatial_mask1.astype(jnp.float32).mean(axis=(1, 2, 3))
+            s1 = s1_img.mean()
 
         sparse_flops = f32(channel_mask_flops + spatial_mask_flops)
         dense_flops = f32(channel_mask_flops + spatial_mask_flops)
@@ -220,12 +238,24 @@ class LAUDBottleneck(nn.Module):
 
         # FLOPs bookkeeping (reference `laud_resnet.py:120-141`); spatial
         # sizes are static so this is identical for both execution paths.
-        in_hw = (self.output_size * self.stride) ** 2
-        out_hw = self.output_size**2
+        # conv1 runs at the block-input resolution (the stride sits on
+        # conv2), so in_hw comes from the traced input shape — equal to
+        # (output_size*stride)^2 on even ImageNet sizes and correct for the
+        # ceil-divided rectangular detection sizes.
+        in_hw = x.shape[1] * x.shape[2]
+        out_hw = out_h * out_w
         dense_flops += conv1_fpp * in_hw + conv2_fpp * out_hw + conv3_fpp * out_hw
         sparse_flops += conv1_fpp * in_hw * channel_s * s1
         sparse_flops += conv2_fpp * out_hw * channel_s**2 * s2
         sparse_flops += conv3_fpp * out_hw * channel_s * s3
+        # The same formulas with per-image densities (eval-with-info's
+        # per-image accounting, `mmdet/apis/test.py:75-145`); batch-mean of
+        # flops_img differs from sparse_flops only in the conv2 channel
+        # term (E[c]^2 vs E[c^2]) — the per-image vector is the honest one.
+        flops_img = (f32(channel_mask_flops + spatial_mask_flops)
+                     + conv1_fpp * in_hw * ch_img * s1_img
+                     + conv2_fpp * out_hw * ch_img**2 * s2_img
+                     + conv3_fpp * out_hw * ch_img * s3_img)
 
         identity = x
         if self.has_downsample:
@@ -237,6 +267,7 @@ class LAUDBottleneck(nn.Module):
             identity = bn("downsample_bn")(identity)
             dense_flops += inplanes * out_planes * out_hw
             sparse_flops += inplanes * out_planes * out_hw
+            flops_img = flops_img + inplanes * out_planes * out_hw
 
         if self._sparse_eligible(training):
             # Sparse execution: the TPU realization of the reference's
@@ -247,9 +278,9 @@ class LAUDBottleneck(nn.Module):
             from laudnet_tpu.ops import sparse as sp
 
             patch = self.mask_spatial_granularity
-            m = mask_size
+            n_cells = mask_size[0] * mask_size[1]
             capacity = max(
-                1, min(m * m, math.ceil(self.patch_capacity * m * m))
+                1, min(n_cells, math.ceil(self.patch_capacity * n_cells))
             )
 
             x1 = nn.relu(bn("bn1")(conv1(x)))
@@ -304,6 +335,7 @@ class LAUDBottleneck(nn.Module):
             sparse_flops=sparse_flops,
             s3_img=s3_img,
             dense_flops=dense_flops,
+            flops_img=flops_img,
         )
         return out, stats
 

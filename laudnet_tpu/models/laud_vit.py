@@ -78,6 +78,10 @@ class LAUDViTBlock(nn.Module):
     # FLOPs stay in the masked-graph frame even after earlier blocks have
     # gathered the buffer down (None -> the incoming buffer length).
     book_len: Any = None
+    # 'reference' = unfused masked attention (HBM-materialized scores);
+    # 'fused' = the qkv-direct Pallas kernel
+    # (`ops/pallas/vit_attention.py`) — same semantics, one VMEM pass.
+    attn_impl: str = "reference"
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -174,19 +178,31 @@ class LAUDViTBlock(nn.Module):
         # --- attention branch -------------------------------------------
         y = nn.LayerNorm(name="norm1", param_dtype=self.param_dtype)(x)
         qkv = nn.Dense(3 * d, name="qkv", param_dtype=self.param_dtype)(y)
-        qkv = qkv.reshape(b, l, 3, h, dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, L, dh)
-
         scale = dh**-0.5
-        attn = (q @ k.transpose(0, 1, 3, 2)) * scale  # (B, H, L, L)
-        # exclude skipped tokens as keys
-        neg = jnp.asarray(-1e9, attn.dtype)
-        attn = attn + (1.0 - token_mask[:, None, None, :]) * neg
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = attn @ v  # (B, H, L, dh)
-        if head_mask is not None:
-            out = out * head_mask[:, :, None, None]
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        if self.attn_impl == "fused":
+            from laudnet_tpu.ops.pallas.vit_attention import (
+                fused_vit_attention,
+            )
+
+            out = fused_vit_attention(
+                qkv, token_mask.astype(jnp.float32),
+                None if head_mask is None
+                else head_mask.astype(jnp.float32),
+                h, scale,
+            )
+        else:
+            qkv = qkv.reshape(b, l, 3, h, dh).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, L, dh)
+
+            attn = (q @ k.transpose(0, 1, 3, 2)) * scale  # (B, H, L, L)
+            # exclude skipped tokens as keys
+            neg = jnp.asarray(-1e9, attn.dtype)
+            attn = attn + (1.0 - token_mask[:, None, None, :]) * neg
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = attn @ v  # (B, H, L, dh)
+            if head_mask is not None:
+                out = out * head_mask[:, :, None, None]
+            out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
         out = nn.Dense(d, name="proj", param_dtype=self.param_dtype)(out)
         out = out * token_mask[:, :, None]  # skipped tokens don't update
         if attn_gate is not None:

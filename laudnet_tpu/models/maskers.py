@@ -65,22 +65,26 @@ def masker_bias_init(group, open_value, close_value, fan_in):
 class SpatialMasker(nn.Module):
     """Spatial (or, with ``mask_size=1``, layer) gating head.
 
-    Pool the block input to ``mask_size`` x ``mask_size``, project with a 1x1
-    conv to 2*G logits per location, gate. Reference `models/utils.py:35-65`.
-    Returns ``(mask (B, s, s, G), sparsity scalar, flops int)``.
+    Pool the block input to the ``mask_size`` grid (int for square, or an
+    ``(mh, mw)`` tuple — the rectangular detection grid of ``ResNet_sd``'s
+    masker, `resnet_sd.py:713`), project with a 1x1 conv to 2*G logits per
+    location, gate. Reference `models/utils.py:35-65`.
+    Returns ``(mask (B, mh, mw, G), sparsity scalar, flops int)``.
     """
 
     mask_channel_group: int = 1
-    mask_size: int = 7
+    mask_size: Any = 7
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, temperature, *, training: bool):
         g = self.mask_channel_group
         in_ch = x.shape[-1]
+        ms = self.mask_size
+        mh, mw = (ms, ms) if isinstance(ms, int) else ms
         m = (
-            masking.adaptive_avg_pool(x, self.mask_size)
-            if self.mask_size < x.shape[1]
+            masking.adaptive_avg_pool(x, (mh, mw))
+            if mh < x.shape[1] or mw < x.shape[2]
             else x
         )
         flops = in_ch * m.shape[1] * m.shape[2]

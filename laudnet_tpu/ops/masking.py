@@ -45,19 +45,32 @@ def apply_spatial_mask(x, mask):
 
 
 def upsample_mask_nearest(mask, size):
-    """Nearest-neighbour upsample of an NHWC mask to ``size`` x ``size``.
+    """Nearest-neighbour upsample of an NHWC mask to ``size`` (int for
+    square, or an ``(h, w)`` tuple for rectangular feature maps — the
+    detection backbones interpolate a square-or-rect masker grid onto the
+    rectangular stage output, reference `lad_mmdet_resnet.py:274`).
 
-    The mask resolution always divides the target here (mask_size =
-    output_size // granularity), so nearest interpolation is an exact
-    pixel-repeat — reference `models/laud_resnet.py:106` (``F.interpolate``).
+    When the mask resolution divides the target (the ImageNet case:
+    mask_size = output_size // granularity) this is an exact pixel-repeat;
+    otherwise it gathers with torch's ``F.interpolate(mode='nearest')``
+    index rule ``src = floor(dst * in / out)``.
     """
-    h = mask.shape[1]
-    if h == size:
+    if isinstance(size, int):
+        out_h = out_w = size
+    else:
+        out_h, out_w = size
+    h, w = mask.shape[1], mask.shape[2]
+    if h == out_h and w == out_w:
         return mask
-    factor = size // h
-    mask = jnp.repeat(mask, factor, axis=1)
-    mask = jnp.repeat(mask, factor, axis=2)
-    return mask
+    if out_h % h == 0 and out_w % w == 0:
+        mask = jnp.repeat(mask, out_h // h, axis=1)
+        mask = jnp.repeat(mask, out_w // w, axis=2)
+        return mask
+    import numpy as np
+
+    ih = np.floor(np.arange(out_h) * h / out_h).astype(np.int32)
+    iw = np.floor(np.arange(out_w) * w / out_w).astype(np.int32)
+    return mask[:, ih][:, :, iw]
 
 
 def expand_mask(mask, stride=1, padding=1):
@@ -97,12 +110,26 @@ def expand_mask(mask, stride=1, padding=1):
     return jnp.broadcast_to(m, m.shape[:-1] + (g,))
 
 
-def adaptive_avg_pool(x, out_size):
-    """Average-pool NHWC ``x`` to (out_size, out_size) spatially.
+def _adaptive_pool_matrix(in_size: int, out_size: int):
+    """(out, in) averaging matrix with torch ``adaptive_avg_pool``'s window
+    rule: output cell i averages rows [floor(i*in/out), ceil((i+1)*in/out))."""
+    import numpy as np
 
-    Only the exactly-divisible case is needed (and supported): identical to
-    ``F.adaptive_avg_pool2d`` when H % out_size == 0 — a reshape + mean, which
-    XLA fuses well. ``out_size`` may be an int or (h, w) tuple.
+    p = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        lo = (i * in_size) // out_size
+        hi = -(-(i + 1) * in_size // out_size)
+        p[i, lo:hi] = 1.0 / (hi - lo)
+    return p
+
+
+def adaptive_avg_pool(x, out_size):
+    """Average-pool NHWC ``x`` to ``out_size`` spatially (int or (h, w)).
+
+    Matches ``F.adaptive_avg_pool2d`` exactly. Divisible sizes (the
+    ImageNet path) lower to a strided ``reduce_window``; the general case
+    (rectangular detection features) contracts with per-dimension
+    window-averaging matrices — tiny matmuls at masker resolution.
     """
     if isinstance(out_size, int):
         out_h = out_w = out_size
@@ -111,18 +138,22 @@ def adaptive_avg_pool(x, out_size):
     b, h, w, c = x.shape
     if h == out_h and w == out_w:
         return x
-    if h % out_h or w % out_w:
-        raise ValueError(f"adaptive_avg_pool needs divisible sizes, got {h}->{out_h}")
-    # reduce_window lowers ~4x faster on TPU than the reshape-mean form
-    # (measured on v5e; the reshape forces a slow relayout).
-    kh, kw = h // out_h, w // out_w
-    s = lax.reduce_window(
-        x.astype(jnp.float32), 0.0, lax.add,
-        window_dimensions=(1, kh, kw, 1),
-        window_strides=(1, kh, kw, 1),
-        padding="VALID",
-    )
-    return (s * (1.0 / (kh * kw))).astype(x.dtype)
+    if h % out_h == 0 and w % out_w == 0:
+        # reduce_window lowers ~4x faster on TPU than the reshape-mean form
+        # (measured on v5e; the reshape forces a slow relayout).
+        kh, kw = h // out_h, w // out_w
+        s = lax.reduce_window(
+            x.astype(jnp.float32), 0.0, lax.add,
+            window_dimensions=(1, kh, kw, 1),
+            window_strides=(1, kh, kw, 1),
+            padding="VALID",
+        )
+        return (s * (1.0 / (kh * kw))).astype(x.dtype)
+    ph = jnp.asarray(_adaptive_pool_matrix(h, out_h))
+    pw = jnp.asarray(_adaptive_pool_matrix(w, out_w))
+    y = jnp.einsum("oh,bhwc->bowc", ph, x.astype(jnp.float32))
+    y = jnp.einsum("pw,bowc->bopc", pw, y)
+    return y.astype(x.dtype)
 
 
 def global_avg_pool(x):

@@ -112,16 +112,19 @@ def test_evaluate_get_info_helper():
         evaluate_get_info(apply_fn, [])
 
 
-def test_backbone_rejects_nonsquare_dynamic_and_counts_static():
+def test_backbone_nonsquare_dynamic_and_counts_static():
     import jax.numpy as jnp
-    import pytest
 
     from laudnet_tpu.detection import LAUDDetBackbone
 
+    # rectangular dynamic inputs are supported since r3 (per-dimension
+    # masker grids + nearest mask interpolation, `resnet_sd.py:713`);
+    # the full behavior suite lives in tests/test_rect_detection.py
     bb = LAUDDetBackbone(layers=(1, 1, 1, 1), dyn_mode=("spatial",) * 4)
     x = jnp.zeros((1, 64, 96, 3))
-    with pytest.raises(ValueError, match="square"):
-        bb.init({"params": jax.random.PRNGKey(0)}, x, training=False)
+    v = bb.init({"params": jax.random.PRNGKey(0)}, x, training=False)
+    feats, _, _ = bb.apply(v, x, training=False)
+    assert feats[0].shape[1:3] == (16, 24)
 
     # all-static backbones account real dense FLOPs (rate 1.0, not 0/0)
     st = LAUDDetBackbone(layers=(1, 1, 1, 1), dyn_mode=("static",) * 4)
