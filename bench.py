@@ -173,20 +173,23 @@ def main_vit():
         DTYPE,
     )
     caps = (1.0, 1.0, 1.0) + (0.7,) * 4 + (0.5,) * 5  # AdaViT-style schedule
-    select = laud_deit_small(token_capacity=caps)
+    select = laud_deit_small(token_capacity=caps, attn_impl="fused")
     laud_ips = _throughput(
         lambda x: select.apply(v, x, jnp.asarray(0.1, DTYPE),
                                training=False).logits, x
     )
 
-    flat = laud_deit_small(token_capacity=(0.5,) * 12)
+    flat = laud_deit_small(token_capacity=(0.5,) * 12, attn_impl="fused")
     flat_ips = _throughput(
         lambda x: flat.apply(v, x, jnp.asarray(0.1, DTYPE),
                              training=False).logits, x
     )
 
+    # Dense baseline runs the fused attention kernel too — the honest
+    # comparison (r2's 18%-MFU unfused baseline flattered selection; the
+    # unfused number is kept as a diagnostic).
     plain = laud_deit_small(token_skip=False, head_skip=False,
-                            layer_skip=False)
+                            layer_skip=False, attn_impl="fused")
     vp = _cast(
         jax.jit(lambda: plain.init({"params": jax.random.PRNGKey(0)},
                                    x.astype(jnp.float32), 1.0,
@@ -197,17 +200,25 @@ def main_vit():
         lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
                               training=False).logits, x
     )
+    plain_unfused = laud_deit_small(token_skip=False, head_skip=False,
+                                    layer_skip=False)
+    dense_unfused_ips = _throughput(
+        lambda x: plain_unfused.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                                      training=False).logits, x
+    )
     print(
         json.dumps(
             {
                 "metric": ("images/sec/chip LAUD-DeiT-S token-select "
                            "(caps 1.0x3/0.7x4/0.5x5) vs dense DeiT-S, "
-                           "bs128 bf16"),
+                           "bs128 bf16, fused attention"),
                 "value": round(laud_ips, 1),
                 "unit": "img/s",
                 "vs_baseline": round(laud_ips / dense_ips, 4),
                 "flat_0.5_img_s": round(flat_ips, 1),
                 "flat_0.5_vs_baseline": round(flat_ips / dense_ips, 4),
+                "dense_fused_img_s": round(dense_ips, 1),
+                "dense_unfused_img_s": round(dense_unfused_ips, 1),
             }
         )
     )
@@ -281,13 +292,14 @@ def main_t2t():
         DTYPE,
     )
     caps = (1.0,) * 3 + (0.7,) * 5 + (0.5,) * 6
-    select = laud_t2t_vit_19_backbone(token_capacity=caps)
+    select = laud_t2t_vit_19_backbone(token_capacity=caps,
+                                      attn_impl="fused")
     laud_ips = _throughput(
         lambda x: select.apply(v, x, jnp.asarray(0.1, DTYPE),
                                training=False).logits, x
     )
     plain = laud_t2t_vit_19_backbone(token_skip=False, head_skip=False,
-                                     layer_skip=False)
+                                     layer_skip=False, attn_impl="fused")
     vp = _cast(
         jax.jit(lambda: plain.init({"params": jax.random.PRNGKey(0)},
                                    x.astype(jnp.float32), 1.0,
@@ -300,7 +312,8 @@ def main_t2t():
     )
     print(json.dumps({
         "metric": ("images/sec/chip LAUD-T2T-ViT-19 token-select "
-                   "(caps 1.0x3/0.7x5/0.5x6) vs dense trunk, bs128 bf16"),
+                   "(caps 1.0x3/0.7x5/0.5x6) vs dense trunk, bs128 "
+                   "bf16, fused attention"),
         "value": round(laud_ips, 1),
         "unit": "img/s",
         "vs_baseline": round(laud_ips / dense_ips, 4),
@@ -414,12 +427,58 @@ def main_train():
         return batch * iters / (_t.perf_counter() - t0)
 
     laud_ips = timed(state)
+
+    # dense baseline: plain ResNet-50, CE-only SGD step (what vanilla
+    # training costs on the same chip/batch)
+    import optax
+
+    dense = ResNet(layers=(3, 4, 6, 3))
+    dvars = jax.jit(lambda: dense.init({"params": jr.PRNGKey(4)}, x,
+                                       training=True))()
+    dopt = optax.sgd(0.04, momentum=0.9)
+    dstate = (dvars["params"], dvars["batch_stats"],
+              dopt.init(dvars["params"]))
+
+    @jax.jit
+    def dense_step(st, x, y):
+        params, bstats, opt_state = st
+
+        def loss_fn(p):
+            logits, mut = dense.apply(
+                {"params": p, "batch_stats": bstats}, x, training=True,
+                mutable=["batch_stats"],
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+            return ce, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = dopt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_bs,
+                opt_state), loss
+
+    def timed_dense(st):
+        import time as _t
+
+        st, l = dense_step(st, x, y)
+        float(l)
+        t0 = _t.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            st, l = dense_step(st, x, y)
+        float(l)
+        return batch * iters / (_t.perf_counter() - t0)
+
+    dense_ips = timed_dense(dstate)
     print(json.dumps({
         "metric": ("train images/sec/chip LAUD-ResNet50 spatial-4421 full "
-                   "step (KD + sparsity + SGD), bs64 fp32"),
+                   "step (KD + sparsity + SGD) vs plain ResNet-50 CE step, "
+                   "bs64 fp32"),
         "value": round(laud_ips, 1),
         "unit": "img/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(laud_ips / dense_ips, 4),
+        "dense_ce_img_s": round(dense_ips, 1),
     }))
 
 

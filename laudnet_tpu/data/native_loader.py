@@ -187,8 +187,10 @@ class NativeDataLoader:
         )
 
     def __len__(self):
+        # per-shard length from the actual sliced order (order[idx::count]),
+        # so uneven shards don't silently drop tail samples
         idx, count = self.shard
-        n = len(self.dataset) // count
+        n = len(range(idx, len(self.dataset), count))
         return (n // self.batch_size if self.drop_last
                 else -(-n // self.batch_size))
 
@@ -204,25 +206,43 @@ class NativeDataLoader:
 
         # background producer so batch b+1 decodes (GIL released inside
         # ln_load_batch) while the device steps on batch b — matching the
-        # Python DataLoader's prefetch overlap
+        # Python DataLoader's prefetch overlap. The producer's q.put uses a
+        # timeout + stop flag so a consumer that abandons the generator
+        # mid-epoch (GeneratorExit) releases the thread instead of leaking
+        # it blocked on a full queue.
         q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
+        stop = threading.Event()
 
         def produce():
+            def put(item) -> bool:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             for b in range(n_batches):
                 chunk = order[b * self.batch_size:(b + 1) * self.batch_size]
-                if len(chunk) == 0:
+                if len(chunk) == 0 or stop.is_set():
                     break
                 paths = [self.dataset.samples[i][0] for i in chunk]
                 labels = np.asarray(
                     [self.dataset.samples[i][1] for i in chunk], np.int32)
                 seeds = (self.seed + epoch) * 1_000_003 + chunk
-                q.put((self.transform.load(paths, seeds.tolist()), labels))
-            q.put(None)
+                if not put((self.transform.load(paths, seeds.tolist()),
+                            labels)):
+                    return
+            put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

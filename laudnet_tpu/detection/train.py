@@ -75,6 +75,16 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_valid, num_classes,
     neg = (best_iou < neg_iou) & ~pos
     valid = pos | neg  # ignore band contributes nothing
 
+    # mmdet MaxIoUAssigner semantics: a forced anchor is assigned to the GT
+    # that forced it (not its own argmax GT), so every valid GT gets a
+    # dedicated positive even when another GT overlaps its best anchor
+    # more. On collisions (two GTs forcing the same anchor) one wins, like
+    # mmdet's sequential overwrite.
+    m_idx = jnp.arange(gt_boxes.shape[0])
+    scatter_gt = jnp.where(gt_valid > 0, m_idx,
+                           best_gt[best_anchor_per_gt])
+    best_gt = best_gt.at[best_anchor_per_gt].set(scatter_gt)
+
     labels = gt_labels[best_gt]
     cls_onehot = jax.nn.one_hot(labels, num_classes) * pos[:, None]
     box_targets = encode_boxes(anchors, gt_boxes[best_gt])

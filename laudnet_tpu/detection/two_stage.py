@@ -246,9 +246,20 @@ class FasterRCNN(nn.Module):
             "anchors": anchors,
         }
         if self.with_masks:
+            # Training pools mask RoIs on the (GT-augmented) proposals the
+            # mask loss is matched against; inference pools on the
+            # delta-REFINED boxes — Mask-RCNN's simple_test re-pools the
+            # mask head on final boxes, so the pasted mask's geometry
+            # matches the reported detection box exactly.
+            mask_boxes = proposals
+            if not training:
+                mask_boxes = jax.vmap(
+                    lambda bx, dx: clip_boxes_to_image(
+                        decode_boxes(bx, dx), img_h, img_w)
+                )(proposals, reg2)
             mask_rois = jax.vmap(
                 lambda f, bx: roi_align([x for x in f], bx, strides[:4], 14)
-            )([p for p in pyramid[:4]], proposals)
+            )([p for p in pyramid[:4]], mask_boxes)
             masks = MaskHead(num_classes=self.num_classes, name="mask_head",
                              param_dtype=self.param_dtype)(
                 mask_rois.reshape(b * p_, 14, 14, mask_rois.shape[-1])

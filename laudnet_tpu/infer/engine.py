@@ -98,8 +98,9 @@ class ServingEngine:
             # pallas / layerskip / static export are separate pipelines.
             from laudnet_tpu.sim.plan import ExecutionPlan
 
-            dyn = self.model.dyn_mode[0] if hasattr(self.model, "dyn_mode") \
-                else "channel"
+            modes = (set(self.model.dyn_mode)
+                     if hasattr(self.model, "dyn_mode") else {"channel"})
+            dyn = next(iter(modes)) if len(modes) == 1 else None
             # measure the policy's realized activation rate on the
             # calibration batches (this is what the ranking is priced at)
             m = self.model
@@ -112,10 +113,11 @@ class ServingEngine:
 
             depth_map = {16: "resnet50", 33: "resnet101"}
             name = depth_map.get(sum(self.model.layers))
-            if name is None:
-                # no analytic geometry for this depth: serve dense-masked,
-                # return an honest no-ranking plan instead of pricing the
-                # wrong network
+            if name is None or dyn is None:
+                # no analytic geometry for this depth, or mixed per-stage
+                # dyn_mode (the per-paradigm price tables assume one
+                # paradigm): serve dense-masked, return an honest
+                # no-ranking plan instead of pricing the wrong network
                 self.plan = ExecutionPlan(
                     kind="resnet", mode="dense-masked",
                     served="dense-masked", exact=True,

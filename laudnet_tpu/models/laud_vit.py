@@ -188,7 +188,8 @@ class LAUDViTBlock(nn.Module):
                 qkv, token_mask.astype(jnp.float32),
                 None if head_mask is None
                 else head_mask.astype(jnp.float32),
-                h, scale,
+                h, scale, 8,
+                jax.default_backend() != "tpu",  # interpret off-TPU (tests)
             )
         else:
             qkv = qkv.reshape(b, l, 3, h, dh).transpose(2, 0, 3, 1, 4)
@@ -277,6 +278,10 @@ class LAUDViT(nn.Module):
     layer_skip: bool = True
     token_capacity: Any = None  # optional per-block keep fractions (eval)
     stem: str = "patch"  # 'patch' (conv patchify) | 't2t' (tokens-to-token)
+    # 'reference' (unfused masked attention) | 'fused' (the qkv-direct
+    # Pallas kernel, `ops/pallas/vit_attention.py`) — numerically
+    # equivalent; fused is the TPU serving path
+    attn_impl: str = "reference"
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -329,7 +334,7 @@ class LAUDViT(nn.Module):
                 dim=self.dim, num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio, token_skip=self.token_skip,
                 head_skip=self.head_skip, layer_skip=self.layer_skip,
-                capacity=cap, book_len=n + 1,
+                capacity=cap, book_len=n + 1, attn_impl=self.attn_impl,
                 name=f"block_{i}", param_dtype=self.param_dtype,
             )(x, token_mask, temperature, training=training)
             stats_all.append(st)

