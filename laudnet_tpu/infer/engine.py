@@ -48,6 +48,12 @@ class ServingEngine:
         self._fwd = self._compile(self.model)
 
     def _compile(self, model) -> Callable:
+        # ViTs serve the fused attention kernel on TPU (numerically
+        # equivalent to the masked graph; `ops/pallas/vit_attention.py`)
+        if (self._kind == "vit" and hasattr(model, "attn_impl")
+                and jax.default_backend() == "tpu"):
+            model = model.clone(attn_impl="fused")
+
         @jax.jit
         def fwd(x):
             return model.apply(self.variables, x, self.temperature,
@@ -87,15 +93,19 @@ class ServingEngine:
                 mlp_ratio=m.mlp_ratio, patch_size=m.patch_size,
                 input_size=seen_size[0] or 224,
                 spec=self.spec, batch_size=self.batch_size,
+                fused_attention=jax.default_backend() == "tpu",
             )
             if self.plan.mode == "token":
                 select = m.clone(token_capacity=self.plan.token_capacity)
                 self._fwd = self._compile(select)
             self.plan.served = self.plan.mode
         else:
-            # The CNN engine always serves the dense-masked graph (the
-            # exact in-process path); the ranking is a RECOMMENDATION —
-            # pallas / layerskip / static export are separate pipelines.
+            # CNN paths: the engine compiles the recommended path when it
+            # exists in-process — dense-masked (always), layer-skip at
+            # batch 1 (`infer/layerskip.py`), spatial fixed-capacity
+            # gather execution (`LAUDResNet(execution='sparse')`). The
+            # Pallas wide-block kernel and static export remain
+            # recommendations (separate pipelines; export is inexact).
             from laudnet_tpu.sim.plan import ExecutionPlan
 
             modes = (set(self.model.dyn_mode)
@@ -105,10 +115,14 @@ class ServingEngine:
             # calibration batches (this is what the ranking is priced at)
             m = self.model
             rates = []
+            s3_img = []  # per-stage per-image conv3 spatial densities
             for x in batches:
                 out = m.apply(self.variables, jnp.asarray(x),
                               self.temperature, training=False)
                 rates.append(float(out.flops_perc.mean()))
+                if getattr(out, "spatial_s3_img", None) is not None:
+                    s3_img.append([jax.device_get(s)
+                                   for s in out.spatial_s3_img])
             act_rate = float(sum(rates) / len(rates)) if rates else 1.0
 
             depth_map = {16: "resnet50", 33: "resnet101"}
@@ -130,6 +144,36 @@ class ServingEngine:
                     allow_static_export=allow_static_export,
                 )
                 self.plan.served = "dense-masked"
+                if (self.plan.mode == "layerskip"
+                        and self.batch_size == 1):
+                    from laudnet_tpu.infer.layerskip import (
+                        build_layer_skip_resnet,
+                    )
+
+                    ls = jax.jit(build_layer_skip_resnet(
+                        self.variables, self.model.layers))
+                    self._fwd = lambda x: ls(jnp.asarray(x))[0]
+                    self.plan.served = "layerskip"
+                elif self.plan.mode == "spatial-capacity" and s3_img:
+                    # fixed patch budgets covering the calibration
+                    # quantile of the PER-IMAGE worst-block density per
+                    # stage (+margin) — over-budget images fall back to
+                    # dropping their least-active patches
+                    import numpy as np
+
+                    caps = []
+                    for stage in range(len(s3_img[0])):
+                        worst = np.concatenate([
+                            np.asarray(b[stage]).max(axis=0)
+                            for b in s3_img
+                        ])
+                        caps.append(float(min(
+                            1.0, np.quantile(worst, quantile) + margin)))
+                    sparse = self.model.clone(
+                        execution="sparse", patch_capacity=tuple(caps))
+                    self._fwd = self._compile(sparse)
+                    self.plan.token_capacity = tuple(caps)
+                    self.plan.served = "spatial-capacity"
         return self.plan
 
     # --- serving --------------------------------------------------------------

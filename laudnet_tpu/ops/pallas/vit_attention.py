@@ -63,7 +63,37 @@ def _fused_fwd(qkv, key_mask, head_mask, num_heads: int, sm_scale: float,
         # keep VMEM flat in model width)
         return _fused_fwd_strips(qkv, key_mask, head_mask, num_heads,
                                  sm_scale, block_b, interpret)
+    if num_heads % 2 == 1 and (2 * dh) % 128 == 0:
+        # odd head counts (T2T-ViT's 7): zero-pad each q/k/v section with
+        # one fake head so the aligned strip kernel applies. The fake
+        # head's v lanes are zero, so its output lanes are zero and get
+        # sliced away — two cheap pad/slice HBM passes instead of the
+        # whole-block variant, whose unaligned 64-lane shifts make Mosaic
+        # compile for many minutes at width 448.
+        n_up = num_heads + 1
+        pad = n_up * dh - d
+        sections = [qkv[:, :, i * d:(i + 1) * d] for i in range(3)]
+        qkv_p = jnp.concatenate(
+            [jnp.pad(sec, ((0, 0), (0, 0), (0, pad))) for sec in sections],
+            axis=-1,
+        )
+        hm_p = (None if head_mask is None
+                else jnp.pad(head_mask, ((0, 0), (0, 1))))
+        out = _fused_fwd_strips(qkv_p, key_mask, hm_p, n_up, sm_scale,
+                                block_b, interpret)
+        return out[:, :, :d]
+
+    # whole-block variant (head widths below one lane pair): VMEM holds
+    # the full (bb, L, 3D) block (double-buffered) + out + two f32 score
+    # tiles — shrink bb until it fits the 16 MB scoped budget
+    def vmem_bytes(bb):
+        return (2 * bb * l * d3 * qkv.dtype.itemsize  # double-buffered in
+                + bb * l * d * qkv.dtype.itemsize
+                + 2 * bb * l * l * 4)
+
     bb = min(block_b, b)
+    while bb > 1 and vmem_bytes(bb) > 12 * 2**20:
+        bb -= 1
     while b % bb:
         bb -= 1
     grid = (b // bb,)
@@ -165,7 +195,15 @@ def _fused_fwd_strips(qkv, key_mask, head_mask, num_heads: int,
     dh = d // num_heads
     pair_w = 2 * dh
     n_pairs = num_heads // 2
+
+    def vmem_bytes(bb):
+        return (2 * 3 * bb * l * pair_w * qkv.dtype.itemsize  # dbl-buffered
+                + bb * l * pair_w * qkv.dtype.itemsize
+                + 2 * bb * l * l * 4)  # f32 score tiles
+
     bb = min(block_b, b)
+    while bb > 1 and vmem_bytes(bb) > 12 * 2**20:
+        bb -= 1
     while b % bb:
         bb -= 1
     grid = (b // bb, n_pairs)

@@ -1,8 +1,17 @@
 from laudnet_tpu.parallel.mesh import (
-    make_mesh,
-    shard_batch,
-    replicate,
     data_parallel_shardings,
+    initialize_distributed,
+    make_mesh,
+    put_global_batch,
+    replicate,
+    shard_batch,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_shardings"]
+__all__ = [
+    "data_parallel_shardings",
+    "initialize_distributed",
+    "make_mesh",
+    "put_global_batch",
+    "replicate",
+    "shard_batch",
+]

@@ -56,6 +56,20 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     )
 
 
+def put_global_batch(x, sharding):
+    """Place a host-local batch as a (possibly multi-host) global array.
+
+    Single-process: plain ``device_put``. Multi-process: each host
+    contributes its local shard and the result is a global array with the
+    full logical batch (``local_batch * process_count`` rows) — the data
+    side of the DDP analog (`DistributedSampler` + per-GPU batches,
+    reference `train/main.py:324-325,419-421`).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -105,6 +105,14 @@ def parse_args(argv=None):
     p.add_argument("--autoaugment", action="store_true")
     p.add_argument("--change_light", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    # multi-host bring-up (the reference's dist.init_process_group flags,
+    # `train/main.py:92,261-262`): every host runs the same command with
+    # its own --dist_process_id; batch_size stays the GLOBAL batch
+    p.add_argument("--dist_coordinator", default=None,
+                   help="coordinator address host:port for "
+                        "jax.distributed.initialize")
+    p.add_argument("--dist_num_processes", type=int, default=None)
+    p.add_argument("--dist_process_id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -149,6 +157,13 @@ def main(argv=None):
     from laudnet_tpu.utils.metrics import AverageMeter
 
     args = parse_args(argv)
+    from laudnet_tpu.parallel import initialize_distributed, put_global_batch
+
+    # must run before any device use (multi-host no-ops when unset)
+    initialize_distributed(args.dist_coordinator, args.dist_num_processes,
+                           args.dist_process_id)
+    n_proc = jax.process_count()
+    proc_id = jax.process_index()
     set_index = args.hyperparams_set_index
     if args.config:
         cfg = Config.fromfile(args.config)
@@ -156,11 +171,19 @@ def main(argv=None):
     recipe = get_hyperparams(set_index if set_index is not None else 2)
     epochs = args.epochs or recipe.epochs
     batch_size = args.batch_size or recipe.batch_size
+    if batch_size % n_proc:
+        raise ValueError(f"global batch {batch_size} must divide over "
+                         f"{n_proc} processes")
+    # per-host batch, the reference's per-GPU division (`main.py:324-325`)
+    local_bs = batch_size // n_proc
     t_last_epoch = args.t_last_epoch or epochs
 
     os.makedirs(args.train_url, exist_ok=True)
-    log = Logger(os.path.join(args.train_url, "train.log"))
-    log(f"devices: {jax.devices()}")
+    if proc_id == 0:
+        log = Logger(os.path.join(args.train_url, "train.log"))
+    else:  # one writer per shared train_url; workers stay quiet
+        log = lambda *a, **k: None
+    log(f"devices: {jax.devices()} ({n_proc} processes)")
 
     family = arch_family(args.arch)
     model_ctor = getattr(models, args.arch)
@@ -232,15 +255,17 @@ def main(argv=None):
                 and native_available()):
             log("input pipeline: native C++ loader (data/csrc/loader.cpp)")
             train_loader = NativeDataLoader(
-                train_ds, batch_size, train=True, size=args.input_size,
-                seed=args.seed)
+                train_ds, local_bs, train=True, size=args.input_size,
+                seed=args.seed, shard=(proc_id, n_proc))
             val_loader = NativeDataLoader(
-                val_ds, batch_size, train=False, size=args.input_size,
-                shuffle=False, drop_last=False)
+                val_ds, local_bs, train=False, size=args.input_size,
+                shuffle=False, drop_last=False, shard=(proc_id, n_proc))
         else:
-            train_loader = DataLoader(train_ds, batch_size, seed=args.seed)
-            val_loader = DataLoader(val_ds, batch_size, shuffle=False,
-                                    drop_last=False)
+            train_loader = DataLoader(train_ds, local_bs, seed=args.seed,
+                                      shard=(proc_id, n_proc))
+            val_loader = DataLoader(val_ds, local_bs, shuffle=False,
+                                    drop_last=False,
+                                    shard=(proc_id, n_proc))
         steps_per_epoch = len(train_loader)
     else:
         steps_per_epoch = args.steps_per_epoch or 10
@@ -289,7 +314,7 @@ def main(argv=None):
     mesh = make_mesh()
     batch_sh, repl = data_parallel_shardings(mesh)
     rng = jax.random.PRNGKey(args.seed)
-    sample = jnp.zeros((batch_size, args.input_size, args.input_size, 3),
+    sample = jnp.zeros((local_bs, args.input_size, args.input_size, 3),
                        jnp.float32)
 
     variables = jax.jit(
@@ -380,14 +405,15 @@ def main(argv=None):
         n_val = 0
         val_batches = (
             val_loader.epoch(0) if args.data_url
-            else synthetic_batches(batch_size, args.input_size,
-                                   args.num_classes, 2, seed=10_000)
+            else synthetic_batches(local_bs, args.input_size,
+                                   args.num_classes, 2,
+                                   seed=10_000 + proc_id * 7919)
         )
         for images, labels in val_batches:
             s = jax.device_get(eval_step(
                 params, bstats,
-                jax.device_put(jnp.asarray(images), batch_sh),
-                jax.device_put(jnp.asarray(labels), batch_sh),
+                put_global_batch(images, batch_sh),
+                put_global_batch(labels, batch_sh),
             ))
             bsz = len(labels)
             top1 += float(s["top1"]) * bsz
@@ -400,7 +426,7 @@ def main(argv=None):
         return top1 / n_val
 
     csv_path = os.path.join(args.train_url, "log.txt")
-    if not os.path.exists(csv_path):
+    if proc_id == 0 and not os.path.exists(csv_path):
         with open(csv_path, "w", newline="") as f:
             csv.writer(f).writerow(
                 ["epoch", "train_top1", "train_loss", "val_top1", "val_top5",
@@ -425,15 +451,15 @@ def main(argv=None):
         dev_count = 0
         batches = (
             train_loader.epoch(epoch) if args.data_url
-            else synthetic_batches(batch_size, args.input_size,
+            else synthetic_batches(local_bs, args.input_size,
                                    args.num_classes, steps_per_epoch,
-                                   seed=epoch)
+                                   seed=epoch + proc_id * 7919)
         )
         t0 = time.time()
         m = {}
         for i, (images, labels) in enumerate(batches):
-            images = jax.device_put(jnp.asarray(images), batch_sh)
-            labels = jax.device_put(jnp.asarray(labels), batch_sh)
+            images = put_global_batch(images, batch_sh)
+            labels = put_global_batch(labels, batch_sh)
             state, m = train_step(state, images, labels, rng)
             # metrics accumulate on-device EVERY step (reference averages
             # every iteration, `main.py:581-588`) without a per-step host
@@ -460,13 +486,14 @@ def main(argv=None):
         n_val = 0
         val_batches = (
             val_loader.epoch(0) if args.data_url
-            else synthetic_batches(batch_size, args.input_size,
-                                   args.num_classes, 2, seed=10_000)
+            else synthetic_batches(local_bs, args.input_size,
+                                   args.num_classes, 2,
+                                   seed=10_000 + proc_id * 7919)
         )
         density_rows = None
         for images, labels in val_batches:
-            images = jax.device_put(jnp.asarray(images), batch_sh)
-            labels = jax.device_put(jnp.asarray(labels), batch_sh)
+            images = put_global_batch(images, batch_sh)
+            labels = put_global_batch(labels, batch_sh)
             s = jax.device_get(
                 eval_step(state.params, state.batch_stats, images, labels)
             )
@@ -487,23 +514,29 @@ def main(argv=None):
         log(f"epoch {epoch}: val top1 {val_top1:.3f} top5 {val_top5:.3f} "
             f"act_rate {act:.3f} GFLOPs {gflops:.3f} ({train_time:.1f}s train)")
 
-        np.savetxt(os.path.join(args.train_url, "all_density_latest.txt"),
-                   density_rows)
-        with open(csv_path, "a", newline="") as f:
-            m_host = jax.device_get(m)
-            csv.writer(f).writerow(
-                [epoch, meters["top1"].avg, meters["loss"].avg, val_top1,
-                 val_top5, act, gflops, float(m_host["lr"]),
-                 float(m_host["temperature"])]
-            )
-
         is_best = val_top1 > best_top1
         if is_best:
             best_top1 = val_top1
-            np.savetxt(os.path.join(args.train_url, "all_density_best.txt"),
-                       density_rows)
-            with open(os.path.join(args.train_url, "best_result.txt"), "w") as f:
-                f.write(f"{best_top1:.6f}\t{act:.6f}\t{gflops:.6f}")
+        if proc_id == 0:  # one writer per shared train_url
+            np.savetxt(
+                os.path.join(args.train_url, "all_density_latest.txt"),
+                density_rows)
+            with open(csv_path, "a", newline="") as f:
+                m_host = jax.device_get(m)
+                csv.writer(f).writerow(
+                    [epoch, meters["top1"].avg, meters["loss"].avg,
+                     val_top1, val_top5, act, gflops, float(m_host["lr"]),
+                     float(m_host["temperature"])]
+                )
+            if is_best:
+                np.savetxt(
+                    os.path.join(args.train_url, "all_density_best.txt"),
+                    density_rows)
+                with open(os.path.join(args.train_url,
+                                       "best_result.txt"), "w") as f:
+                    f.write(f"{best_top1:.6f}\t{act:.6f}\t{gflops:.6f}")
+        # orbax coordinates across processes (barrier inside save) — every
+        # process must participate, not just the writer
         ckpt.save(int(state.step), jax.device_get(state),
                   metadata={"epoch": epoch, "val_top1": val_top1},
                   is_best=is_best)

@@ -132,3 +132,52 @@ def test_sim_cli_plan_subcommand(capsys):
     assert plan.mode == "token"
     out = capsys.readouterr().out
     assert "speedup" in out and "token" in out
+
+
+def test_serving_engine_compiles_recommended_cnn_paths(monkeypatch):
+    """When the plan recommends an in-process CNN path (layer-skip at
+    batch 1, spatial fixed-capacity execution), the engine compiles and
+    serves it: plan.served == plan.mode (VERDICT r2 item 10)."""
+    from laudnet_tpu.models import LAUDResNet
+    from laudnet_tpu.sim import plan as plan_mod
+
+    def forced(mode):
+        def fake_plan(name, **kw):
+            return plan_mod.ExecutionPlan(
+                kind="resnet", mode=mode, predicted_latency=1.0,
+                dense_latency=2.0, predicted_speedup=2.0,
+                ranking={"dense-masked": 2.0, mode: 1.0}, exact=True,
+            )
+        return fake_plan
+
+    # --- layer-skip at batch 1 -------------------------------------------
+    m = LAUDResNet(layers=(3, 4, 23, 3), num_classes=10, input_size=64,
+                   dyn_mode=("layer",) * 4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                               training=False))()
+    engine = ServingEngine(m, v, batch_size=1)
+    monkeypatch.setattr(plan_mod, "plan_resnet_serving",
+                        forced("layerskip"))
+    plan = engine.calibrate([x])
+    assert plan.served == plan.mode == "layerskip"
+    # the compiled layer-skip engine is bit-matched to the masked graph
+    ref = m.apply(v, x, 0.1, training=False).logits
+    np.testing.assert_allclose(np.asarray(engine(x)), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # --- spatial fixed-capacity execution --------------------------------
+    ms = LAUDResNet(layers=(3, 4, 23, 3), num_classes=10, input_size=64,
+                    dyn_mode=("spatial",) * 4,
+                    mask_spatial_granularity=(4, 4, 2, 1))
+    vs = jax.jit(lambda: ms.init({"params": jax.random.PRNGKey(2)}, x, 1.0,
+                                 training=False))()
+    engine2 = ServingEngine(ms, vs, batch_size=1)
+    monkeypatch.setattr(plan_mod, "plan_resnet_serving",
+                        forced("spatial-capacity"))
+    plan2 = engine2.calibrate([x])
+    assert plan2.served == plan2.mode == "spatial-capacity"
+    assert plan2.token_capacity is not None
+    assert all(0.0 < c <= 1.0 for c in plan2.token_capacity)
+    out = np.asarray(engine2(x))
+    assert np.isfinite(out).all() and out.shape == (1, 10)
