@@ -320,6 +320,50 @@ def main_t2t():
     }))
 
 
+def main_deit_b():
+    """LAUD-DeiT-B (dim 768) token selection vs its fused dense baseline —
+    the width-scaling point (r2 unfused: 1.52x; selection gains grow with
+    width because bigger matmuls amortize the gate/select overheads)."""
+    from laudnet_tpu.models import laud_deit_base
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH, SIZE, SIZE, 3)), DTYPE)
+    base = laud_deit_base()
+    v = _cast(
+        jax.jit(lambda: base.init({"params": jax.random.PRNGKey(0)},
+                                  x.astype(jnp.float32), 1.0,
+                                  training=False))(),
+        DTYPE,
+    )
+    caps = (1.0, 1.0, 1.0) + (0.7,) * 4 + (0.5,) * 5
+    select = laud_deit_base(token_capacity=caps, attn_impl="fused")
+    laud_ips = _throughput(
+        lambda x: select.apply(v, x, jnp.asarray(0.1, DTYPE),
+                               training=False).logits, x
+    )
+    plain = laud_deit_base(token_skip=False, head_skip=False,
+                           layer_skip=False, attn_impl="fused")
+    vp = _cast(
+        jax.jit(lambda: plain.init({"params": jax.random.PRNGKey(0)},
+                                   x.astype(jnp.float32), 1.0,
+                                   training=False))(),
+        DTYPE,
+    )
+    dense_ips = _throughput(
+        lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                              training=False).logits, x
+    )
+    print(json.dumps({
+        "metric": ("images/sec/chip LAUD-DeiT-B token-select "
+                   "(caps 1.0x3/0.7x4/0.5x5) vs dense DeiT-B, bs128 "
+                   "bf16, fused attention"),
+        "value": round(laud_ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(laud_ips / dense_ips, 4),
+        "dense_fused_img_s": round(dense_ips, 1),
+    }))
+
+
 def main_pallas():
     """The fused Pallas block-sparse kernel in its measured winning regime
     (wide blocks, where per-patch MXU compute amortizes the ~0.27us/DMA
@@ -496,6 +540,8 @@ def main():
         main_pallas()  # fused kernel in its measured winning regime
     elif "--t2t" in sys.argv:
         main_t2t()  # the paper's own ViT family (T2T-ViT-19)
+    elif "--deit-b" in sys.argv:
+        main_deit_b()  # width-scaling point (dim 768)
     else:
         main_vit()  # HEADLINE: honest-dynamic token selection
 

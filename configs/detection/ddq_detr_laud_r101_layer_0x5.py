@@ -9,6 +9,7 @@ model = dict(
     out_indices=(1, 2, 3),
     sparsity_target=0.5,
     temperature=0.1,
+    query_init="ddq",  # dense distinct queries (NMS-selected encoder proposals)
 )
 train_cfg = dict(
     epochs=12,

@@ -222,6 +222,14 @@ class DETRDetector(nn.Module):
     # attends where the previous layer's mask prediction is foreground
     # (`mask2former_head.py` semantics); with_masks only
     masked_cross_attention: bool = True
+    # 'learned' (DETR query embeddings) | 'ddq' (dense distinct queries:
+    # a dense per-token proposal head on the encoder output, class-
+    # agnostic NMS keeps Q DISTINCT proposals whose encoder features
+    # initialize the decoder queries — the DDQ-DETR mechanism,
+    # `mmdetection-3.3.0/configs/ddq/`); 'ddq' also emits the encoder
+    # proposals for the auxiliary set loss
+    query_init: str = "learned"
+    ddq_nms_iou: float = 0.8
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -265,18 +273,19 @@ class DETRDetector(nn.Module):
                 off += hh * ww
             return outs
 
+        # each token's reference point = its own normalized center
+        refs = []
+        for (hh, ww) in level_shapes:
+            gy, gx = np.meshgrid(np.arange(hh), np.arange(ww),
+                                 indexing="ij")
+            r = np.stack([(gx + 0.5) / ww, (gy + 0.5) / hh], -1)
+            refs.append(r.reshape(-1, 2))
+        ref_np = np.concatenate(refs)
+        ref_points = jnp.broadcast_to(
+            jnp.asarray(ref_np, self.param_dtype)[None],
+            (b, x.shape[1], 2),
+        )
         if self.encoder == "deformable":
-            # each token's reference point = its own normalized center
-            refs = []
-            for (hh, ww) in level_shapes:
-                gy, gx = np.meshgrid(np.arange(hh), np.arange(ww),
-                                     indexing="ij")
-                r = np.stack([(gx + 0.5) / ww, (gy + 0.5) / hh], -1)
-                refs.append(r.reshape(-1, 2))
-            ref_points = jnp.broadcast_to(
-                jnp.asarray(np.concatenate(refs), self.param_dtype)[None],
-                (b, x.shape[1], 2),
-            )
             for i in range(self.enc_layers):
                 x = DeformableEncoderLayer(
                     dim=self.dim, points=self.deform_points,
@@ -312,11 +321,52 @@ class DETRDetector(nn.Module):
             pixel_feat = nn.Conv(self.dim, (1, 1), name="mask_feature",
                                  param_dtype=self.param_dtype)(top)
 
-        queries = self.param(
-            "query_embed", jax.nn.initializers.normal(0.02),
-            (1, self.num_queries, self.dim), self.param_dtype,
-        )
-        q = jnp.broadcast_to(queries, (b, self.num_queries, self.dim))
+        enc_aux = {}
+        if self.query_init == "ddq":
+            # dense proposal head over every encoder token; class-agnostic
+            # NMS keeps num_queries DISTINCT proposals, whose encoder
+            # features initialize the decoder queries (DDQ-DETR's
+            # distinct-query selection)
+            from laudnet_tpu.detection.retinanet import nms
+
+            enc_cls = nn.Dense(self.num_classes + 1, name="enc_cls",
+                               param_dtype=self.param_dtype)(x)
+            prior = jnp.concatenate([
+                jnp.log(jnp.clip(ref_points, 1e-4, 1 - 1e-4)
+                        / (1 - jnp.clip(ref_points, 1e-4, 1 - 1e-4))),
+                jnp.full((b, x.shape[1], 2), -2.0, self.param_dtype),
+            ], axis=-1)
+            enc_boxes = jax.nn.sigmoid(
+                nn.Dense(4, name="enc_box",
+                         kernel_init=jax.nn.initializers.zeros,
+                         param_dtype=self.param_dtype)(x) + prior
+            )  # (B, N, 4) cxcywh, center-prior at the token location
+            objness = 1.0 - jax.nn.softmax(enc_cls, -1)[..., -1]
+
+            def distinct(feat_i, cls_i, box_i, obj_i):
+                pre = min(4 * self.num_queries, obj_i.shape[0])
+                top_s, top_i = jax.lax.top_k(obj_i, pre)
+                keep, alive = nms(
+                    cxcywh_to_xyxy(box_i[top_i]), top_s,
+                    self.ddq_nms_iou, self.num_queries,
+                )
+                sel = top_i[keep]
+                return feat_i[sel], cls_i[sel], box_i[sel]
+
+            q_feat, sel_cls, sel_box = jax.vmap(distinct)(
+                x, enc_cls, enc_boxes, objness)
+            q = nn.Dense(self.dim, name="query_proj",
+                         param_dtype=self.param_dtype)(q_feat)
+            # the selected proposals train through the auxiliary set loss
+            # (DDQ's interm branch analog)
+            enc_aux = {"enc_cls_logits": sel_cls,
+                       "enc_boxes_cxcywh": sel_box}
+        else:
+            queries = self.param(
+                "query_embed", jax.nn.initializers.normal(0.02),
+                (1, self.num_queries, self.dim), self.param_dtype,
+            )
+            q = jnp.broadcast_to(queries, (b, self.num_queries, self.dim))
 
         mask_embed = (nn.Dense(self.dim, name="mask_embed",
                                param_dtype=self.param_dtype)
@@ -367,6 +417,7 @@ class DETRDetector(nn.Module):
             "boxes_cxcywh": boxes,
             "additional": additional,
             "model_configs": model_configs,
+            **enc_aux,
         }
         if self.with_masks:
             # Mask2Former-style: per-query mask embedding . pixel features
@@ -427,29 +478,14 @@ def hungarian_match(cost):
     return jax.pure_callback(host_match, shape, cost, vmap_method="sequential")
 
 
-def detr_loss(outputs, gt_boxes_xyxy, gt_labels, gt_valid, *,
-              num_classes: int, image_size: float, gt_masks=None,
-              sparsity_target: float = 0.5, lambda_sparse: float = 1.0,
-              cls_weight: float = 1.0, l1_weight: float = 5.0,
-              giou_weight: float = 2.0, no_object_weight: float = 0.1):
-    """DETR set-prediction loss + the LAUD loss_sparse injection
-    (`base_detr.py:123-132`). GT boxes arrive xyxy in pixels; normalized
-    internally. Returns (total, metrics)."""
-    cls_logits = outputs["cls_logits"]  # (B, Q, K+1)
-    pred_cxcywh = outputs["boxes_cxcywh"]
+def _set_prediction_terms(cls_logits, pred_cxcywh, gt_cxcywh, gt_labels,
+                          gt_valid, *, num_classes, cls_weight, l1_weight,
+                          giou_weight, no_object_weight):
+    """Hungarian-matched (cls, l1, giou) losses plus the match indices —
+    shared by the decoder head and DDQ's auxiliary encoder-proposal
+    branch."""
     b, qn, _ = cls_logits.shape
-    m = gt_boxes_xyxy.shape[1]
-
-    gt_norm = gt_boxes_xyxy / image_size
-    gt_cxcywh = jnp.stack(
-        [
-            (gt_norm[..., 0] + gt_norm[..., 2]) / 2,
-            (gt_norm[..., 1] + gt_norm[..., 3]) / 2,
-            jnp.maximum(gt_norm[..., 2] - gt_norm[..., 0], 1e-6),
-            jnp.maximum(gt_norm[..., 3] - gt_norm[..., 1], 1e-6),
-        ],
-        -1,
-    )
+    m = gt_cxcywh.shape[1]
 
     # matching cost (B, Q, M): -p(class) + L1 + (1 - gIoU)
     logp = jax.nn.log_softmax(cls_logits, -1)
@@ -470,7 +506,6 @@ def detr_loss(outputs, gt_boxes_xyxy, gt_labels, gt_valid, *,
     match = hungarian_match(jax.lax.stop_gradient(cost))  # (B, M)
 
     bidx = jnp.arange(b)[:, None]
-    matched_logits = cls_logits[bidx, match]  # (B, M, K+1)
     matched_boxes = pred_cxcywh[bidx, match]
 
     # classification: matched queries -> gt label; all others -> no-object
@@ -494,11 +529,58 @@ def detr_loss(outputs, gt_boxes_xyxy, gt_labels, gt_valid, *,
         (1 - generalized_iou(cxcywh_to_xyxy(matched_boxes),
                              cxcywh_to_xyxy(gt_cxcywh))) * gt_valid
     ).sum() / n_pos
+    return loss_cls, loss_l1, loss_giou, match
+
+
+def detr_loss(outputs, gt_boxes_xyxy, gt_labels, gt_valid, *,
+              num_classes: int, image_size: float, gt_masks=None,
+              sparsity_target: float = 0.5, lambda_sparse: float = 1.0,
+              cls_weight: float = 1.0, l1_weight: float = 5.0,
+              giou_weight: float = 2.0, no_object_weight: float = 0.1,
+              enc_aux_weight: float = 1.0):
+    """DETR set-prediction loss + the LAUD loss_sparse injection
+    (`base_detr.py:123-132`). GT boxes arrive xyxy in pixels; normalized
+    internally. When the model emits DDQ encoder proposals
+    (``enc_cls_logits``/``enc_boxes_cxcywh``), the same set loss trains
+    them as an auxiliary branch (DDQ's interm supervision analog).
+    Returns (total, metrics)."""
+    cls_logits = outputs["cls_logits"]  # (B, Q, K+1)
+    pred_cxcywh = outputs["boxes_cxcywh"]
+    b = cls_logits.shape[0]
+
+    gt_norm = gt_boxes_xyxy / image_size
+    gt_cxcywh = jnp.stack(
+        [
+            (gt_norm[..., 0] + gt_norm[..., 2]) / 2,
+            (gt_norm[..., 1] + gt_norm[..., 3]) / 2,
+            jnp.maximum(gt_norm[..., 2] - gt_norm[..., 0], 1e-6),
+            jnp.maximum(gt_norm[..., 3] - gt_norm[..., 1], 1e-6),
+        ],
+        -1,
+    )
+    term_kw = dict(num_classes=num_classes, cls_weight=cls_weight,
+                   l1_weight=l1_weight, giou_weight=giou_weight,
+                   no_object_weight=no_object_weight)
+
+    loss_cls, loss_l1, loss_giou, match = _set_prediction_terms(
+        cls_logits, pred_cxcywh, gt_cxcywh, gt_labels, gt_valid, **term_kw)
+    bidx = jnp.arange(b)[:, None]
+    m = gt_boxes_xyxy.shape[1]
+    n_pos = jnp.maximum(gt_valid.sum(), 1.0)
 
     metrics = {"loss_cls": loss_cls, "loss_l1": loss_l1,
                "loss_giou": loss_giou}
     total = (cls_weight * loss_cls + l1_weight * loss_l1
              + giou_weight * loss_giou)
+
+    if "enc_cls_logits" in outputs:
+        e_cls, e_l1, e_giou, _ = _set_prediction_terms(
+            outputs["enc_cls_logits"], outputs["enc_boxes_cxcywh"],
+            gt_cxcywh, gt_labels, gt_valid, **term_kw)
+        aux = (cls_weight * e_cls + l1_weight * e_l1
+               + giou_weight * e_giou)
+        metrics["loss_enc_aux"] = aux
+        total = total + enc_aux_weight * aux
 
     if gt_masks is not None and "mask_logits" in outputs:
         mlog = outputs["mask_logits"]  # (B, Q, h, w)

@@ -212,3 +212,33 @@ def test_detector_checkpoint_resume(tmp_path):
     same = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
     assert max(jax.tree_util.tree_leaves(same)) == 0.0  # no extra steps ran
+
+
+def test_map_coco_thresholds_hand_case():
+    """COCO-standard mAP@[.5:.95] on a hand-computable fixture
+    (`mmdet/datasets/coco.py:419` semantics, VERDICT r2 item 3).
+
+    One GT box 10x10; one detection shifted 2px right: overlap 8x10 = 80,
+    union 120 -> IoU = 2/3 ~ 0.667. It counts as TP at thresholds
+    0.50/0.55/0.60/0.65 (4 of 10) and FP above, so the averaged AP is 0.4
+    while AP@0.5 is 1.0.
+    """
+    gts = [dict(boxes=np.array([[0.0, 0, 10, 10]]), labels=np.array([0]))]
+    dets = [dict(boxes=np.array([[2.0, 0, 12, 10]]),
+                 scores=np.array([0.9]), classes=np.array([0]))]
+    r = mean_average_precision(dets, gts, num_classes=1,
+                               iou_thresholds="coco")
+    assert r["mAP50"] == pytest.approx(1.0)
+    assert r["mAP"] == pytest.approx(0.4)
+
+    # a perfect detection scores 1.0 across the whole threshold range
+    perfect = [dict(boxes=np.array([[0.0, 0, 10, 10]]),
+                    scores=np.array([0.9]), classes=np.array([0]))]
+    rp = mean_average_precision(perfect, gts, num_classes=1,
+                                iou_thresholds="coco")
+    assert rp["mAP"] == pytest.approx(1.0)
+
+    # explicit threshold list: same machinery
+    r2 = mean_average_precision(dets, gts, num_classes=1,
+                                iou_thresholds=[0.5, 0.7])
+    assert r2["mAP"] == pytest.approx(0.5)  # TP at 0.5, FP at 0.7

@@ -206,3 +206,41 @@ def test_masked_cross_attention_restricts():
     assert np.isfinite(np.asarray(o_on["mask_logits"])).all()
     d = float(jnp.abs(o_on["cls_logits"] - o_off["cls_logits"]).max())
     assert d > 1e-6  # masking changes what the decoder sees
+
+
+def test_ddq_distinct_queries():
+    """DDQ query initialization: dense encoder proposals, class-agnostic
+    NMS keeps distinct ones, selected features become queries, and the
+    auxiliary encoder set loss trains the proposal head."""
+    m = tiny_detr(query_init="ddq")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+    out = m.apply(v, x, training=False)
+    assert out["enc_cls_logits"].shape == (1, 8, 4)  # Q=8, K+1
+    assert out["enc_boxes_cxcywh"].shape == (1, 8, 4)
+    bx = np.asarray(out["enc_boxes_cxcywh"])
+    assert ((bx >= 0) & (bx <= 1)).all()
+    # no learned query embedding in the ddq variant
+    assert "query_embed" not in v["params"]
+    assert "enc_cls" in v["params"] and "query_proj" in v["params"]
+
+    boxes, labels, valid = gt()
+    total, metrics = detr_loss(
+        out, boxes, labels, valid, num_classes=3, image_size=64.0)
+    assert "loss_enc_aux" in metrics
+    assert np.isfinite(float(total))
+
+    # gradients reach the encoder proposal head through the aux loss
+    def loss_fn(params):
+        o = m.apply(
+            {"params": params,
+             "batch_stats": v.get("batch_stats", {})},
+            x, training=True, rngs={"gumbel": jax.random.PRNGKey(2)})
+        t, _ = detr_loss(o, boxes, labels, valid, num_classes=3,
+                         image_size=64.0)
+        return t
+
+    g = jax.grad(loss_fn)(v["params"])
+    gn = float(sum(jnp.abs(l).sum() for l in
+                   jax.tree_util.tree_leaves(g["enc_cls"])))
+    assert gn > 0
