@@ -159,7 +159,14 @@ def main_r101_target05():
 def main_vit():
     """Headline: LAUD-DeiT-S with fixed-capacity token selection vs plain
     DeiT-S — the ViT-paradigm claim of the paper (panel (c)), realized
-    TPU-native. vs_baseline > 1 means LAUD beats dense wall-clock."""
+    TPU-native. vs_baseline > 1 means LAUD beats dense wall-clock.
+
+    Both sides run through the fastest available serving path — the fully
+    fused transformer-block kernel (`infer/fused_vit.py`, one Pallas
+    kernel per layer); the attention-only fusion and the unfused graph are
+    kept as diagnostics (r2's 18%-MFU unfused baseline flattered
+    selection; best-vs-best is the honest frame)."""
+    from laudnet_tpu.infer.fused_vit import build_fused_vit
     from laudnet_tpu.models import laud_deit_small
 
     rng = np.random.default_rng(0)
@@ -172,52 +179,47 @@ def main_vit():
                                   training=False))(),
         DTYPE,
     )
+    geom = dict(depth=12, dim=384, num_heads=6)
     caps = (1.0, 1.0, 1.0) + (0.7,) * 4 + (0.5,) * 5  # AdaViT-style schedule
-    select = laud_deit_small(token_capacity=caps, attn_impl="fused")
     laud_ips = _throughput(
-        lambda x: select.apply(v, x, jnp.asarray(0.1, DTYPE),
-                               training=False).logits, x
-    )
-
-    flat = laud_deit_small(token_capacity=(0.5,) * 12, attn_impl="fused")
+        build_fused_vit(v, token_capacity=caps, **geom), x)
     flat_ips = _throughput(
-        lambda x: flat.apply(v, x, jnp.asarray(0.1, DTYPE),
-                             training=False).logits, x
-    )
+        build_fused_vit(v, token_capacity=(0.5,) * 12, **geom), x)
 
-    # Dense baseline runs the fused attention kernel too — the honest
-    # comparison (r2's 18%-MFU unfused baseline flattered selection; the
-    # unfused number is kept as a diagnostic).
     plain = laud_deit_small(token_skip=False, head_skip=False,
-                            layer_skip=False, attn_impl="fused")
+                            layer_skip=False)
     vp = _cast(
         jax.jit(lambda: plain.init({"params": jax.random.PRNGKey(0)},
                                    x.astype(jnp.float32), 1.0,
                                    training=False))(),
         DTYPE,
     )
-    dense_ips = _throughput(
+    dense_ips = _throughput(build_fused_vit(vp, **geom), x)
+
+    # diagnostics: the attention-only fusion and the unfused XLA graph
+    plain_attnfused = laud_deit_small(token_skip=False, head_skip=False,
+                                      layer_skip=False, attn_impl="fused")
+    dense_attnfused_ips = _throughput(
+        lambda x: plain_attnfused.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                                        training=False).logits, x
+    )
+    dense_unfused_ips = _throughput(
         lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
                               training=False).logits, x
-    )
-    plain_unfused = laud_deit_small(token_skip=False, head_skip=False,
-                                    layer_skip=False)
-    dense_unfused_ips = _throughput(
-        lambda x: plain_unfused.apply(vp, x, jnp.asarray(0.1, DTYPE),
-                                      training=False).logits, x
     )
     print(
         json.dumps(
             {
                 "metric": ("images/sec/chip LAUD-DeiT-S token-select "
                            "(caps 1.0x3/0.7x4/0.5x5) vs dense DeiT-S, "
-                           "bs128 bf16, fused attention"),
+                           "bs128 bf16, fully fused block kernels"),
                 "value": round(laud_ips, 1),
                 "unit": "img/s",
                 "vs_baseline": round(laud_ips / dense_ips, 4),
                 "flat_0.5_img_s": round(flat_ips, 1),
                 "flat_0.5_vs_baseline": round(flat_ips / dense_ips, 4),
-                "dense_fused_img_s": round(dense_ips, 1),
+                "dense_fused_block_img_s": round(dense_ips, 1),
+                "dense_fused_attn_img_s": round(dense_attnfused_ips, 1),
                 "dense_unfused_img_s": round(dense_unfused_ips, 1),
             }
         )

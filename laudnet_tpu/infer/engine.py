@@ -47,9 +47,31 @@ class ServingEngine:
                       else "resnet")
         self._fwd = self._compile(self.model)
 
+    def _block_engine_ok(self, model) -> bool:
+        """The fully fused block engine (`infer/fused_vit.py`) serves
+        dense/token-selection models with 128-aligned head pairs; head or
+        layer gating modulates inside the block, so those models keep the
+        attention-only fusion."""
+        return (self._kind == "vit"
+                and jax.default_backend() == "tpu"
+                and not getattr(model, "head_skip", True)
+                and not getattr(model, "layer_skip", True)
+                and getattr(model, "stem", "patch") == "patch"
+                and model.num_heads % 2 == 0
+                and model.dim % 128 == 0
+                and (2 * model.dim // model.num_heads) % 128 == 0)
+
     def _compile(self, model) -> Callable:
-        # ViTs serve the fused attention kernel on TPU (numerically
-        # equivalent to the masked graph; `ops/pallas/vit_attention.py`)
+        if self._block_engine_ok(model):
+            from laudnet_tpu.infer.fused_vit import build_fused_vit
+
+            return jax.jit(build_fused_vit(
+                self.variables, depth=model.depth, dim=model.dim,
+                num_heads=model.num_heads, patch_size=model.patch_size,
+                token_capacity=model.token_capacity,
+            ))
+        # otherwise ViTs serve the fused attention kernel on TPU
+        # (numerically equivalent; `ops/pallas/vit_attention.py`)
         if (self._kind == "vit" and hasattr(model, "attn_impl")
                 and jax.default_backend() == "tpu"):
             model = model.clone(attn_impl="fused")

@@ -1,0 +1,176 @@
+"""Fully fused ViT transformer block — one Pallas kernel per layer.
+
+The fused *attention* kernel (`vit_attention.py`) removed the score-tensor
+HBM round trips; this kernel removes everything else: LayerNorm read/write
+passes, the qkv/proj/fc1/fc2 matmul boundary materializations, and the
+residual re-reads. One grid step loads a batch block of the token stream
+plus the layer's weights into VMEM and runs
+
+    x2  = x + proj(attn(LN1(x))) * token_row_mask
+    out = x2 + fc2(gelu(fc1(LN2(x2)))) * token_row_mask
+
+entirely on-chip; per layer the only HBM traffic is x in, out out, and one
+weight fetch. Attention uses the lane-masked head-pair scheme of
+`vit_attention.py` (bf16 MXU, f32 accumulation, additive key mask).
+
+This is the serving fast path for dense and token-selection LAUD-ViT
+(`infer/fused_vit.py` composes it with the policy heads and top-k
+selection between blocks); gating paradigms that modulate inside the block
+(head/layer gates) use the attention-only fusion instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _ln(x, scale, bias, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _gelu_exact(x):
+    """Exact (erf) GELU with an in-kernel erf: Mosaic has no erf/erfc
+    lowering, so use Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7 —
+    below bf16 resolution)."""
+    z = x * 0.7071067811865476
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-a * a)
+    erf = jnp.sign(z) * erf_abs
+    return 0.5 * x * (1.0 + erf)
+
+
+def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
+                    ln_eps: float = 1e-6, block_b: int = 4,
+                    interpret: bool = False):
+    """One transformer block, fully fused.
+
+    ``x``: (B, L, D); ``key_mask``: (B, 1, L) 1/0 over keys; ``row_mask``:
+    (B, L, 1) 1/0 over token rows (the model multiplies both branch
+    outputs by the token mask); ``params``: dict with ln1/ln2 (scale,
+    bias), qkv/proj/fc1/fc2 (kernel, bias) in the flax layouts. Requires
+    even ``num_heads`` with 128-aligned head pairs (DeiT geometry);
+    geometries without them (T2T's odd 7 heads / D=448) keep the
+    attention-only fusion instead. Returns (B, L, D).
+    """
+    b, l, d = x.shape
+    dh = d // num_heads
+    assert num_heads % 2 == 0 and (2 * dh) % 128 == 0 and d % 128 == 0, (
+        "fused_vit_block needs 128-aligned head pairs"
+    )
+    hidden = params["fc1"]["kernel"].shape[1]
+    n_pairs = num_heads // 2
+    sm_scale = dh**-0.5
+
+    def vmem_bytes(bb):
+        per_tok = (2 * d * x.dtype.itemsize          # x in + out (dbl buf ~)
+                   + 3 * d * x.dtype.itemsize        # qkv buffer
+                   + hidden * x.dtype.itemsize)      # mlp hidden
+        return (bb * l * per_tok * 2
+                + 2 * bb * l * l * 4                 # f32 score tiles
+                + (d * (3 * d + d + 2 * hidden) + 8 * d + hidden)
+                * x.dtype.itemsize)
+
+    bb = min(block_b, b)
+    while bb > 1 and vmem_bytes(bb) > 11 * 2**20:
+        bb -= 1
+    while b % bb:
+        bb -= 1
+    grid = (b // bb,)
+
+    w = params
+    args = [
+        x, key_mask, row_mask,
+        w["ln1"]["scale"].reshape(1, d), w["ln1"]["bias"].reshape(1, d),
+        w["qkv"]["kernel"], w["qkv"]["bias"].reshape(1, 3 * d),
+        w["proj"]["kernel"], w["proj"]["bias"].reshape(1, d),
+        w["ln2"]["scale"].reshape(1, d), w["ln2"]["bias"].reshape(1, d),
+        w["fc1"]["kernel"], w["fc1"]["bias"].reshape(1, hidden),
+        w["fc2"]["kernel"], w["fc2"]["bias"].reshape(1, d),
+    ]
+
+    def spec_for(a, batched):
+        if batched:
+            return pl.BlockSpec((bb,) + a.shape[1:],
+                                lambda i: (i,) + (0,) * (a.ndim - 1),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec_for(a, k < 3) for k, a in enumerate(args)]
+
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+    bnums = (((2,), (2,)), ((0,), (0,)))
+    pv_nums = (((2,), (1,)), ((0,), (0,)))
+
+    def kernel(x_ref, kmask_ref, rmask_ref, ln1s, ln1b, wqkv, bqkv, wproj,
+               bproj, ln2s, ln2b, w1, b1, w2, b2, out_ref):
+        xin = x_ref[:]
+        cdt = xin.dtype
+        neg = (1.0 - kmask_ref[:].astype(jnp.float32)) * NEG  # (bb,1,L)
+        rmask = rmask_ref[:].astype(jnp.float32)  # (bb, L, 1)
+
+        h1 = _ln(xin, ln1s[0], ln1b[0], ln_eps).astype(cdt)
+        qkv = (mm(h1.reshape(bb * l, d), wqkv[:])
+               + bqkv[:].astype(jnp.float32)).astype(cdt)
+        qkv = qkv.reshape(bb, l, 3 * d)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * dh), 2)
+        m_lo = (lane < dh).astype(cdt)
+        m_hi = (lane >= dh).astype(cdt)
+        outs = []
+        for hp in range(n_pairs):
+            off = 2 * dh * hp
+            q2 = qkv[:, :, off:off + 2 * dh]
+            k2 = qkv[:, :, d + off:d + off + 2 * dh]
+            v2 = qkv[:, :, 2 * d + off:2 * d + off + 2 * dh]
+            pair = None
+            for msk in (m_lo, m_hi):
+                s = jax.lax.dot_general(
+                    q2 * msk, k2, dimension_numbers=bnums,
+                    preferred_element_type=jnp.float32,
+                ) * sm_scale + neg
+                p = jax.nn.softmax(s, axis=-1)
+                o = jax.lax.dot_general(
+                    p.astype(cdt), v2 * msk, dimension_numbers=pv_nums,
+                    preferred_element_type=jnp.float32,
+                )
+                pair = o if pair is None else pair + o
+            outs.append(pair.astype(cdt))
+        attn = jnp.concatenate(outs, axis=-1)  # (bb, L, D)
+
+        proj = (mm(attn.reshape(bb * l, d), wproj[:])
+                + bproj[:].astype(jnp.float32)).reshape(bb, l, d)
+        x2 = xin.astype(jnp.float32) + proj * rmask
+
+        h2 = _ln(x2.astype(cdt), ln2s[0], ln2b[0], ln_eps).astype(cdt)
+        u = (mm(h2.reshape(bb * l, d), w1[:])
+             + b1[:].astype(jnp.float32))
+        u = _gelu_exact(u).astype(cdt)
+        y = (mm(u, w2[:]) + b2[:].astype(jnp.float32)).reshape(bb, l, d)
+        out_ref[:] = (x2 + y * rmask).astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, l, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        interpret=interpret,
+    )(*args)

@@ -280,6 +280,41 @@ class TPUPredictor:
             cfg=[dict(op="fused_attention", l=l, dim=dim, heads=heads)],
         )
 
+    def fused_block(self, l: int, dim: int, heads: int,
+                    mlp_ratio: float) -> SimulationReport:
+        """The fully fused transformer block kernel
+        (`ops/pallas/vit_block.py`): per layer, HBM touches only x
+        in/out + one weight fetch; LN/softmax/gelu run on the VPU in
+        VMEM. VPU time ADDS to MXU time (Mosaic serializes the dependent
+        LN -> matmul -> softmax chain; the additive form lands all three
+        block-engine anchors within ~3%, an overlap model under-prices
+        every one)."""
+        s = self.spec
+        b = s.batch_size
+        dh = dim // heads
+        hidden = int(dim * mlp_ratio)
+        peak = s.peak_bf16 if self.dtype_bytes == 2 else s.peak_fp32
+        rows = b * l
+        mm_flops = 2.0 * rows * dim * (3 * dim + dim + 2 * hidden)
+        attn_flops = 2.0 * (2.0 * b * heads * l * l * (2 * dh))
+        mxu = (mm_flops + attn_flops) / (peak * s.sustained_frac)
+        vpu_ops = (6.0 * b * heads * l * l        # softmax
+                   + 2 * 6.0 * rows * dim        # two LayerNorms
+                   + 8.0 * rows * hidden)        # gelu
+        vpu = vpu_ops / self.spec.vpu_flops  # serial with the MXU chain
+        weights = dim * (3 * dim + dim + 2 * hidden) * self.dtype_bytes
+        mem = (2 * rows * dim * self.dtype_bytes + weights) \
+            / s.mem_bandwidth
+        # per-grid-step boundary at the kernel's default block_b=4 (the
+        # bigger VMEM footprint halves the batch block vs the attention
+        # kernel's 8)
+        boundary = 5.6e-6 * max(1, -(-b // 4))
+        return SimulationReport(
+            latency=mxu + vpu + mem + s.fusion_overhead + boundary,
+            compute_latency=mxu + vpu, memory_latency=mem,
+            cfg=[dict(op="fused_block", l=l, dim=dim)],
+        )
+
     def token_select(self, l_from: int, l_to: int, d: int) -> SimulationReport:
         """Fixed-capacity top-k token selection: rank + top_k over the mask
         (VPU over B*L) + gathers of x/mask/score rows. This lowers to ~4
@@ -351,6 +386,7 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
                     num_classes: int = 1000, mode: str = "dense",
                     token_capacity: Optional[Sequence[float]] = None,
                     fused_attention: bool = False,
+                    fused_block: bool = False,
                     ) -> SimulationReport:
     """LAUD-ViT serving latency on TPU (the op set `models/laud_vit.py`
     actually executes; VERDICT r1 missing #5).
@@ -385,13 +421,18 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
             if k < l:
                 total = total + p.token_select(l, k, dim)
                 l = k
-        total = total + tpu_vit_block(
-            p, l, dim, num_heads, mlp_ratio,
-            token_policy=mode in ("token", "mask"),
-            head_policy=mode == "head",
-            layer_policy=mode == "layer",
-            fused_attention=fused_attention,
-        )
+        if fused_block:
+            if mode in ("token", "mask"):
+                total = total + p.matmul(b * l, dim, 2)  # token policy
+            total = total + p.fused_block(l, dim, num_heads, mlp_ratio)
+        else:
+            total = total + tpu_vit_block(
+                p, l, dim, num_heads, mlp_ratio,
+                token_policy=mode in ("token", "mask"),
+                head_policy=mode == "head",
+                layer_policy=mode == "layer",
+                fused_attention=fused_attention,
+            )
     total = total + p.layernorm(b * l * dim)
     total = total + p.matmul(b, dim, num_classes)
     return total

@@ -1,0 +1,112 @@
+"""Fully fused transformer-block kernel + serving engine
+(`ops/pallas/vit_block.py`, `infer/fused_vit.py`): bit-equivalence to the
+flax model on the dense and token-selection paths (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laudnet_tpu.infer.fused_vit import build_fused_vit
+from laudnet_tpu.models.laud_vit import LAUDViT
+from laudnet_tpu.ops.pallas.vit_block import fused_vit_block
+
+GEOM = dict(depth=2, dim=256, num_heads=4, mlp_ratio=2.0, num_classes=11)
+
+
+def _x(b=2, s=64, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal((b, s, s, 3)),
+        jnp.float32)
+
+
+def test_block_kernel_matches_reference_ops():
+    """The kernel's LN/attention/MLP pipeline equals the composed jnp ops
+    (with a ragged token mask)."""
+    rng = np.random.default_rng(0)
+    b, l, d, h = 2, 19, 256, 4
+    hidden = 512
+    x = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    mask = jnp.asarray((rng.random((b, l)) > 0.3), jnp.float32)
+    mask = mask.at[:, 0].set(1.0)
+
+    def mkd(shape):
+        return jnp.asarray(rng.standard_normal(shape) * 0.05, jnp.float32)
+
+    params = {
+        "ln1": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
+        "ln2": {"scale": mkd((d,)) + 1.0, "bias": mkd((d,))},
+        "qkv": {"kernel": mkd((d, 3 * d)), "bias": mkd((3 * d,))},
+        "proj": {"kernel": mkd((d, d)), "bias": mkd((d,))},
+        "fc1": {"kernel": mkd((d, hidden)), "bias": mkd((hidden,))},
+        "fc2": {"kernel": mkd((hidden, d)), "bias": mkd((d,))},
+    }
+
+    def ln(y, p):
+        mu = y.mean(-1, keepdims=True)
+        var = ((y - mu) ** 2).mean(-1, keepdims=True)
+        return (y - mu) / jnp.sqrt(var + 1e-6) * p["scale"] + p["bias"]
+
+    def reference(x):
+        h1 = ln(x, params["ln1"])
+        qkv = h1 @ params["qkv"]["kernel"] + params["qkv"]["bias"]
+        qh = qkv.reshape(b, l, 3, h, d // h).transpose(2, 0, 3, 1, 4)
+        q, k, v = qh[0], qh[1], qh[2]
+        s = (q @ k.transpose(0, 1, 3, 2)) * (d // h) ** -0.5
+        s = s + (1.0 - mask)[:, None, None, :] * -1e9
+        o = (jax.nn.softmax(s, -1) @ v).transpose(0, 2, 1, 3).reshape(
+            b, l, d)
+        proj = o @ params["proj"]["kernel"] + params["proj"]["bias"]
+        x2 = x + proj * mask[:, :, None]
+        h2 = ln(x2, params["ln2"])
+        u = jax.nn.gelu(h2 @ params["fc1"]["kernel"]
+                        + params["fc1"]["bias"], approximate=False)
+        y = u @ params["fc2"]["kernel"] + params["fc2"]["bias"]
+        return x2 + y * mask[:, :, None]
+
+    ref = reference(x)
+    out = fused_vit_block(x, mask.reshape(b, 1, l), mask.reshape(b, l, 1),
+                          params, num_heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_vit_dense_matches_model():
+    x = _x()
+    dense = LAUDViT(token_skip=False, head_skip=False, layer_skip=False,
+                    **GEOM)
+    v = jax.jit(lambda: dense.init({"params": jax.random.PRNGKey(0)}, x,
+                                   1.0, training=False))()
+    ref = dense.apply(v, x, 0.1, training=False).logits
+    fwd = build_fused_vit(v, depth=2, dim=256, num_heads=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(fwd(x)), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_fused_vit_selection_matches_model():
+    x = _x(seed=3)
+    base = LAUDViT(head_skip=False, layer_skip=False, **GEOM)
+    v = jax.jit(lambda: base.init({"params": jax.random.PRNGKey(1)}, x,
+                                  1.0, training=False))()
+    caps = (1.0, 0.5)
+    sel = LAUDViT(head_skip=False, layer_skip=False, token_capacity=caps,
+                  **GEOM)
+    ref = sel.apply(v, x, 0.1, training=False).logits
+    fwd = build_fused_vit(v, depth=2, dim=256, num_heads=4,
+                          token_capacity=caps, interpret=True)
+    np.testing.assert_allclose(np.asarray(fwd(x)), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_block_kernel_rejects_unaligned_geometry():
+    x = jnp.zeros((1, 5, 192))
+    params = {
+        "ln1": {"scale": jnp.ones(192), "bias": jnp.zeros(192)},
+        "ln2": {"scale": jnp.ones(192), "bias": jnp.zeros(192)},
+        "qkv": {"kernel": jnp.zeros((192, 576)), "bias": jnp.zeros(576)},
+        "proj": {"kernel": jnp.zeros((192, 192)), "bias": jnp.zeros(192)},
+        "fc1": {"kernel": jnp.zeros((192, 384)), "bias": jnp.zeros(384)},
+        "fc2": {"kernel": jnp.zeros((384, 192)), "bias": jnp.zeros(192)},
+    }
+    with pytest.raises(AssertionError, match="128-aligned"):
+        fused_vit_block(x, jnp.ones((1, 1, 5)), jnp.ones((1, 5, 1)),
+                        params, num_heads=3, interpret=True)
