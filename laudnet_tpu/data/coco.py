@@ -253,8 +253,10 @@ def coco_detection_batches(
         order = order[shard_index::shard_count]
         for start in range(0, len(order), batch_size):
             idx = order[start:start + batch_size]
-            if len(idx) < batch_size:  # wrap the tail
-                idx = np.concatenate([idx, order[:batch_size - len(idx)]])
+            if len(idx) < batch_size:  # wrap the tail (tile tiny epochs)
+                reps = -(-(batch_size - len(idx)) // len(order))
+                idx = np.concatenate(
+                    [idx, np.tile(order, reps)[:batch_size - len(idx)]])
             ex = [dataset.example(int(i), target, max_gt, with_masks)
                   for i in idx]
             batch = (
@@ -295,4 +297,8 @@ def open_coco(data_dir: str, split: str = "train"):
             break
     if img_dir is None:
         raise FileNotFoundError(f"no image directory for {ann_file!r}")
-    return CocoDataset(ann_file, img_dir)
+    # mmdet convention: filter_empty_gt applies to TRAIN only — dropping
+    # empty-GT images from an eval split would hide false positives on
+    # them and inflate mAP
+    return CocoDataset(ann_file, img_dir,
+                       filter_empty=split.startswith("train"))

@@ -52,6 +52,18 @@ class ImageFolderDataset:
             return self.transform(img, seed), label
 
 
+def _pad_order_for_shards(order: np.ndarray, count: int) -> np.ndarray:
+    """Pad the epoch order by wrapping so every shard draws the same
+    number of samples (torch DistributedSampler semantics). Without this,
+    uneven shards run different batch counts / final-batch shapes and a
+    multi-host SPMD step deadlocks waiting for the short shard."""
+    if count <= 1 or len(order) % count == 0:
+        return order
+    total = -(-len(order) // count) * count
+    reps = -(-total // max(len(order), 1))
+    return np.tile(order, reps)[:total]
+
+
 class DataLoader:
     """Threaded, prefetching batch loader with epoch-seeded shuffling."""
 
@@ -71,7 +83,7 @@ class DataLoader:
 
     def __len__(self):
         idx, count = self.shard
-        n = len(self.dataset) // count
+        n = -(-len(self.dataset) // count)  # padded per-shard count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -79,7 +91,7 @@ class DataLoader:
         order = (rng.permutation(len(self.dataset)) if self.shuffle
                  else np.arange(len(self.dataset)))
         idx, count = self.shard
-        order = order[idx::count]
+        order = _pad_order_for_shards(order, count)[idx::count]
         n_batches = len(self)
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

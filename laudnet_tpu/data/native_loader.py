@@ -187,10 +187,11 @@ class NativeDataLoader:
         )
 
     def __len__(self):
-        # per-shard length from the actual sliced order (order[idx::count]),
-        # so uneven shards don't silently drop tail samples
+        # per-shard length after DistributedSampler-style wrap padding
+        # (every shard draws the same count — uneven shards would run
+        # different batch counts and deadlock a multi-host SPMD step)
         idx, count = self.shard
-        n = len(range(idx, len(self.dataset), count))
+        n = -(-len(self.dataset) // count)
         return (n // self.batch_size if self.drop_last
                 else -(-n // self.batch_size))
 
@@ -201,7 +202,9 @@ class NativeDataLoader:
         order = (rng.permutation(len(self.dataset)) if self.shuffle
                  else np.arange(len(self.dataset)))
         idx, count = self.shard
-        order = order[idx::count]
+        from laudnet_tpu.data.loader import _pad_order_for_shards
+
+        order = _pad_order_for_shards(order, count)[idx::count]
         n_batches = len(self)
 
         # background producer so batch b+1 decodes (GIL released inside

@@ -402,8 +402,9 @@ def mean_average_precision(detections, ground_truths, num_classes: int,
         [np.asarray(ap_per_class[t]) for t in thresholds], axis=0
     )
     res = {"mAP": float(per_class.mean()), "ap_per_class": per_class}
-    t50 = min(thresholds, key=lambda t: abs(t - 0.5))
-    res["mAP50"] = float(np.mean(ap_per_class[t50]))
+    t50 = [t for t in thresholds if abs(t - 0.5) < 1e-6]
+    if t50:  # only label mAP50 when 0.5 is actually evaluated
+        res["mAP50"] = float(np.mean(ap_per_class[t50[0]]))
     return res
 
 

@@ -79,11 +79,13 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_valid, num_classes,
     # that forced it (not its own argmax GT), so every valid GT gets a
     # dedicated positive even when another GT overlaps its best anchor
     # more. On collisions (two GTs forcing the same anchor) one wins, like
-    # mmdet's sequential overwrite.
+    # mmdet's sequential overwrite. Padded-invalid GT rows all argmax to
+    # anchor 0 — route them to an out-of-range index and drop, or they
+    # could nondeterministically overwrite a valid GT's assignment there.
     m_idx = jnp.arange(gt_boxes.shape[0])
-    scatter_gt = jnp.where(gt_valid > 0, m_idx,
-                           best_gt[best_anchor_per_gt])
-    best_gt = best_gt.at[best_anchor_per_gt].set(scatter_gt)
+    safe_anchor = jnp.where(gt_valid > 0, best_anchor_per_gt,
+                            anchors.shape[0])
+    best_gt = best_gt.at[safe_anchor].set(m_idx, mode="drop")
 
     labels = gt_labels[best_gt]
     cls_onehot = jax.nn.one_hot(labels, num_classes) * pos[:, None]

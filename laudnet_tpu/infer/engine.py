@@ -52,8 +52,14 @@ class ServingEngine:
         dense/token-selection models with 128-aligned head pairs; head or
         layer gating modulates inside the block, so those models keep the
         attention-only fusion."""
+        # a token-gating model without capacities must keep the flax graph:
+        # the block engine only applies the eval token gate on the
+        # selection path (token_capacity set)
+        token_ok = (not getattr(model, "token_skip", False)
+                    or getattr(model, "token_capacity", None) is not None)
         return (self._kind == "vit"
                 and jax.default_backend() == "tpu"
+                and token_ok
                 and not getattr(model, "head_skip", True)
                 and not getattr(model, "layer_skip", True)
                 and getattr(model, "stem", "patch") == "patch"

@@ -71,6 +71,11 @@ def parse_args(argv=None):
     # ViT paradigms (comma-separated subset of token,head,layer)
     p.add_argument("--vit_skip", default="token,head,layer",
                    help="LAUD-ViT gated paradigms (comma list)")
+    p.add_argument("--vit_attn", default="reference",
+                   choices=["reference", "fused"],
+                   help="ViT attention impl: 'fused' runs the Pallas "
+                        "kernel forward (exact recomputed gradients) — "
+                        "TPU only")
     # gumbel temperature
     p.add_argument("--t0", type=float, default=5.0)
     p.add_argument("--t_last", type=float, default=0.1)
@@ -194,12 +199,14 @@ def main(argv=None):
             token_skip="token" in skips,
             head_skip="head" in skips,
             layer_skip="layer" in skips,
+            attn_impl=args.vit_attn,
         )
         # dense teacher of the same geometry (all gates off); the reference
         # defers ViT training to AdaViT — this is the native equivalent
         teacher = model_ctor(
             num_classes=args.num_classes,
             token_skip=False, head_skip=False, layer_skip=False,
+            attn_impl=args.vit_attn,
         )
     else:
         stage_kwargs = dict(

@@ -242,3 +242,24 @@ def test_map_coco_thresholds_hand_case():
     r2 = mean_average_precision(dets, gts, num_classes=1,
                                 iou_thresholds=[0.5, 0.7])
     assert r2["mAP"] == pytest.approx(0.5)  # TP at 0.5, FP at 0.7
+
+
+def test_forced_assignment_ignores_padded_gt():
+    """Padded-invalid GT rows all argmax to anchor 0; they must not steal
+    a valid GT's forced assignment there (code-review r3 finding)."""
+    from laudnet_tpu.detection.train import (
+        assign_targets, box_iou, make_anchors,
+    )
+
+    anchors = make_anchors([(4, 4)], [8])
+    # GT centered exactly on anchor 0's cell, plus 3 padded slots
+    gt_boxes = jnp.asarray([[0.0, 0.0, 9.0, 9.0]] + [[0.0] * 4] * 3)
+    gt_labels = jnp.asarray([2, 0, 0, 0], jnp.int32)
+    gt_valid = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    cls_t, box_t, pos, ok = assign_targets(
+        anchors, gt_boxes, gt_labels, gt_valid, num_classes=3)
+    # the valid GT's best anchor is positive and carries class 2
+    iou_best = int(jnp.argmax(
+        jnp.asarray(box_iou(anchors, gt_boxes[:1]))[:, 0]))
+    assert float(pos[iou_best]) == 1.0
+    assert float(cls_t[iou_best, 2]) == 1.0  # not overwritten by padding

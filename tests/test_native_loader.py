@@ -148,3 +148,19 @@ def test_grayscale_jpeg_decodes_to_rgb(tmp_path):
     t = NativeBatchTransform(size=32, train=False, normalize=False)
     out = t.load([p], [0])
     assert out.shape == (1, 32, 32, 3)
+
+
+def test_shard_padding_equalizes_batch_counts():
+    """Uneven shards wrap-pad to the same per-shard count (the
+    DistributedSampler convention) so multi-host SPMD steps stay in
+    lockstep (code-review r3 finding)."""
+    from laudnet_tpu.data.loader import _pad_order_for_shards
+
+    order = np.arange(7)
+    s0 = _pad_order_for_shards(order, 2)[0::2]
+    s1 = _pad_order_for_shards(order, 2)[1::2]
+    assert len(s0) == len(s1) == 4
+    assert s1[-1] == 0  # wrapped from the front
+    # evenly divisible orders pass through untouched
+    np.testing.assert_array_equal(_pad_order_for_shards(np.arange(8), 2),
+                                  np.arange(8))
