@@ -196,34 +196,32 @@ def main_vit():
     )
     dense_ips = _throughput(build_fused_vit(vp, **geom), x)
 
-    # diagnostics: the attention-only fusion and the unfused XLA graph
-    plain_attnfused = laud_deit_small(token_skip=False, head_skip=False,
-                                      layer_skip=False, attn_impl="fused")
-    dense_attnfused_ips = _throughput(
-        lambda x: plain_attnfused.apply(vp, x, jnp.asarray(0.1, DTYPE),
-                                        training=False).logits, x
-    )
-    dense_unfused_ips = _throughput(
-        lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
-                              training=False).logits, x
-    )
-    print(
-        json.dumps(
-            {
-                "metric": ("images/sec/chip LAUD-DeiT-S token-select "
-                           "(caps 1.0x3/0.7x4/0.5x5) vs dense DeiT-S, "
-                           "bs128 bf16, fully fused block kernels"),
-                "value": round(laud_ips, 1),
-                "unit": "img/s",
-                "vs_baseline": round(laud_ips / dense_ips, 4),
-                "flat_0.5_img_s": round(flat_ips, 1),
-                "flat_0.5_vs_baseline": round(flat_ips / dense_ips, 4),
-                "dense_fused_block_img_s": round(dense_ips, 1),
-                "dense_fused_attn_img_s": round(dense_attnfused_ips, 1),
-                "dense_unfused_img_s": round(dense_unfused_ips, 1),
-            }
-        )
-    )
+    out = {
+        "metric": ("images/sec/chip LAUD-DeiT-S token-select "
+                   "(caps 1.0x3/0.7x4/0.5x5) vs dense DeiT-S, "
+                   "bs128 bf16, fully fused block kernels"),
+        "value": round(laud_ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(laud_ips / dense_ips, 4),
+        "flat_0.5_img_s": round(flat_ips, 1),
+        "flat_0.5_vs_baseline": round(flat_ips / dense_ips, 4),
+        "dense_fused_block_img_s": round(dense_ips, 1),
+    }
+    import sys
+
+    if "--diagnostics" in sys.argv:
+        # the attention-only fusion and the unfused XLA graph (kept off
+        # the default run: two extra model compiles)
+        plain_attnfused = laud_deit_small(
+            token_skip=False, head_skip=False, layer_skip=False,
+            attn_impl="fused")
+        out["dense_fused_attn_img_s"] = round(_throughput(
+            lambda x: plain_attnfused.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                                            training=False).logits, x), 1)
+        out["dense_unfused_img_s"] = round(_throughput(
+            lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                                  training=False).logits, x), 1)
+    print(json.dumps(out))
 
 
 def main_resnet():

@@ -116,12 +116,19 @@ class ServingEngine:
 
             keeps = calibrate_token_capacity(apply_fn, batches,
                                              quantile=quantile, margin=margin)
+            on_tpu = jax.default_backend() == "tpu"
+            # price the implementation that will actually serve: the
+            # fully fused block engine for eligible geometries, the
+            # attention-only fusion otherwise
+            block = self._block_engine_ok(
+                m.clone(token_capacity=(1.0,) * m.depth))
             self.plan = plan_vit_serving(
                 keeps, depth=m.depth, dim=m.dim, num_heads=m.num_heads,
                 mlp_ratio=m.mlp_ratio, patch_size=m.patch_size,
                 input_size=seen_size[0] or 224,
                 spec=self.spec, batch_size=self.batch_size,
-                fused_attention=jax.default_backend() == "tpu",
+                fused_attention=on_tpu and not block,
+                fused_block=on_tpu and block,
             )
             if self.plan.mode == "token":
                 select = m.clone(token_capacity=self.plan.token_capacity)

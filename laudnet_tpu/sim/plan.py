@@ -45,14 +45,16 @@ def rank_vit_paradigms(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
                        num_heads: int = 6, mlp_ratio: float = 4.0,
                        input_size: int = 224, patch_size: int = 16,
                        token_capacity: Optional[Sequence[float]] = None,
-                       fused_attention: bool = False) -> dict:
+                       fused_attention: bool = False,
+                       fused_block: bool = False) -> dict:
     """Predicted latency (s/batch) per ViT paradigm. ``token`` uses the
     given capacities (required for it to be ranked). ``fused_attention``
     prices the served ``attn_impl='fused'`` path (what ServingEngine
     compiles on TPU)."""
     geom = dict(depth=depth, dim=dim, num_heads=num_heads,
                 mlp_ratio=mlp_ratio, input_size=input_size,
-                patch_size=patch_size, fused_attention=fused_attention)
+                patch_size=patch_size, fused_attention=fused_attention,
+                fused_block=fused_block)
     out = {m: tpu_predict_vit(p, mode=m, **geom).latency
            for m in ("dense", "head", "layer", "mask")}
     if token_capacity is not None:
@@ -66,7 +68,8 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
                      mlp_ratio: float = 4.0, input_size: int = 224,
                      patch_size: int = 16, spec: str | TPUSpec = "v5e",
                      batch_size: int = 128,
-                     fused_attention: bool = False) -> ExecutionPlan:
+                     fused_attention: bool = False,
+                     fused_block: bool = False) -> ExecutionPlan:
     """Build the serving plan from calibrated per-block keep fractions
     (`infer.calibrate.calibrate_token_capacity` output).
 
@@ -89,7 +92,7 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
     ranking = rank_vit_paradigms(
         p, depth=depth, dim=dim, num_heads=num_heads, mlp_ratio=mlp_ratio,
         input_size=input_size, patch_size=patch_size, token_capacity=caps,
-        fused_attention=fused_attention,
+        fused_attention=fused_attention, fused_block=fused_block,
     )
     dense = ranking["dense"]
     token = ranking.get("token", dense)
