@@ -323,7 +323,10 @@ def main_t2t():
 def main_deit_b():
     """LAUD-DeiT-B (dim 768) token selection vs its fused dense baseline —
     the width-scaling point (r2 unfused: 1.52x; selection gains grow with
-    width because bigger matmuls amortize the gate/select overheads)."""
+    width because bigger matmuls amortize the gate/select overheads).
+    Both sides run the fully fused block engine (DeiT-B's 12x64 heads are
+    128-pair aligned, same as DeiT-S)."""
+    from laudnet_tpu.infer.fused_vit import build_fused_vit
     from laudnet_tpu.models import laud_deit_base
 
     rng = np.random.default_rng(0)
@@ -335,32 +338,27 @@ def main_deit_b():
                                   training=False))(),
         DTYPE,
     )
+    geom = dict(depth=12, dim=768, num_heads=12)
     caps = (1.0, 1.0, 1.0) + (0.7,) * 4 + (0.5,) * 5
-    select = laud_deit_base(token_capacity=caps, attn_impl="fused")
     laud_ips = _throughput(
-        lambda x: select.apply(v, x, jnp.asarray(0.1, DTYPE),
-                               training=False).logits, x
-    )
+        build_fused_vit(v, token_capacity=caps, **geom), x)
     plain = laud_deit_base(token_skip=False, head_skip=False,
-                           layer_skip=False, attn_impl="fused")
+                           layer_skip=False)
     vp = _cast(
         jax.jit(lambda: plain.init({"params": jax.random.PRNGKey(0)},
                                    x.astype(jnp.float32), 1.0,
                                    training=False))(),
         DTYPE,
     )
-    dense_ips = _throughput(
-        lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
-                              training=False).logits, x
-    )
+    dense_ips = _throughput(build_fused_vit(vp, **geom), x)
     print(json.dumps({
         "metric": ("images/sec/chip LAUD-DeiT-B token-select "
                    "(caps 1.0x3/0.7x4/0.5x5) vs dense DeiT-B, bs128 "
-                   "bf16, fused attention"),
+                   "bf16, fully fused block kernels"),
         "value": round(laud_ips, 1),
         "unit": "img/s",
         "vs_baseline": round(laud_ips / dense_ips, 4),
-        "dense_fused_img_s": round(dense_ips, 1),
+        "dense_fused_block_img_s": round(dense_ips, 1),
     }))
 
 
@@ -526,9 +524,94 @@ def main_train():
     }))
 
 
+def main_train_vit():
+    """ViT training throughput: one jitted LAUD-DeiT-S train step (Gumbel
+    token/head/layer gates + frozen dense-DeiT teacher KD + bounds
+    sparsity + SGD, fused-attention forward with exact recomputed
+    gradients) vs a dense DeiT-S CE-only step — the measured cost of the
+    LAUD ViT training graph over vanilla training, bf16 end-to-end
+    (f32 MXU accumulation; the TPU-native training dtype)."""
+    import jax.random as jr
+    import optax
+
+    from laudnet_tpu.models import laud_deit_small
+    from laudnet_tpu.train import optim
+    from laudnet_tpu.train.trainer import (
+        TrainConfig, create_train_state, make_train_step,
+    )
+
+    batch = BATCH
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, SIZE, SIZE, 3)), DTYPE)
+    y = jnp.asarray(rng.integers(0, 1000, (batch,)), jnp.int32)
+
+    model = laud_deit_small(attn_impl="fused")
+    teacher = laud_deit_small(token_skip=False, head_skip=False,
+                              layer_skip=False, attn_impl="fused")
+    cfg = TrainConfig(num_epochs=100, steps_per_epoch=100, base_lr=5e-4,
+                      full_flops=4.6e9)
+    tv = _cast(jax.jit(lambda: teacher.init(
+        {"params": jr.PRNGKey(1)}, x.astype(jnp.float32), 1.0,
+        training=False))(), DTYPE)
+    mv = _cast(jax.jit(lambda: model.init(
+        {"params": jr.PRNGKey(0)}, x.astype(jnp.float32), 1.0,
+        training=False))(), DTYPE)
+    optimizer = optim.make_sgd(mv["params"])
+    state = create_train_state(model, optimizer, x, rng=jr.PRNGKey(0),
+                               variables=mv)
+    step = jax.jit(make_train_step(model, teacher, tv, optimizer, cfg))
+
+    def timed(step_fn, st, *args):
+        import time as _t
+
+        st, m = step_fn(st, *args)
+        float(list(m.values())[0] if isinstance(m, dict) else m)  # fence
+        t0 = _t.perf_counter()
+        iters = 10
+        for i in range(iters):
+            st, m = step_fn(st, *args)
+        float(list(m.values())[0] if isinstance(m, dict) else m)
+        return batch * iters / (_t.perf_counter() - t0)
+
+    laud_ips = timed(lambda st, xx, yy: step(st, xx, yy, jr.PRNGKey(2)),
+                     state, x, y)
+
+    dense = teacher
+    dopt = optax.sgd(5e-4, momentum=0.9)
+    dstate = (tv["params"], dopt.init(tv["params"]))
+
+    @jax.jit
+    def dense_step(st, xx, yy):
+        params, opt_state = st
+
+        def loss_fn(p):
+            out = dense.apply({"params": p}, xx, jnp.asarray(0.1, DTYPE),
+                              training=False)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                getattr(out, "logits", out), yy).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = dopt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    dense_ips = timed(dense_step, dstate, x, y)
+    print(json.dumps({
+        "metric": ("train images/sec/chip LAUD-DeiT-S full step (token/"
+                   "head/layer gates + KD + sparsity + SGD, fused attn) "
+                   "vs dense DeiT-S CE step, bs128 bf16"),
+        "value": round(laud_ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(laud_ips / dense_ips, 4),
+        "dense_ce_img_s": round(dense_ips, 1),
+    }))
+
+
 def main():
     import sys
 
+    if "--train-vit" in sys.argv:
+        main_train_vit()
+        return
     if "--train" in sys.argv:
         main_train()
         return

@@ -36,8 +36,21 @@ class ServingEngine:
     """
 
     def __init__(self, model, variables, *, temperature: float = 0.1,
-                 spec: str = "v5e", batch_size: int = 128):
+                 spec: str = "v5e", batch_size: int = 128, mesh=None):
+        """``mesh``: optional 1-D :class:`jax.sharding.Mesh` — serve
+        data-parallel over its devices (the TPU-native scale-out: batch
+        sharded on the mesh axis, params replicated, each device runs the
+        compiled winner on its shard via ``shard_map``; multi-host callers
+        pass per-host batches, see ``parallel.put_global_batch``).
+        ``batch_size`` is the PER-CHIP serving batch the latency model
+        prices; with a mesh the global batch is ``batch_size * mesh.size``.
+        """
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from laudnet_tpu.parallel.mesh import replicate
+
+            variables = replicate(variables, mesh)
         self.variables = variables
         self.temperature = temperature
         self.spec = spec
@@ -46,6 +59,19 @@ class ServingEngine:
         self._kind = ("vit" if type(model).__name__ == "LAUDViT"
                       else "resnet")
         self._fwd = self._compile(self.model)
+
+    def _jit(self, fn) -> Callable:
+        """jit for single-device serving; jit(shard_map(fn)) over the data
+        axis when a mesh is attached (explicit per-shard mapping rather
+        than relying on the SPMD partitioner — Pallas calls inside ``fn``
+        partition trivially along the batch grid this way)."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import PartitionSpec as P
+
+        ax = self.mesh.axis_names[0]
+        return jax.jit(jax.shard_map(fn, mesh=self.mesh, in_specs=P(ax),
+                                     out_specs=P(ax), check_vma=False))
 
     def _block_engine_ok(self, model) -> bool:
         """The fully fused block engine (`infer/fused_vit.py`) serves
@@ -71,7 +97,7 @@ class ServingEngine:
         if self._block_engine_ok(model):
             from laudnet_tpu.infer.fused_vit import build_fused_vit
 
-            return jax.jit(build_fused_vit(
+            return self._jit(build_fused_vit(
                 self.variables, depth=model.depth, dim=model.dim,
                 num_heads=model.num_heads, patch_size=model.patch_size,
                 token_capacity=model.token_capacity,
@@ -82,12 +108,11 @@ class ServingEngine:
                 and jax.default_backend() == "tpu"):
             model = model.clone(attn_impl="fused")
 
-        @jax.jit
         def fwd(x):
             return model.apply(self.variables, x, self.temperature,
                                training=False).logits
 
-        return fwd
+        return self._jit(fwd)
 
     # --- planning -----------------------------------------------------------
 

@@ -124,6 +124,35 @@ def test_serving_engine_resnet101_ranked_plan():
     assert plan.exact
 
 
+def test_serving_engine_mesh_data_parallel():
+    """With a 1-D mesh attached the engine serves data-parallel via
+    shard_map: params replicated, batch sharded, outputs identical to the
+    single-device engine (8-device CPU mesh from conftest)."""
+    from laudnet_tpu.parallel.mesh import make_mesh
+
+    kw = dict(depth=2, dim=64, num_heads=4, mlp_ratio=2.0, patch_size=8,
+              num_classes=10, head_skip=False, layer_skip=False)
+    m = LAUDViT(**kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+
+    single = ServingEngine(m, v)
+    mesh = make_mesh()
+    assert mesh.size == 8
+    sharded = ServingEngine(m, v, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded(x)),
+                               np.asarray(single(x)), rtol=1e-5, atol=1e-5)
+    # the served array really is laid out over the mesh
+    out = sharded(x)
+    assert len(out.sharding.device_set) == 8
+
+    # calibration + the compiled winner also run sharded
+    plan = sharded.calibrate([x], quantile=1.0, margin=1e-6)
+    assert plan.kind == "vit"
+    np.testing.assert_allclose(np.asarray(sharded(x)),
+                               np.asarray(single(x)), rtol=1e-4, atol=1e-4)
+
+
 def test_sim_cli_plan_subcommand(capsys):
     from laudnet_tpu.sim.cli import main as sim_main
 
