@@ -37,10 +37,16 @@ def _ln(x, p, eps=1e-6):
 def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                     patch_size: int = 16,
                     token_capacity: Optional[Sequence[float]] = None,
-                    block_b: int = 4, interpret: bool = False):
+                    block_b: int = 1,
+                    vmem_limit_bytes: Optional[int] = None,
+                    interpret: bool = False):
     """Returns ``forward(x) -> logits`` running every transformer layer as
     one fused kernel. ``token_capacity`` enables the selection path (the
-    variables must carry ``token_policy`` heads)."""
+    variables must carry ``token_policy`` heads). The kernel runs
+    batch-block 1 (measured v5e optimum on every geometry swept) and
+    auto-raises Mosaic's scoped-VMEM limit for weights-dominated
+    geometries (DeiT-B: ~14.2MB bf16/layer); ``vmem_limit_bytes``
+    overrides that explicitly."""
     params = variables["params"]
 
     def forward(x):
@@ -86,7 +92,8 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
             x = fused_vit_block(
                 x, token_mask.reshape(b, 1, cur),
                 token_mask.reshape(b, cur, 1), bp, num_heads=num_heads,
-                block_b=block_b, interpret=interpret,
+                block_b=block_b, vmem_limit_bytes=vmem_limit_bytes,
+                interpret=interpret,
             )
         x = _ln(x, p["norm"])
         return (x[:, 0] @ p["head"]["kernel"].astype(x.dtype)

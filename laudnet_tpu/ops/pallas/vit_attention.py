@@ -34,9 +34,15 @@ model's dense masked graph (`laudnet_tpu/models/laud_vit.py`), so the
 fused serving path is numerically compatible with training. Padded or
 ragged token buffers just extend the mask with zeros.
 
-Gradients: :func:`fused_vit_attention` carries a ``custom_vjp`` whose
-backward re-derives the unfused reference graph — fused speed at serving,
-exact (recomputed) gradients if someone differentiates through it.
+Gradients: :func:`fused_vit_attention` carries a ``custom_vjp``. On the
+strip-kernel geometries (even heads on aligned 128-lane pairs, plus odd
+head counts via the zero-padded fake head) the backward is itself a fused
+Pallas kernel (`_fused_bwd_strips`): each grid step recomputes its pair's
+softmax in VMEM (flash-style recompute — nothing but qkv is saved from
+the forward) and emits dq/dk/dv strips, the key-mask gradient, and the
+head-gate gradient without ever materializing a score-shaped tensor in
+HBM. Geometries that fall to the whole-block forward keep the unfused
+reference-graph backward.
 """
 
 from __future__ import annotations
@@ -313,21 +319,225 @@ def _vjp_fwd(qkv, key_mask, head_mask, num_heads, sm_scale, block_b,
     return out, (qkv, key_mask, head_mask)
 
 
-def _vjp_bwd(num_heads, sm_scale, block_b, interpret, res, g):
-    qkv, key_mask, head_mask = res
-    if head_mask is None:
-        _, vjp = jax.vjp(
-            lambda a, m: reference_vit_attention(a, m, None, num_heads,
-                                                 sm_scale),
-            qkv, key_mask,
+def _fused_bwd_strips(qkv, key_mask, head_mask, g, num_heads: int,
+                      sm_scale: float, block_b: int, interpret: bool):
+    """Fused backward for the strip geometry. Grid (batch blocks, head
+    pairs); each step recomputes its pair's masked softmax (per-half lane
+    masking exactly as the forward, so the recomputed ``p`` is the
+    forward's bit pattern) and derives
+
+        dv = p^T (dout*gate)          dp = (dout*gate) v^T
+        ds = p * (dp - rowsum(dp*p))
+        dq = ds k * scale             dk = ds^T q * scale
+        dneg = sum_rows ds            dgate = sum_rows (o_pre * dout)
+
+    all VMEM-resident — the (L, L)-shaped s/p/dp/ds tensors never touch
+    HBM (the unfused backward materializes each of them, twice the
+    forward's traffic). Returns (dqkv, dkey_mask, dhead_mask)."""
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    pair_w = 2 * dh
+    n_pairs = num_heads // 2
+    it = qkv.dtype.itemsize
+    gated = head_mask is not None
+
+    def vmem_bytes(bb):
+        return (2 * 4 * bb * l * pair_w * it      # q/k/v/dout dbl-buffered
+                + 3 * bb * l * pair_w * it        # dq/dk/dv out
+                + 6 * bb * l * l * 4)             # s/p/dp/ds + temps (f32)
+
+    bb = min(block_b, b)
+    while bb > 1 and (b % bb or vmem_bytes(bb) > 12 * 2**20):
+        bb -= 1
+    grid = (b // bb, n_pairs)
+
+    def strip_in(section):
+        return pl.BlockSpec(
+            (bb, l, pair_w),
+            lambda i, hp, s=section: (i, 0, s * n_pairs + hp),
+            memory_space=pltpu.VMEM,
         )
-        return vjp(g) + (None,)
+
+    gstrip = pl.BlockSpec((bb, l, pair_w), lambda i, hp: (i, 0, hp),
+                          memory_space=pltpu.VMEM)
+    mask3 = key_mask.reshape(b, 1, l)
+    in_specs = [strip_in(0), strip_in(1), strip_in(2), gstrip,
+                pl.BlockSpec((bb, 1, l), lambda i, hp: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [qkv, qkv, qkv, g, mask3]
+    if gated:
+        hm3 = jnp.repeat(head_mask, dh, axis=-1).reshape(b, 1, d)
+        in_specs.append(pl.BlockSpec((bb, 1, pair_w),
+                                     lambda i, hp: (i, 0, hp),
+                                     memory_space=pltpu.VMEM))
+        args.append(hm3)
+
+    qk_nums = (((2,), (2,)), ((0,), (0,)))    # contract lanes -> (bb,Lq,Lk)
+    pv_nums = (((2,), (1,)), ((0,), (0,)))    # p rows x v -> (bb,Lq,w)
+    pt_nums = (((1,), (1,)), ((0,), (0,)))    # contract q rows -> (bb,Lk,w)
+
+    def kernel(q_ref, k_ref, v_ref, g_ref, mask_ref, *rest):
+        hmask_ref = rest[0] if gated else None
+        dq_ref, dk_ref, dv_ref, dneg_ref = rest[-5:-1] if gated \
+            else rest[-4:]
+        dg_ref = rest[-1] if gated else None
+        q2, k2, v2, do2 = q_ref[:], k_ref[:], v_ref[:], g_ref[:]
+        cdt = q2.dtype
+        neg = (1.0 - mask_ref[:].astype(jnp.float32)) * NEG  # (bb,1,L)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pair_w), 2)
+        m_lo = (lane < dh).astype(cdt)
+        m_hi = (lane >= dh).astype(cdt)
+        if gated:
+            gate = hmask_ref[:].astype(jnp.float32)      # (bb,1,pair_w)
+            do_eff = (do2.astype(jnp.float32) * gate).astype(cdt)
+        else:
+            do_eff = do2
+        dq = dk = dv = None
+        dneg = None
+        dg = None
+        for msk in (m_lo, m_hi):
+            s = jax.lax.dot_general(
+                q2 * msk, k2, dimension_numbers=qk_nums,
+                preferred_element_type=jnp.float32,
+            ) * sm_scale + neg
+            p = jax.nn.softmax(s, axis=-1)               # (bb,Lq,Lk) f32
+            pc = p.astype(cdt)
+            doh = do_eff * msk                           # (bb,L,w)
+            dvh = jax.lax.dot_general(
+                pc, doh, dimension_numbers=pt_nums,
+                preferred_element_type=jnp.float32,
+            )                                            # (bb,Lk,w) lanes msk
+            dp = jax.lax.dot_general(
+                doh, v2 * msk, dimension_numbers=qk_nums,
+                preferred_element_type=jnp.float32,
+            )                                            # (bb,Lq,Lk)
+            ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
+            dsc = ds.astype(cdt)
+            dqh = jax.lax.dot_general(
+                dsc, k2 * msk, dimension_numbers=pv_nums,
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+            dkh = jax.lax.dot_general(
+                dsc, q2 * msk, dimension_numbers=pt_nums,
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+            dq = dqh if dq is None else dq + dqh
+            dk = dkh if dk is None else dk + dkh
+            dv = dvh if dv is None else dv + dvh
+            dn = ds.sum(axis=1, keepdims=True)           # (bb,1,Lk)
+            dneg = dn if dneg is None else dneg + dn
+            if gated:
+                o_pre = jax.lax.dot_general(
+                    pc, v2 * msk, dimension_numbers=pv_nums,
+                    preferred_element_type=jnp.float32,
+                )
+                dgh = (o_pre * do2.astype(jnp.float32)).sum(
+                    axis=1, keepdims=True)               # (bb,1,w) msk lanes
+                dg = dgh if dg is None else dg + dgh
+        dq_ref[:] = dq.astype(dq_ref.dtype)
+        dk_ref[:] = dk.astype(dk_ref.dtype)
+        dv_ref[:] = dv.astype(dv_ref.dtype)
+        dneg_ref[:] = dneg.astype(jnp.float32).reshape(1, bb, 1, l)
+        if gated:
+            dg_ref[:] = dg.astype(jnp.float32)
+
+    strip_out = pl.BlockSpec((bb, l, pair_w), lambda i, hp: (i, 0, hp),
+                             memory_space=pltpu.VMEM)
+    # dneg is (n_pairs, b, 1, l) so the per-step block's LAST TWO dims
+    # (1, l) are full array dims — Mosaic's (8, 128)-divisibility rule
+    # only exempts full dims, and a (bb, 1, l) block over (b, n_pairs, l)
+    # would put a partial n_pairs slice in the sublane position
+    out_specs = [strip_out, strip_out, strip_out,
+                 pl.BlockSpec((1, bb, 1, l), lambda i, hp: (hp, i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, l, d), qkv.dtype)] * 3 + [
+        jax.ShapeDtypeStruct((n_pairs, b, 1, l), jnp.float32)]
+    if gated:
+        out_specs.append(pl.BlockSpec((bb, 1, pair_w),
+                                      lambda i, hp: (i, 0, hp),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, 1, d), jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    dqs, dks, dvs, dneg_part = outs[:4]
+    dqkv = jnp.concatenate([dqs, dks, dvs], axis=-1)
+    # neg = (1 - mask) * NEG  =>  d mask = -NEG * sum_pairs dneg
+    dmask = (-NEG) * dneg_part.sum(axis=0).reshape(b, l)
+    dmask = dmask.astype(key_mask.dtype)
+    dhead = None
+    if gated:
+        dhead = outs[4].reshape(b, num_heads, dh).sum(-1).astype(
+            head_mask.dtype)
+    return dqkv, dmask, dhead
+
+
+def _fused_bwd(qkv, key_mask, head_mask, g, num_heads, sm_scale, block_b,
+               interpret):
+    """Dispatch mirror of `_fused_fwd` for the backward pass."""
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    if num_heads % 2 == 0 and (2 * dh) % 128 == 0 and d % 128 == 0:
+        return _fused_bwd_strips(qkv, key_mask, head_mask, g, num_heads,
+                                 sm_scale, block_b, interpret)
+    if num_heads % 2 == 1 and (2 * dh) % 128 == 0:
+        # odd heads: zero-pad a fake head (exactly as the forward). The
+        # fake head's q/k/v and dout lanes are zero, so its dq/dk/dv and
+        # ds vanish — no contribution leaks into dmask/dqkv.
+        n_up = num_heads + 1
+        pad = n_up * dh - d
+        sections = [qkv[:, :, i * d:(i + 1) * d] for i in range(3)]
+        qkv_p = jnp.concatenate(
+            [jnp.pad(sec, ((0, 0), (0, 0), (0, pad))) for sec in sections],
+            axis=-1,
+        )
+        hm_p = (None if head_mask is None
+                else jnp.pad(head_mask, ((0, 0), (0, 1))))
+        g_p = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
+        dqkv_p, dmask, dhead_p = _fused_bwd_strips(
+            qkv_p, key_mask, hm_p, g_p, n_up, sm_scale, block_b, interpret)
+        d_up = n_up * dh
+        dqkv = jnp.concatenate(
+            [dqkv_p[:, :, i * d_up:i * d_up + d] for i in range(3)],
+            axis=-1,
+        )
+        dhead = None if dhead_p is None else dhead_p[:, :num_heads]
+        return dqkv, dmask, dhead
+    # whole-block geometries: unfused reference backward
     _, vjp = jax.vjp(
         lambda a, m, hm: reference_vit_attention(a, m, hm, num_heads,
                                                  sm_scale),
         qkv, key_mask, head_mask,
     )
     return vjp(g)
+
+
+def _vjp_bwd(num_heads, sm_scale, block_b, interpret, res, g):
+    qkv, key_mask, head_mask = res
+    if head_mask is None:
+        d3 = qkv.shape[-1]
+        d = d3 // 3
+        dh = d // num_heads
+        if (2 * dh) % 128 == 0 and (num_heads % 2 == 1 or d % 128 == 0):
+            dqkv, dmask, _ = _fused_bwd(qkv, key_mask, None, g, num_heads,
+                                        sm_scale, block_b, interpret)
+            return dqkv, dmask, None
+        _, vjp = jax.vjp(
+            lambda a, m: reference_vit_attention(a, m, None, num_heads,
+                                                 sm_scale),
+            qkv, key_mask,
+        )
+        return vjp(g) + (None,)
+    return _fused_bwd(qkv, key_mask, head_mask, g, num_heads, sm_scale,
+                      block_b, interpret)
 
 
 fused_vit_attention.defvjp(_vjp_fwd, _vjp_bwd)

@@ -54,7 +54,8 @@ def _gelu_exact(x):
 
 
 def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
-                    ln_eps: float = 1e-6, block_b: int = 4,
+                    ln_eps: float = 1e-6, block_b: int = 1,
+                    mlp_chunk: int = None, vmem_limit_bytes: int = None,
                     interpret: bool = False):
     """One transformer block, fully fused.
 
@@ -65,6 +66,26 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
     even ``num_heads`` with 128-aligned head pairs (DeiT geometry);
     geometries without them (T2T's odd 7 heads / D=448) keep the
     attention-only fusion instead. Returns (B, L, D).
+
+    Batch-block choice: ``block_b=1`` — a v5e sweep (DeiT-S and DeiT-B,
+    L=197/138/99, bs128) found batch-block 1 beats every larger block on
+    every geometry (S dense: bb1 10760 > bb2 10382 > bb4/8/16
+    9797/8615/9147 img/s; S select: bb1 13671 > mixed-bb 13103 > bb2
+    12476; B dense: bb1 4034 > bb2 3823 > bb4 3283): the minimal
+    per-step working set pipelines DMA/compute deepest, and grid-step
+    boundaries are cheaper than lost overlap at every size tried.
+    ``block_b`` raises the MAX block for experiments; the VMEM estimate
+    still walks it down to fit.
+
+    Weights-dominated geometries (DeiT-B: ~14.2MB bf16/layer) exceed
+    Mosaic's 16MB default scoped-VMEM limit even at bb=1; the kernel
+    auto-raises the limit (v5e has 128MB physical VMEM).
+    ``vmem_limit_bytes`` overrides that explicitly.
+
+    ``mlp_chunk`` optionally runs fc1/gelu/fc2 in row slices (the ops are
+    row-independent; bit-equal on the MXU) to shrink the f32 hidden
+    buffer; it costs ~5% at DeiT-S size (measured), so it stays off
+    unless a geometry cannot fit otherwise.
     """
     b, l, d = x.shape
     dh = d // num_heads
@@ -74,21 +95,27 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
     hidden = params["fc1"]["kernel"].shape[1]
     n_pairs = num_heads // 2
     sm_scale = dh**-0.5
+    it = x.dtype.itemsize
 
     def vmem_bytes(bb):
-        per_tok = (2 * d * x.dtype.itemsize          # x in + out (dbl buf ~)
-                   + 3 * d * x.dtype.itemsize        # qkv buffer
-                   + hidden * x.dtype.itemsize)      # mlp hidden
-        return (bb * l * per_tok * 2
-                + 2 * bb * l * l * 4                 # f32 score tiles
-                + (d * (3 * d + d + 2 * hidden) + 8 * d + hidden)
-                * x.dtype.itemsize)
+        tok = bb * l
+        rows = tok if mlp_chunk is None else min(mlp_chunk, tok)
+        return (4 * tok * d * it                      # x in + out, dbl-buf
+                + tok * 3 * d * it                    # qkv buffer
+                + 2 * bb * l * l * 4                  # f32 score + prob
+                + 2 * tok * d * 4                     # f32 x2 + LN temp
+                + 2 * tok * d * it                    # attn concat + h2
+                + rows * (hidden + d) * 4             # mlp slice f32
+                + (d * (3 * d + d + 2 * hidden) + 8 * d + hidden) * it)
 
+    HEAD = 2 * 2**20                    # headroom for Mosaic's own scratch
+    limit = vmem_limit_bytes or 16 * 2**20
     bb = min(block_b, b)
-    while bb > 1 and vmem_bytes(bb) > 11 * 2**20:
+    while bb > 1 and (b % bb or vmem_bytes(bb) > limit - HEAD):
         bb -= 1
-    while b % bb:
-        bb -= 1
+    if vmem_limit_bytes is None and vmem_bytes(bb) > limit - HEAD:
+        # weights-dominated geometry: auto-raise the scoped limit
+        vmem_limit_bytes = min(100 * 2**20, vmem_bytes(bb) + 8 * 2**20)
     grid = (b // bb,)
 
     w = params
@@ -159,11 +186,26 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
         x2 = xin.astype(jnp.float32) + proj * rmask
 
         h2 = _ln(x2.astype(cdt), ln2s[0], ln2b[0], ln_eps).astype(cdt)
-        u = (mm(h2.reshape(bb * l, d), w1[:])
-             + b1[:].astype(jnp.float32))
-        u = _gelu_exact(u).astype(cdt)
-        y = (mm(u, w2[:]) + b2[:].astype(jnp.float32)).reshape(bb, l, d)
-        out_ref[:] = (x2 + y * rmask).astype(out_ref.dtype)
+        if mlp_chunk is None:
+            u = (mm(h2.reshape(bb * l, d), w1[:])
+                 + b1[:].astype(jnp.float32))
+            u = _gelu_exact(u).astype(cdt)
+            y = (mm(u, w2[:]) + b2[:].astype(jnp.float32)).reshape(bb, l, d)
+            out_ref[:] = (x2 + y * rmask).astype(out_ref.dtype)
+        else:
+            h2r = h2.reshape(bb * l, d)
+            x2r = x2.reshape(bb * l, d)
+            rr = rmask.reshape(bb * l, 1)
+            rows = bb * l
+            oc = []
+            for r0 in range(0, rows, mlp_chunk):
+                r1 = min(rows, r0 + mlp_chunk)
+                u = mm(h2r[r0:r1], w1[:]) + b1[:].astype(jnp.float32)
+                u = _gelu_exact(u).astype(cdt)
+                yc = mm(u, w2[:]) + b2[:].astype(jnp.float32)
+                oc.append((x2r[r0:r1]
+                           + yc * rr[r0:r1]).astype(out_ref.dtype))
+            out_ref[:] = jnp.concatenate(oc, axis=0).reshape(bb, l, d)
 
     return pl.pallas_call(
         kernel,
@@ -172,5 +214,8 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
         out_specs=pl.BlockSpec((bb, l, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        compiler_params=(None if vmem_limit_bytes is None else
+                         pltpu.CompilerParams(
+                             vmem_limit_bytes=vmem_limit_bytes)),
         interpret=interpret,
     )(*args)

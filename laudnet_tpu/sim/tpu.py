@@ -305,10 +305,14 @@ class TPUPredictor:
         weights = dim * (3 * dim + dim + 2 * hidden) * self.dtype_bytes
         mem = (2 * rows * dim * self.dtype_bytes + weights) \
             / s.mem_bandwidth
-        # per-grid-step boundary at the kernel's default block_b=4 (the
-        # bigger VMEM footprint halves the batch block vs the attention
-        # kernel's 8)
-        boundary = 5.6e-6 * max(1, -(-b // 4))
+        # per-grid-step boundary at the kernel's batch-block 1 (the
+        # measured v5e optimum — minimal per-step working sets pipeline
+        # deepest; see `ops/pallas/vit_block.py`). ~1.0 us/step fitted
+        # across the five block-engine anchors (DeiT-S dense/select/flat
+        # + DeiT-B dense/select); the residual spread is ~9% with DeiT-B
+        # running closer to MXU peak than the serial-VPU assumption
+        # allows (bigger matmuls overlap the VPU chain better).
+        boundary = 1.0e-6 * b
         return SimulationReport(
             latency=mxu + vpu + mem + s.fusion_overhead + boundary,
             compute_latency=mxu + vpu, memory_latency=mem,

@@ -110,3 +110,32 @@ def test_block_kernel_rejects_unaligned_geometry():
     with pytest.raises(AssertionError, match="128-aligned"):
         fused_vit_block(x, jnp.ones((1, 1, 5)), jnp.ones((1, 5, 1)),
                         params, num_heads=3, interpret=True)
+
+
+def test_block_kernel_mlp_chunking_bit_identical():
+    """The opt-in mlp_chunk row slicing (VMEM relief for wide geometries,
+    e.g. DeiT-B) equals the whole-block MLP — fc1/gelu/fc2 are
+    row-independent. (Bit-equal on TPU, where MXU accumulation order is
+    row-invariant; CPU Eigen retiles by row count, so tolerate ulps.)"""
+    rng = np.random.default_rng(7)
+    b, l, d, h = 2, 19, 256, 4
+    x = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    mask = jnp.ones((b, l), jnp.float32)
+
+    def mkd(shape):
+        return jnp.asarray(rng.standard_normal(shape) * 0.05, jnp.float32)
+
+    params = {
+        "ln1": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
+        "ln2": {"scale": mkd((d,)) + 1.0, "bias": mkd((d,))},
+        "qkv": {"kernel": mkd((d, 3 * d)), "bias": mkd((3 * d,))},
+        "proj": {"kernel": mkd((d, d)), "bias": mkd((d,))},
+        "fc1": {"kernel": mkd((d, 512)), "bias": mkd((512,))},
+        "fc2": {"kernel": mkd((512, d)), "bias": mkd((d,))},
+    }
+    km, rm = mask.reshape(b, 1, l), mask.reshape(b, l, 1)
+    whole = fused_vit_block(x, km, rm, params, num_heads=h, interpret=True)
+    chunked = fused_vit_block(x, km, rm, params, num_heads=h, mlp_chunk=16,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(chunked),
+                               atol=5e-6, rtol=5e-5)

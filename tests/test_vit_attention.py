@@ -87,3 +87,33 @@ def test_model_level_fused_equals_reference():
         np.testing.assert_allclose(np.asarray(o_fus.logits),
                                    np.asarray(o_ref.logits), atol=1e-4)
         assert float(o_fus.flops) == float(o_ref.flops)
+
+
+@pytest.mark.parametrize("B,L,H,dh", [
+    (2, 19, 4, 64),   # even heads -> fused Pallas backward (strip)
+    (2, 19, 7, 64),   # odd heads -> zero-padded fake-head backward
+])
+def test_fused_pallas_backward_matches_reference(B, L, H, dh):
+    """The strip-geometry backward is itself a Pallas kernel
+    (`_fused_bwd_strips`): dqkv / dkey_mask / dhead_mask must match the
+    unfused reference vjp (which the whole-block geometries still use)."""
+    qkv, mask, hm, scale = _case(B, L, H, dh, seed=11)
+
+    for head_mask in (hm, None):
+        def f_fused(a, m, g):
+            out = fused_vit_attention(a, m, g, H, scale, 2, True)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        def f_ref(a, m, g):
+            out = reference_vit_attention(a, m, g, H, scale)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        if head_mask is None:
+            g1 = jax.grad(f_fused, argnums=(0, 1))(qkv, mask, None)
+            g2 = jax.grad(f_ref, argnums=(0, 1))(qkv, mask, None)
+        else:
+            g1 = jax.grad(f_fused, argnums=(0, 1, 2))(qkv, mask, head_mask)
+            g2 = jax.grad(f_ref, argnums=(0, 1, 2))(qkv, mask, head_mask)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-5, atol=2e-3)
