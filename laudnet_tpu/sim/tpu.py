@@ -455,8 +455,17 @@ def tpu_channel_gather_block(p: TPUPredictor, g: BlockGeom,
     1.14x. The TPU lesson this mode encodes: shrink the ROW dimension
     (token/patch selection), not the contraction dimension (channels) —
     per-image contraction shrinking fragments the MXU.
+
+    ``bmm_frac`` is calibrated at that one stage-3 point and is an UPPER
+    BOUND elsewhere: an r3 probe (`tools/probe_channel_gather.py`) at two
+    more geometries measured the per-image bmm chains sustaining far
+    less — 28x28/K=64 (R50 stage-2) ran 0.60x dense (implied frac
+    ~0.06), 7x7/K=256 (stage-4) 0.11x (frac ~0.01; 49-row per-image
+    matmuls barely touch the MXU). The mode therefore OVERESTIMATES
+    channel-gather away from stage-3 — conservative in the only
+    direction that matters, since it already ranks the paradigm a loss.
     """
-    bmm_frac = 0.45  # measured sustained fraction for per-image bmm chains
+    bmm_frac = 0.45  # stage-3-calibrated upper bound (see docstring)
     s = p.spec
     b = s.batch_size
     k = max(1, int(g.width * rho))
