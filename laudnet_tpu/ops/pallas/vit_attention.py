@@ -195,7 +195,14 @@ def _fused_fwd_strips(qkv, key_mask, head_mask, num_heads: int,
     """Even-head variant: grid (batch blocks, head pairs); each step DMAs
     three (bb, L, 128) q/k/v strips of its pair (BlockSpec index maps over
     the same qkv array) and computes both heads with lane-masked
-    contractions. Total HBM read is still exactly one pass over qkv."""
+    contractions. Total HBM read is still exactly one pass over qkv.
+
+    block_b=8 is the measured v5e optimum for THIS kernel (DeiT-S bs128
+    dense: 9338 img/s at bb8 > 9152/8881/8554 at bb4/2/1) — the opposite
+    of the fully fused block kernel's bb=1: here each grid step is one
+    small head-pair, so larger batch blocks amortize step boundaries,
+    while the block kernel's huge per-step working set pipelines best
+    minimal."""
     b, l, d3 = qkv.shape
     d = d3 // 3
     dh = d // num_heads
