@@ -183,6 +183,11 @@ def main_vit():
     caps = (1.0, 1.0, 1.0) + (0.7,) * 4 + (0.5,) * 5  # AdaViT-style schedule
     laud_ips = _throughput(
         build_fused_vit(v, token_capacity=caps, **geom), x)
+    # lane-snapped capacities (k 137->128, 98->96): slightly stricter
+    # keeps, measurably faster tiles (`snap_capacity_to_tiles`)
+    snap_ips = _throughput(
+        build_fused_vit(v, token_capacity=caps, snap_capacities=True,
+                        **geom), x)
     flat_ips = _throughput(
         build_fused_vit(v, token_capacity=(0.5,) * 12, **geom), x)
 
@@ -203,6 +208,8 @@ def main_vit():
         "value": round(laud_ips, 1),
         "unit": "img/s",
         "vs_baseline": round(laud_ips / dense_ips, 4),
+        "snapped_img_s": round(snap_ips, 1),
+        "snapped_vs_baseline": round(snap_ips / dense_ips, 4),
         "flat_0.5_img_s": round(flat_ips, 1),
         "flat_0.5_vs_baseline": round(flat_ips / dense_ips, 4),
         "dense_fused_block_img_s": round(dense_ips, 1),

@@ -36,7 +36,8 @@ class ServingEngine:
     """
 
     def __init__(self, model, variables, *, temperature: float = 0.1,
-                 spec: str = "v5e", batch_size: int = 128, mesh=None):
+                 spec: str = "v5e", batch_size: int = 128, mesh=None,
+                 snap_capacities: bool = False):
         """``mesh``: optional 1-D :class:`jax.sharding.Mesh` — serve
         data-parallel over its devices (the TPU-native scale-out: batch
         sharded on the mesh axis, params replicated, each device runs the
@@ -44,7 +45,12 @@ class ServingEngine:
         pass per-host batches, see ``parallel.put_global_batch``).
         ``batch_size`` is the PER-CHIP serving batch the latency model
         prices; with a mesh the global batch is ``batch_size * mesh.size``.
+        ``snap_capacities`` floors token-selection capacities onto the
+        MXU tile grid (`fused_vit.snap_capacity_to_tiles`, measured +8%
+        on the DeiT-S schedule) — opt-in because it keeps slightly fewer
+        tokens than the model's nominal budgets.
         """
+        self.snap_capacities = snap_capacities
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -101,6 +107,7 @@ class ServingEngine:
                 self.variables, depth=model.depth, dim=model.dim,
                 num_heads=model.num_heads, patch_size=model.patch_size,
                 token_capacity=model.token_capacity,
+                snap_capacities=self.snap_capacities,
             ))
         # otherwise ViTs serve the fused attention kernel on TPU
         # (numerically equivalent; `ops/pallas/vit_attention.py`)

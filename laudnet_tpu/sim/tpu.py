@@ -294,11 +294,24 @@ class TPUPredictor:
         dh = dim // heads
         hidden = int(dim * mlp_ratio)
         peak = s.peak_bf16 if self.dtype_bytes == 2 else s.peak_fp32
-        rows = b * l
+        # MXU tile quantization: token counts pad to 8 sublanes in matmul
+        # rows and to 128 lanes in the score/prob tiles — this is why
+        # lane-snapped capacities (k=128 not 137) measure ~8% faster and
+        # what lets the predictor RECOMMEND snapping (the engine's
+        # snap_capacity_to_tiles); see tools-measured anchors in
+        # tests/test_sim.py.
+        l_sub = -(-l // 8) * 8
+        l_lane = -(-l // 128) * 128
+        rows = b * l_sub
         mm_flops = 2.0 * rows * dim * (3 * dim + dim + 2 * hidden)
-        attn_flops = 2.0 * (2.0 * b * heads * l * l * (2 * dh))
-        mxu = (mm_flops + attn_flops) / (peak * s.sustained_frac)
-        vpu_ops = (6.0 * b * heads * l * l        # softmax
+        attn_flops = 2.0 * (2.0 * b * heads * l_sub * l_lane * (2 * dh))
+        # sustained MXU fraction rises with contraction depth (two-point
+        # fit: ~0.85 at K=384/DeiT-S, ~0.95 at K=768/DeiT-B — deeper
+        # accumulation chains hide more pipeline bubbles)
+        mm_eff = min(0.97, max(0.75, 0.75 + 0.1 * math.log2(dim / 192)))
+        mxu = (mm_flops / (peak * mm_eff)
+               + attn_flops / (peak * s.sustained_frac))
+        vpu_ops = (6.0 * b * heads * l_sub * l_lane  # softmax
                    + 2 * 6.0 * rows * dim        # two LayerNorms
                    + 8.0 * rows * hidden)        # gelu
         vpu = vpu_ops / self.spec.vpu_flops  # serial with the MXU chain
@@ -307,12 +320,11 @@ class TPUPredictor:
             / s.mem_bandwidth
         # per-grid-step boundary at the kernel's batch-block 1 (the
         # measured v5e optimum — minimal per-step working sets pipeline
-        # deepest; see `ops/pallas/vit_block.py`). ~1.0 us/step fitted
-        # across the five block-engine anchors (DeiT-S dense/select/flat
-        # + DeiT-B dense/select); the residual spread is ~9% with DeiT-B
-        # running closer to MXU peak than the serial-VPU assumption
-        # allows (bigger matmuls overlap the VPU chain better).
-        boundary = 1.0e-6 * b
+        # deepest; see `ops/pallas/vit_block.py`). ~0.8 us/step fitted
+        # jointly with the tile-quantization and mm-efficiency terms
+        # across seven anchors (DeiT-S dense/select/flat + two
+        # lane-snapped schedules + DeiT-B dense/select): all within 4.5%.
+        boundary = 0.8e-6 * b
         return SimulationReport(
             latency=mxu + vpu + mem + s.fusion_overhead + boundary,
             compute_latency=mxu + vpu, memory_latency=mem,

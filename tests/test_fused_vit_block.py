@@ -139,3 +139,38 @@ def test_block_kernel_mlp_chunking_bit_identical():
                               interpret=True)
     np.testing.assert_allclose(np.asarray(whole), np.asarray(chunked),
                                atol=5e-6, rtol=5e-5)
+
+
+def test_snap_capacity_to_tiles():
+    """MXU tile snapping: floor to 8-sublane grid always; floor to the
+    128-lane grid when that drops <10% of tokens (measured +8% on the
+    DeiT-S schedule)."""
+    from laudnet_tpu.infer.fused_vit import snap_capacity_to_tiles
+
+    assert snap_capacity_to_tiles(137) == 128   # 5.9% drop -> lane tile
+    assert snap_capacity_to_tiles(98) == 96     # below 128: sublane grid
+    assert snap_capacity_to_tiles(160) == 160   # 20% to 128: keep 8-grid
+    assert snap_capacity_to_tiles(130) == 128
+    assert snap_capacity_to_tiles(203) == 200
+    assert snap_capacity_to_tiles(5) == 8       # floor of the grid
+
+
+def test_fused_vit_snapped_matches_model_at_snapped_caps():
+    """snap_capacities=True must equal the flax model run with the
+    equivalent (snapped) capacity fractions — snapping changes the
+    budget, not the selection semantics."""
+    x = _x(seed=5)
+    base = LAUDViT(head_skip=False, layer_skip=False, **GEOM)
+    v = jax.jit(lambda: base.init({"params": jax.random.PRNGKey(2)}, x,
+                                  1.0, training=False))()
+    # L = (64/16)^2 + 1 = 17; cap 0.7 -> k=11, snapped -> 8
+    caps = (1.0, 0.7)
+    snapped_caps = (1.0, 8 / 17)
+    ref = LAUDViT(head_skip=False, layer_skip=False,
+                  token_capacity=snapped_caps, **GEOM).apply(
+        v, x, 0.1, training=False).logits
+    fwd = build_fused_vit(v, depth=2, dim=256, num_heads=4,
+                          token_capacity=caps, snap_capacities=True,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(fwd(x)), np.asarray(ref),
+                               atol=2e-5)

@@ -104,17 +104,23 @@ def test_static_teacher_forward():
 
 
 def test_jit_forward_no_recompile_across_temperature():
+    """Temperature is a traced argument, so changing it must not retrace.
+    Counted via a side effect at trace time rather than jit cache
+    internals (`_cache_size` can be evicted under memory pressure, which
+    made the internals-based assert flaky in full-suite runs)."""
     model = tiny_model("spatial")
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
     variables = model.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    traces = []
 
     @jax.jit
     def fwd(v, x, t):
+        traces.append(1)
         return model.apply(v, x, t, training=False)
 
     out1 = fwd(variables, x, jnp.float32(0.1))
     out2 = fwd(variables, x, jnp.float32(1.0))
-    assert fwd._cache_size() == 1
+    assert len(traces) == 1
     assert out1.logits.shape == out2.logits.shape
 
 
