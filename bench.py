@@ -305,6 +305,15 @@ def main_t2t():
         lambda x: select.apply(v, x, jnp.asarray(0.1, DTYPE),
                                training=False).logits, x
     )
+    # lane-snapped keep budgets (k 137->128, 98->96) — the model-level
+    # equivalent of `snap_capacity_to_tiles` is just snapped fractions
+    snap_caps = (1.0,) * 3 + (128 / 197,) * 5 + (96 / 197,) * 6
+    snapped = laud_t2t_vit_19_backbone(token_capacity=snap_caps,
+                                       attn_impl="fused")
+    snap_ips = _throughput(
+        lambda x: snapped.apply(v, x, jnp.asarray(0.1, DTYPE),
+                                training=False).logits, x
+    )
     plain = laud_t2t_vit_19_backbone(token_skip=False, head_skip=False,
                                      layer_skip=False, attn_impl="fused")
     vp = _cast(
@@ -324,6 +333,8 @@ def main_t2t():
         "value": round(laud_ips, 1),
         "unit": "img/s",
         "vs_baseline": round(laud_ips / dense_ips, 4),
+        "snapped_img_s": round(snap_ips, 1),
+        "snapped_vs_baseline": round(snap_ips / dense_ips, 4),
     }))
 
 
@@ -353,6 +364,9 @@ def main_deit_b():
     caps = (1.0, 1.0, 1.0) + (0.7,) * 4 + (0.5,) * 5
     laud_ips = _throughput(
         build_fused_vit(v, token_capacity=caps, **geom), x)
+    snap_ips = _throughput(
+        build_fused_vit(v, token_capacity=caps, snap_capacities=True,
+                        **geom), x)
     plain = laud_deit_base(token_skip=False, head_skip=False,
                            layer_skip=False)
     vp = _cast(
@@ -369,6 +383,8 @@ def main_deit_b():
         "value": round(laud_ips, 1),
         "unit": "img/s",
         "vs_baseline": round(laud_ips / dense_ips, 4),
+        "snapped_img_s": round(snap_ips, 1),
+        "snapped_vs_baseline": round(snap_ips / dense_ips, 4),
         "dense_fused_block_img_s": round(dense_ips, 1),
     }))
 
