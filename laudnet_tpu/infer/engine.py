@@ -161,8 +161,12 @@ class ServingEngine:
                 spec=self.spec, batch_size=self.batch_size,
                 fused_attention=on_tpu and not block,
                 fused_block=on_tpu and block,
+                snap_capacities=self.snap_capacities,
             )
-            if self.plan.mode == "token":
+            if self.plan.mode in ("token", "token-snapped"):
+                # token-snapped capacities arrive pre-snapped from the
+                # plan; snap_capacity_to_tiles is idempotent, so the
+                # engine's snap flag composes harmlessly
                 select = m.clone(token_capacity=self.plan.token_capacity)
                 self._fwd = self._compile(select)
             self.plan.served = self.plan.mode

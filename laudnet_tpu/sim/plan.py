@@ -69,7 +69,8 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
                      patch_size: int = 16, spec: str | TPUSpec = "v5e",
                      batch_size: int = 128,
                      fused_attention: bool = False,
-                     fused_block: bool = False) -> ExecutionPlan:
+                     fused_block: bool = False,
+                     snap_capacities: bool = False) -> ExecutionPlan:
     """Build the serving plan from calibrated per-block keep fractions
     (`infer.calibrate.calibrate_token_capacity` output).
 
@@ -77,7 +78,12 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
     realized keep can never grow with depth — a noisy calibration estimate
     that says otherwise only wastes budget). The fastest *exact* paradigm
     under the predictor is chosen: token selection when it beats dense,
-    dense-masked otherwise.
+    dense-masked otherwise. The ranking always also prices
+    ``token-snapped`` — the same budgets floored onto the MXU tile grid
+    (`infer.fused_vit.snap_capacity_to_tiles`; the predictor's tile-
+    quantization term is what makes it faster) — but it is only CHOSEN
+    when ``snap_capacities`` opts in, because it keeps slightly fewer
+    tokens than calibration asked for.
     """
     if isinstance(spec, str):
         spec = TPU_PRESETS[spec]
@@ -94,13 +100,39 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
         input_size=input_size, patch_size=patch_size, token_capacity=caps,
         fused_attention=fused_attention, fused_block=fused_block,
     )
+    # snapped variant: convert fractions -> token counts -> tile grid ->
+    # fractions (mirrors build_fused_vit's per-layer k computation)
+    from laudnet_tpu.infer.fused_vit import snap_capacity_to_tiles
+
+    n = (input_size // patch_size) ** 2 + 1
+    snapped, cur = [], n
+    for c in caps:
+        k = min(max(2, int(c * n)), cur)
+        if k < cur:
+            k = min(max(2, snap_capacity_to_tiles(k)), cur)
+        # (k + 0.5)/n so downstream int(frac * n) lands exactly on k
+        snapped.append((k + 0.5) / n if k < cur else 1.0)
+        cur = min(cur, k)
+    snapped = tuple(snapped)
+    if snapped != caps:
+        ranking["token-snapped"] = tpu_predict_vit(
+            p, mode="token", token_capacity=snapped, depth=depth, dim=dim,
+            num_heads=num_heads, mlp_ratio=mlp_ratio,
+            input_size=input_size, patch_size=patch_size,
+            fused_attention=fused_attention,
+            fused_block=fused_block).latency
+
     dense = ranking["dense"]
     token = ranking.get("token", dense)
+    snap_lat = ranking.get("token-snapped", float("inf"))
     mode = "token" if token < dense else "dense"
     chosen = min(token, dense)
+    chosen_caps = caps
+    if snap_capacities and snap_lat < chosen:
+        mode, chosen, chosen_caps = "token-snapped", snap_lat, snapped
     return ExecutionPlan(
         kind="vit", mode=mode,
-        token_capacity=caps if mode == "token" else None,
+        token_capacity=chosen_caps if mode != "dense" else None,
         predicted_latency=chosen, dense_latency=dense,
         predicted_speedup=dense / chosen, ranking=ranking, exact=True,
     )

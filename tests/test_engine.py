@@ -210,3 +210,26 @@ def test_serving_engine_compiles_recommended_cnn_paths(monkeypatch):
     assert all(0.0 < c <= 1.0 for c in plan2.token_capacity)
     out = np.asarray(engine2(x))
     assert np.isfinite(out).all() and out.shape == (1, 10)
+
+
+def test_plan_vit_snapped_mode():
+    """The plan always prices the lane-snapped budget variant; it is
+    chosen only on opt-in (it keeps fewer tokens than calibrated), and
+    the predictor's tile-quantization term must rank it faster than the
+    nominal token schedule (measured: 15349 vs 13873 img/s on v5e)."""
+    keeps = (1.0,) * 3 + (0.7,) * 4 + (0.5,) * 5
+
+    plan = plan_vit_serving(keeps, fused_block=True)
+    assert plan.mode == "token"
+    assert "token-snapped" in plan.ranking
+    assert plan.ranking["token-snapped"] < plan.ranking["token"]
+
+    snapped = plan_vit_serving(keeps, fused_block=True,
+                               snap_capacities=True)
+    assert snapped.mode == "token-snapped"
+    assert snapped.predicted_speedup > plan.predicted_speedup
+    # snapped fractions decode to tile-grid token counts (137->128,
+    # 98->96 at 197 tokens)
+    ks = sorted({int(c * 197) for c in snapped.token_capacity if c < 1.0},
+                reverse=True)
+    assert ks == [128, 96]
