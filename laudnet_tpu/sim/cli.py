@@ -117,6 +117,10 @@ def main(argv=None):
                     help="comma-separated calibrated per-block token keeps "
                          "(ViT models): rank the paradigms and print the "
                          "chosen ExecutionPlan instead of the latency table")
+    ap.add_argument("--snap", action="store_true",
+                    help="with --plan: allow the plan to CHOOSE the "
+                         "lane-snapped budget variant (it is always "
+                         "priced in the ranking)")
     args = ap.parse_args(argv)
 
     if args.plan is not None:
@@ -126,11 +130,18 @@ def main(argv=None):
             raise SystemExit("--plan currently supports the ViT models")
         g = VIT_GEOMETRY[args.model]
         keeps = [float(v) for v in args.plan.split(",")]
+        # price the implementation that would serve (mirrors
+        # ServingEngine._block_engine_ok's geometry gate)
+        dh = g["dim"] // g["num_heads"]
+        block_ok = (g["num_heads"] % 2 == 0 and g["dim"] % 128 == 0
+                    and (2 * dh) % 128 == 0)
         plan = plan_vit_serving(
             keeps, depth=g["depth"], dim=g["dim"],
             num_heads=g["num_heads"], mlp_ratio=g["mlp_ratio"],
             spec=args.hardware if args.hardware in TPU_PRESETS else "v5e",
             batch_size=args.batch_size or 128,
+            fused_block=block_ok, fused_attention=not block_ok,
+            snap_capacities=args.snap,
         )
         print(f"# {args.model} serving plan ({args.hardware})")
         print(f"mode     : {plan.mode}")

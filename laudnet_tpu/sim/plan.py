@@ -110,9 +110,10 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
         k = min(max(2, int(c * n)), cur)
         if k < cur:
             k = min(max(2, snap_capacity_to_tiles(k)), cur)
-        # (k + 0.5)/n so downstream int(frac * n) lands exactly on k
-        snapped.append((k + 0.5) / n if k < cur else 1.0)
         cur = min(cur, k)
+        # effective monotone fraction; (cur + 0.5)/n so downstream
+        # int(frac * n) lands exactly on cur
+        snapped.append((cur + 0.5) / n if cur < n else 1.0)
     snapped = tuple(snapped)
     if snapped != caps:
         ranking["token-snapped"] = tpu_predict_vit(
