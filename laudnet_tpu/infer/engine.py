@@ -81,9 +81,10 @@ class ServingEngine:
 
     def _block_engine_ok(self, model) -> bool:
         """The fully fused block engine (`infer/fused_vit.py`) serves
-        dense/token-selection models with 128-aligned head pairs; head or
-        layer gating modulates inside the block, so those models keep the
-        attention-only fusion."""
+        dense/token-selection/head-gated models with 128-aligned head
+        pairs (head gates apply inside the kernel as lane-expanded
+        multiplies); layer gating modulates the residual structure, so
+        those models keep the attention-only fusion."""
         # a token-gating model without capacities must keep the flax graph:
         # the block engine only applies the eval token gate on the
         # selection path (token_capacity set)
@@ -92,7 +93,6 @@ class ServingEngine:
         return (self._kind == "vit"
                 and jax.default_backend() == "tpu"
                 and token_ok
-                and not getattr(model, "head_skip", True)
                 and not getattr(model, "layer_skip", True)
                 and getattr(model, "stem", "patch") == "patch"
                 and model.num_heads % 2 == 0
@@ -108,6 +108,7 @@ class ServingEngine:
                 num_heads=model.num_heads, patch_size=model.patch_size,
                 token_capacity=model.token_capacity,
                 snap_capacities=self.snap_capacities,
+                head_gating=getattr(model, "head_skip", False),
             ))
         # otherwise ViTs serve the fused attention kernel on TPU
         # (numerically equivalent; `ops/pallas/vit_attention.py`)

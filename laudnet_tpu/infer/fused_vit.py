@@ -54,6 +54,7 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                     patch_size: int = 16,
                     token_capacity: Optional[Sequence[float]] = None,
                     snap_capacities: bool = False,
+                    head_gating: bool = False,
                     block_b: int = 1,
                     vmem_limit_bytes: Optional[int] = None,
                     interpret: bool = False):
@@ -67,7 +68,11 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
     token capacity onto the MXU tile grid (`snap_capacity_to_tiles`) —
     a slightly stricter keep budget in exchange for measurably faster
     tiles (+8% on the DeiT-S schedule); off by default because it
-    changes which tokens are kept."""
+    changes which tokens are kept. ``head_gating`` applies the model's
+    eval-time per-head gates (``head_policy`` on the class token,
+    ``on >= off`` — `models/laud_vit.py` head_skip) inside the kernel
+    via lane-expanded multiplies, so head-gated models can serve the
+    block engine too."""
     params = variables["params"]
 
     def forward(x):
@@ -109,12 +114,25 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                     x = x[bidx, idx]
                     token_mask = token_mask[bidx, idx]
                     cur = k
+            hg = None
+            if head_gating and "head_policy" in blk:
+                # eval head gate on the class token (selection pins cls
+                # at index 0, so x[:, 0] is the block-entry cls either
+                # way); lane-expand so each head's dh lanes carry it
+                hl = (x[:, 0] @ blk["head_policy"]["kernel"].astype(
+                    x.dtype)
+                    + blk["head_policy"]["bias"].astype(x.dtype))
+                hl = hl.reshape(b, 2, num_heads)
+                hmask = (hl[:, 0] >= hl[:, 1]).astype(jnp.float32)
+                hg = jnp.repeat(hmask, dim // num_heads,
+                                axis=-1).reshape(b, 1, dim)
             bp = {"ln1": blk["norm1"], "qkv": blk["qkv"],
                   "proj": blk["proj"], "ln2": blk["norm2"],
                   "fc1": blk["fc1"], "fc2": blk["fc2"]}
             x = fused_vit_block(
                 x, token_mask.reshape(b, 1, cur),
                 token_mask.reshape(b, cur, 1), bp, num_heads=num_heads,
+                head_gate=hg,
                 block_b=block_b, vmem_limit_bytes=vmem_limit_bytes,
                 interpret=interpret,
             )

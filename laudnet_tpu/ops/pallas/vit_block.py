@@ -54,6 +54,7 @@ def _gelu_exact(x):
 
 
 def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
+                    head_gate=None,
                     ln_eps: float = 1e-6, block_b: int = 1,
                     mlp_chunk: int = None, vmem_limit_bytes: int = None,
                     interpret: bool = False):
@@ -62,7 +63,11 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
     ``x``: (B, L, D); ``key_mask``: (B, 1, L) 1/0 over keys; ``row_mask``:
     (B, L, 1) 1/0 over token rows (the model multiplies both branch
     outputs by the token mask); ``params``: dict with ln1/ln2 (scale,
-    bias), qkv/proj/fc1/fc2 (kernel, bias) in the flax layouts. Requires
+    bias), qkv/proj/fc1/fc2 (kernel, bias) in the flax layouts.
+    ``head_gate``: optional (B, 1, D) per-head 0/1 gate lane-expanded to
+    feature lanes (each head's dh lanes carry its gate — the model
+    multiplies per-head attention outputs before the merge,
+    `models/laud_vit.py` head_skip; identical after merge). Requires
     even ``num_heads`` with 128-aligned head pairs (DeiT geometry);
     geometries without them (T2T's odd 7 heads / D=448) keep the
     attention-only fusion instead. Returns (B, L, D).
@@ -119,8 +124,12 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
     grid = (b // bb,)
 
     w = params
-    args = [
-        x, key_mask, row_mask,
+    gated = head_gate is not None
+    args = [x, key_mask, row_mask]
+    if gated:
+        args.append(head_gate)
+    n_batched = len(args)
+    args += [
         w["ln1"]["scale"].reshape(1, d), w["ln1"]["bias"].reshape(1, d),
         w["qkv"]["kernel"], w["qkv"]["bias"].reshape(1, 3 * d),
         w["proj"]["kernel"], w["proj"]["bias"].reshape(1, d),
@@ -137,7 +146,7 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
-    in_specs = [spec_for(a, k < 3) for k, a in enumerate(args)]
+    in_specs = [spec_for(a, k < n_batched) for k, a in enumerate(args)]
 
     mm = functools.partial(jax.lax.dot_general,
                            dimension_numbers=(((1,), (0,)), ((), ())),
@@ -145,8 +154,10 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
     bnums = (((2,), (2,)), ((0,), (0,)))
     pv_nums = (((2,), (1,)), ((0,), (0,)))
 
-    def kernel(x_ref, kmask_ref, rmask_ref, ln1s, ln1b, wqkv, bqkv, wproj,
-               bproj, ln2s, ln2b, w1, b1, w2, b2, out_ref):
+    def kernel(x_ref, kmask_ref, rmask_ref, *rest):
+        hg_ref = rest[0] if gated else None
+        (ln1s, ln1b, wqkv, bqkv, wproj, bproj, ln2s, ln2b, w1, b1, w2,
+         b2, out_ref) = rest[1 if gated else 0:]
         xin = x_ref[:]
         cdt = xin.dtype
         neg = (1.0 - kmask_ref[:].astype(jnp.float32)) * NEG  # (bb,1,L)
@@ -180,6 +191,9 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
                 pair = o if pair is None else pair + o
             outs.append(pair.astype(cdt))
         attn = jnp.concatenate(outs, axis=-1)  # (bb, L, D)
+        if hg_ref is not None:
+            # lane-expanded per-head gate; each head's dh lanes carry it
+            attn = attn * hg_ref[:].astype(cdt)
 
         proj = (mm(attn.reshape(bb * l, d), wproj[:])
                 + bproj[:].astype(jnp.float32)).reshape(bb, l, d)

@@ -174,3 +174,47 @@ def test_fused_vit_snapped_matches_model_at_snapped_caps():
                           interpret=True)
     np.testing.assert_allclose(np.asarray(fwd(x)), np.asarray(ref),
                                atol=2e-5)
+
+
+def test_fused_vit_head_gated_matches_model():
+    """head_gating=True applies the model's eval per-head gates inside
+    the kernel (lane-expanded multiply) — bit-matched to the flax graph,
+    with some heads forced CLOSED so the gate actually bites; also
+    combined with token selection."""
+    x = _x(seed=9)
+    base = LAUDViT(token_skip=False, layer_skip=False, head_skip=True,
+                   **GEOM)
+    v = jax.jit(lambda: base.init({"params": jax.random.PRNGKey(3)}, x,
+                                  1.0, training=False))()
+    # close head 1 of block 0 and head 3 of block 1 (keep-logit -5)
+    v = jax.tree_util.tree_map(lambda a: a, v)  # shallow copy refs
+    import flax
+
+    v = flax.core.unfreeze(v) if hasattr(flax.core, "unfreeze") else dict(v)
+    for blk, head in (("blocks_0", 1), ("blocks_1", 3)):
+        name = blk if blk in v["params"] else blk.replace("blocks_", "block_")
+        bias = v["params"][name]["head_policy"]["bias"]
+        v["params"][name]["head_policy"]["bias"] = bias.at[head].set(-5.0)
+
+    ref = base.apply(v, x, 0.1, training=False)
+    fwd = build_fused_vit(v, depth=2, dim=256, num_heads=4,
+                          head_gating=True, interpret=True)
+    assert float(jnp.asarray(ref.head_density).mean()) < 1.0  # gates bit
+    np.testing.assert_allclose(np.asarray(fwd(x)), np.asarray(ref.logits),
+                               atol=2e-5)
+
+    sel = LAUDViT(layer_skip=False, head_skip=True,
+                  token_capacity=(1.0, 0.5), **GEOM)
+    vsel = jax.jit(lambda: sel.init({"params": jax.random.PRNGKey(4)}, x,
+                                    1.0, training=False))()
+    vsel = (flax.core.unfreeze(vsel)
+            if hasattr(flax.core, "unfreeze") else dict(vsel))
+    name = ("blocks_0" if "blocks_0" in vsel["params"] else "block_0")
+    bias = vsel["params"][name]["head_policy"]["bias"]
+    vsel["params"][name]["head_policy"]["bias"] = bias.at[0].set(-5.0)
+    ref2 = sel.apply(vsel, x, 0.1, training=False).logits
+    fwd2 = build_fused_vit(vsel, depth=2, dim=256, num_heads=4,
+                           token_capacity=(1.0, 0.5), head_gating=True,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(fwd2(x)), np.asarray(ref2),
+                               atol=2e-5)
