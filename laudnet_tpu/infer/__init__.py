@@ -1,4 +1,7 @@
-from laudnet_tpu.infer.layerskip import build_layer_skip_resnet
+from laudnet_tpu.infer.layerskip import (
+    build_layer_skip_resnet,
+    build_layer_skip_vit,
+)
 from laudnet_tpu.infer.calibrate import (
     calibrate_token_capacity,
     calibrate_patch_capacity,
@@ -11,6 +14,7 @@ from laudnet_tpu.infer.engine import ServingEngine
 __all__ = [
     "ServingEngine",
     "build_layer_skip_resnet",
+    "build_layer_skip_vit",
     "calibrate_token_capacity",
     "calibrate_patch_capacity",
     "calibrate_channel_masks",

@@ -97,3 +97,97 @@ def build_layer_skip_resnet(variables, layers: Sequence[int] = (3, 4, 23, 3)):
         return logits, n_run
 
     return forward
+
+
+def build_layer_skip_vit(variables, *, depth: int, dim: int,
+                         num_heads: int, patch_size: int = 16,
+                         interpret: bool = False):
+    """Batch-1 layer-skipping LAUD-ViT engine (real compute skipping).
+
+    The model's layer paradigm gates the attention and MLP branches
+    independently per image (`models/laud_vit.py`: ``layer_policy`` on
+    the class token, eval ``on >= off``; branch outputs multiplied by
+    the gate). At batch 1 this engine turns each gate into a
+    ``lax.cond`` so a skipped branch executes NOTHING — the ViT analog
+    of :func:`build_layer_skip_resnet`. The attention branch runs the
+    fused qkv-direct kernel (`ops/pallas/vit_attention.py`).
+
+    Measured (v5e, DeiT-S, 6/12 blocks force-closed): 0.74x the
+    dense-masked graph with the same gates — like the CNN engine
+    (0.48x), per-branch ``lax.cond`` overhead on this chip exceeds what
+    skipping saves at this model scale, so the masked graph stays the
+    recommended batch-1 layer-mode path. The engine is kept as the
+    exact real-skipping reference (and for future chips/geometries
+    where the trade flips).
+
+    Returns ``forward(x) -> (logits, n_branches_run)`` for ``x`` of
+    shape (1, H, W, 3); bit-matches ``model.apply`` eval logits.
+    """
+    from laudnet_tpu.ops.pallas.vit_attention import fused_vit_attention
+
+    params = variables["params"]
+    dh = dim // num_heads
+    sm_scale = dh**-0.5
+
+    def ln(x, p, eps=1e-6):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+        y = (xf - mu) * lax.rsqrt(var + eps)
+        return (y * p["scale"].astype(jnp.float32)
+                + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+    def forward(x):
+        p = params
+        b = x.shape[0]
+        x = lax.conv_general_dilated(
+            x, p["patch_embed"]["kernel"],
+            window_strides=(patch_size, patch_size), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["patch_embed"]["bias"]
+        n = x.shape[1] * x.shape[2]
+        x = x.reshape(b, n, dim)
+        cls = jnp.broadcast_to(p["cls_token"].astype(x.dtype), (b, 1, dim))
+        x = jnp.concatenate([cls, x], axis=1) + p["pos_embed"].astype(
+            x.dtype)
+        l = n + 1
+        ones = jnp.ones((b, l), jnp.float32)
+
+        n_run = jnp.int32(0)
+        for i in range(depth):
+            blk = p[f"block_{i}"]
+            lp = blk["layer_policy"]
+            lg = (x[:, 0] @ lp["kernel"].astype(x.dtype)
+                  + lp["bias"].astype(x.dtype)).reshape(2, 2)
+            attn_on = lg[0, 0] >= lg[1, 0]
+            mlp_on = lg[0, 1] >= lg[1, 1]
+
+            def attn_branch(x, blk=blk):
+                h1 = ln(x, blk["norm1"])
+                qkv = (h1 @ blk["qkv"]["kernel"].astype(x.dtype)
+                       + blk["qkv"]["bias"].astype(x.dtype))
+                out = fused_vit_attention(qkv, ones, None, num_heads,
+                                          sm_scale, 8, interpret)
+                out = (out @ blk["proj"]["kernel"].astype(x.dtype)
+                       + blk["proj"]["bias"].astype(x.dtype))
+                return x + out
+
+            def mlp_branch(x, blk=blk):
+                y = ln(x, blk["norm2"])
+                u = jax.nn.gelu(
+                    y @ blk["fc1"]["kernel"].astype(x.dtype)
+                    + blk["fc1"]["bias"].astype(x.dtype),
+                    approximate=False)
+                return x + (u @ blk["fc2"]["kernel"].astype(x.dtype)
+                            + blk["fc2"]["bias"].astype(x.dtype))
+
+            x = lax.cond(attn_on, attn_branch, lambda x: x, x)
+            x = lax.cond(mlp_on, mlp_branch, lambda x: x, x)
+            n_run += attn_on.astype(jnp.int32) + mlp_on.astype(jnp.int32)
+
+        x = ln(x, p["norm"])
+        logits = (x[:, 0] @ p["head"]["kernel"].astype(x.dtype)
+                  + p["head"]["bias"].astype(x.dtype))
+        return logits, n_run
+
+    return forward

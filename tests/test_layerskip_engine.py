@@ -46,3 +46,37 @@ def test_layerskip_matches_dense_masked_graph():
     )).sum())
     assert kept == expected_kept
     assert 0 < kept < total_blocks
+
+
+def test_layer_skip_vit_matches_model():
+    """Batch-1 ViT layer-skip engine: lax.cond real skipping, bit-matched
+    to the flax layer-gated graph with some branches forced closed."""
+    import flax
+    import jax.numpy as jnp
+
+    from laudnet_tpu.infer import build_layer_skip_vit
+    from laudnet_tpu.models.laud_vit import LAUDViT
+
+    geom = dict(depth=2, dim=256, num_heads=4, mlp_ratio=2.0,
+                num_classes=11)
+    m = LAUDViT(token_skip=False, head_skip=False, layer_skip=True, **geom)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 64, 64, 3)),
+        jnp.float32)
+    v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(0)}, x, 1.0,
+                               training=False))()
+    v = flax.core.unfreeze(v) if hasattr(flax.core, "unfreeze") else dict(v)
+    # close block_0's attention branch and block_1's MLP branch
+    # (layer_policy bias layout: [attn_on, mlp_on, attn_off, mlp_off])
+    b0 = v["params"]["block_0"]["layer_policy"]["bias"]
+    v["params"]["block_0"]["layer_policy"]["bias"] = b0.at[0].set(-5.0)
+    b1 = v["params"]["block_1"]["layer_policy"]["bias"]
+    v["params"]["block_1"]["layer_policy"]["bias"] = b1.at[1].set(-5.0)
+
+    out = m.apply(v, x, 0.1, training=False)
+    fwd = jax.jit(build_layer_skip_vit(v, depth=2, dim=256, num_heads=4,
+                                       interpret=True))
+    logits, n_run = fwd(x)
+    assert int(n_run) == 2  # 4 branches, 2 forced closed
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(out.logits),
+                               atol=2e-5)
