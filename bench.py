@@ -307,8 +307,10 @@ def main_t2t():
                                training=False).logits, x
     )
     # lane-snapped keep budgets (k 137->128, 98->96) — the model-level
-    # equivalent of `snap_capacity_to_tiles` is just snapped fractions
-    snap_caps = (1.0,) * 3 + (128 / 197,) * 5 + (96 / 197,) * 6
+    # equivalent of `snap_capacity_to_tiles` is just snapped fractions.
+    # +0.5 keeps int(cap*L) from FP-flooring 128.0 down to 127 (128/197*197
+    # rounds to 127.99999999999999).
+    snap_caps = (1.0,) * 3 + (128.5 / 197,) * 5 + (96.5 / 197,) * 6
     snapped = laud_t2t_vit_19_backbone(token_capacity=snap_caps,
                                        attn_impl="fused")
     snap_ips = _throughput(
@@ -634,6 +636,54 @@ def main_train_vit():
     }))
 
 
+def main_detection():
+    """Detection-path throughput on TPU: RetinaNet-LAUD-R101 channel-2222
+    (dense-masked eval, the exact serving path) vs an all-static-backbone
+    RetinaNet, rectangular 640x1024 input (the COCO aspect family —
+    exercises the per-dimension masker grids), bs8 bf16. Measures the
+    jitted model forward (backbone + FPN + head); decode/NMS is per-image
+    postprocessing that LAUD does not touch. The expected ~1.0x is itself
+    the documented TPU finding (channel masks fuse for free; the value is
+    the FLOPs reduction the eval_info accounting reports)."""
+    from laudnet_tpu.detection.retinanet import RetinaNet
+
+    b, h, w = 8, 640, 1024
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, h, w, 3)), DTYPE)
+    x32 = jnp.zeros((b, h, w, 3), jnp.float32)
+
+    def build(dyn):
+        m = RetinaNet(dyn_mode=dyn)
+        v = _cast(jax.jit(lambda: m.init(
+            {"params": jax.random.PRNGKey(0)}, x32, training=False))(),
+            DTYPE)
+        return m, v
+
+    laud, vl = build(("channel",) * 4)
+    dense, vd = build(("static",) * 4)
+    overhead = _chain_time(lambda x: x[0, 0, 0, :], x)
+
+    def timed(m, v):
+        t = _chain_time(
+            lambda x: m.apply(v, x, training=False)["cls_logits"], x)
+        return b / max(t - overhead, 1e-9)
+
+    laud_ips = timed(laud, vl)
+    dense_ips = timed(dense, vd)
+    out = laud.apply(vl, x, training=False)
+    flops_rate = float(out["additional"]["flops"]
+                       / out["additional"]["dense_flops"])
+    print(json.dumps({
+        "metric": ("images/sec/chip RetinaNet LAUD-R101 channel-2222 "
+                   "(dense-masked eval) vs static-backbone RetinaNet, "
+                   "640x1024 bs8 bf16, forward (no NMS)"),
+        "value": round(laud_ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(laud_ips / dense_ips, 4),
+        "backbone_flops_rate": round(flops_rate, 4),
+    }))
+
+
 def main():
     import sys
 
@@ -643,7 +693,9 @@ def main():
     if "--train" in sys.argv:
         main_train()
         return
-    if "--resnet-masked" in sys.argv:
+    if "--detection" in sys.argv:
+        main_detection()  # RetinaNet-LAUD forward at COCO-like resolution
+    elif "--resnet-masked" in sys.argv:
         main_resnet()  # dense-masked graph vs dense (correctness oracle path)
     elif "--r101-static" in sys.argv:
         main_r101_target05()  # calibrated static export + fidelity metric

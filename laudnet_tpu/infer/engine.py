@@ -163,6 +163,12 @@ class ServingEngine:
                 fused_attention=on_tpu and not block,
                 fused_block=on_tpu and block,
                 snap_capacities=self.snap_capacities,
+                # the no-selection alternative the engine would actually
+                # serve: the token-gated masked graph for token_skip
+                # models, the head-gated graph for head-only gating
+                dense_mode=("mask" if getattr(m, "token_skip", False)
+                            else "head" if getattr(m, "head_skip", False)
+                            else "dense"),
             )
             if self.plan.mode in ("token", "token-snapped"):
                 # token-snapped capacities arrive pre-snapped from the
@@ -170,7 +176,20 @@ class ServingEngine:
                 # engine's snap flag composes harmlessly
                 select = m.clone(token_capacity=self.plan.token_capacity)
                 self._fwd = self._compile(select)
-            self.plan.served = self.plan.mode
+                self.plan.served = self.plan.mode
+            elif getattr(m, "token_skip", False):
+                # "dense" for a token-gated model means NO selection, not
+                # no gates: the served graph keeps the eval token gates.
+                # The block engine runs that bit-equivalently at full
+                # capacity (gates multiply inside the kernel, nothing is
+                # dropped) and measurably faster than the attention-fused
+                # flax graph, so swap it in when the geometry qualifies.
+                if block:
+                    self._fwd = self._compile(
+                        m.clone(token_capacity=(1.0,) * m.depth))
+                self.plan.served = "dense-masked"
+            else:
+                self.plan.served = self.plan.mode
         else:
             # CNN paths: the engine compiles the recommended path when it
             # exists in-process — dense-masked (always), layer-skip at

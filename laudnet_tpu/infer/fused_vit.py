@@ -34,6 +34,24 @@ def _ln(x, p, eps=1e-6):
             + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
+def _patchify(p, x, dim: int, patch_size: int):
+    """Patch-embed + cls-token concat + position embed (the ViT prologue
+    shared by every serving engine; numerics must match
+    `models/laud_vit.py::LAUDViT` eval exactly). Returns ``(x, n)`` with
+    ``x`` of shape (B, n+1, dim)."""
+    b = x.shape[0]
+    x = lax.conv_general_dilated(
+        x, p["patch_embed"]["kernel"],
+        window_strides=(patch_size, patch_size), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["patch_embed"]["bias"]
+    n = x.shape[1] * x.shape[2]
+    x = x.reshape(b, n, dim)
+    cls = jnp.broadcast_to(p["cls_token"].astype(x.dtype), (b, 1, dim))
+    x = jnp.concatenate([cls, x], axis=1) + p["pos_embed"].astype(x.dtype)
+    return x, n
+
+
 def snap_capacity_to_tiles(k: int) -> int:
     """Latency-aware capacity snapping (measured v5e, r3): the MXU pads
     token counts to 8 sublanes in matmul rows and 128 lanes in the
@@ -78,16 +96,7 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
     def forward(x):
         p = params
         b = x.shape[0]
-        x = lax.conv_general_dilated(
-            x, p["patch_embed"]["kernel"],
-            window_strides=(patch_size, patch_size), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + p["patch_embed"]["bias"]
-        n = x.shape[1] * x.shape[2]
-        x = x.reshape(b, n, dim)
-        cls = jnp.broadcast_to(p["cls_token"].astype(x.dtype), (b, 1, dim))
-        x = jnp.concatenate([cls, x], axis=1) + p["pos_embed"].astype(
-            x.dtype)
+        x, n = _patchify(p, x, dim, patch_size)
 
         token_mask = jnp.ones((b, n + 1), jnp.float32)
         cur = n + 1

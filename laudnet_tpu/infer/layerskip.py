@@ -123,33 +123,17 @@ def build_layer_skip_vit(variables, *, depth: int, dim: int,
     Returns ``forward(x) -> (logits, n_branches_run)`` for ``x`` of
     shape (1, H, W, 3); bit-matches ``model.apply`` eval logits.
     """
+    from laudnet_tpu.infer.fused_vit import _ln as ln, _patchify
     from laudnet_tpu.ops.pallas.vit_attention import fused_vit_attention
 
     params = variables["params"]
     dh = dim // num_heads
     sm_scale = dh**-0.5
 
-    def ln(x, p, eps=1e-6):
-        xf = x.astype(jnp.float32)
-        mu = xf.mean(axis=-1, keepdims=True)
-        var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
-        y = (xf - mu) * lax.rsqrt(var + eps)
-        return (y * p["scale"].astype(jnp.float32)
-                + p["bias"].astype(jnp.float32)).astype(x.dtype)
-
     def forward(x):
         p = params
         b = x.shape[0]
-        x = lax.conv_general_dilated(
-            x, p["patch_embed"]["kernel"],
-            window_strides=(patch_size, patch_size), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + p["patch_embed"]["bias"]
-        n = x.shape[1] * x.shape[2]
-        x = x.reshape(b, n, dim)
-        cls = jnp.broadcast_to(p["cls_token"].astype(x.dtype), (b, 1, dim))
-        x = jnp.concatenate([cls, x], axis=1) + p["pos_embed"].astype(
-            x.dtype)
+        x, n = _patchify(p, x, dim, patch_size)
         l = n + 1
         ones = jnp.ones((b, l), jnp.float32)
 

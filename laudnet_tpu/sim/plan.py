@@ -49,17 +49,27 @@ def rank_vit_paradigms(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
                        fused_block: bool = False) -> dict:
     """Predicted latency (s/batch) per ViT paradigm. ``token`` uses the
     given capacities (required for it to be ranked). ``fused_attention``
-    prices the served ``attn_impl='fused'`` path (what ServingEngine
-    compiles on TPU)."""
+    prices the served ``attn_impl='fused'`` path; ``fused_block`` the
+    fully fused block engine — each mode is priced at the implementation
+    ServingEngine would actually serve it with: the block engine admits
+    dense / token-selection / head-gated / token-gated-at-full-capacity
+    models, while layer gating modulates the residual structure and keeps
+    the attention-only fusion (`ServingEngine._block_engine_ok`)."""
     geom = dict(depth=depth, dim=dim, num_heads=num_heads,
                 mlp_ratio=mlp_ratio, input_size=input_size,
-                patch_size=patch_size, fused_attention=fused_attention,
-                fused_block=fused_block)
-    out = {m: tpu_predict_vit(p, mode=m, **geom).latency
-           for m in ("dense", "head", "layer", "mask")}
+                patch_size=patch_size)
+    out = {}
+    for m in ("dense", "head", "layer", "mask"):
+        blk = fused_block and m != "layer"
+        out[m] = tpu_predict_vit(
+            p, mode=m, fused_attention=fused_attention or (fused_block
+                                                           and not blk),
+            fused_block=blk, **geom).latency
     if token_capacity is not None:
         out["token"] = tpu_predict_vit(
-            p, mode="token", token_capacity=token_capacity, **geom).latency
+            p, mode="token", token_capacity=token_capacity,
+            fused_attention=fused_attention, fused_block=fused_block,
+            **geom).latency
     return out
 
 
@@ -70,15 +80,21 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
                      batch_size: int = 128,
                      fused_attention: bool = False,
                      fused_block: bool = False,
-                     snap_capacities: bool = False) -> ExecutionPlan:
+                     snap_capacities: bool = False,
+                     dense_mode: str = "mask") -> ExecutionPlan:
     """Build the serving plan from calibrated per-block keep fractions
     (`infer.calibrate.calibrate_token_capacity` output).
 
     Capacities are clamped monotone non-increasing (gates compose, so the
     realized keep can never grow with depth — a noisy calibration estimate
     that says otherwise only wastes budget). The fastest *exact* paradigm
-    under the predictor is chosen: token selection when it beats dense,
-    dense-masked otherwise. The ranking always also prices
+    under the predictor is chosen: token selection when it beats the
+    no-selection alternative the engine would actually serve —
+    ``ranking[dense_mode]``, where ``dense_mode`` names the paradigm of the
+    masked graph a "dense" decision falls back to (``"mask"`` for a
+    token-gated model, ``"head"`` for head-only gating, ``"dense"`` for an
+    ungated one). ``ranking["dense"]`` stays the pure ungated baseline and
+    the ``predicted_speedup`` frame. The ranking always also prices
     ``token-snapped`` — the same budgets floored onto the MXU tile grid
     (`infer.fused_vit.snap_capacity_to_tiles`; the predictor's tile-
     quantization term is what makes it faster) — but it is only CHOSEN
@@ -124,10 +140,11 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
             fused_block=fused_block).latency
 
     dense = ranking["dense"]
-    token = ranking.get("token", dense)
+    served_dense = ranking.get(dense_mode, dense)
+    token = ranking.get("token", served_dense)
     snap_lat = ranking.get("token-snapped", float("inf"))
-    mode = "token" if token < dense else "dense"
-    chosen = min(token, dense)
+    mode = "token" if token < served_dense else "dense"
+    chosen = min(token, served_dense)
     chosen_caps = caps
     if snap_capacities and snap_lat < chosen:
         mode, chosen, chosen_caps = "token-snapped", snap_lat, snapped

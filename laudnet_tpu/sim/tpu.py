@@ -445,6 +445,10 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
         if fused_block:
             if mode in ("token", "mask"):
                 total = total + p.matmul(b * l, dim, 2)  # token policy
+            if mode == "head":
+                # head policy runs on the class token only (b rows); the
+                # gate itself is a lane-expanded multiply inside the kernel
+                total = total + p.matmul(b, dim, 2 * num_heads)
             total = total + p.fused_block(l, dim, num_heads, mlp_ratio)
         else:
             total = total + tpu_vit_block(

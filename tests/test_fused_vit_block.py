@@ -187,7 +187,6 @@ def test_fused_vit_head_gated_matches_model():
     v = jax.jit(lambda: base.init({"params": jax.random.PRNGKey(3)}, x,
                                   1.0, training=False))()
     # close head 1 of block 0 and head 3 of block 1 (keep-logit -5)
-    v = jax.tree_util.tree_map(lambda a: a, v)  # shallow copy refs
     import flax
 
     v = flax.core.unfreeze(v) if hasattr(flax.core, "unfreeze") else dict(v)
