@@ -218,19 +218,24 @@ class ServingEngine:
 
             depth_map = {16: "resnet50", 33: "resnet101"}
             name = depth_map.get(sum(self.model.layers))
-            if name is None or dyn is None:
-                # no analytic geometry for this depth, or mixed per-stage
-                # dyn_mode (the per-paradigm price tables assume one
-                # paradigm): serve dense-masked, return an honest
-                # no-ranking plan instead of pricing the wrong network
+            if name is None:
+                # no analytic geometry for this depth: serve dense-masked,
+                # return an honest no-ranking plan instead of pricing the
+                # wrong network
                 self.plan = ExecutionPlan(
                     kind="resnet", mode="dense-masked",
                     served="dense-masked", exact=True,
                     predicted_speedup=1.0, ranking={},
                 )
             else:
+                # mixed per-stage dyn_mode prices each stage at its own
+                # paradigm (dense-masked serving); uniform models get the
+                # full per-paradigm ranking
                 self.plan = plan_resnet_serving(
-                    name, dyn_mode=dyn, act_rate=act_rate, spec=self.spec,
+                    name,
+                    dyn_mode=dyn if dyn is not None
+                    else tuple(self.model.dyn_mode),
+                    act_rate=act_rate, spec=self.spec,
                     batch_size=self.batch_size,
                     allow_static_export=allow_static_export,
                 )

@@ -156,8 +156,17 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
     )
 
 
+_RESNET_DEPTHS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+
+# serving a stage dense-masked: the paradigm's own masker heads on a
+# static body (the 0/1 multiplies fuse for free)
+_MASKED_BLOCK_MODE = {"channel": "channel", "spatial": "spatial_masked",
+                      "layer": "layer", "both": "both_masked",
+                      "static": "static"}
+
+
 def plan_resnet_serving(model_name: str = "resnet101", *,
-                        dyn_mode: str = "channel",
+                        dyn_mode: str | Sequence[str] = "channel",
                         act_rate: float = 0.5,
                         granularity: int = 4,
                         spec: str | TPUSpec = "v5e",
@@ -170,6 +179,11 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
     full capacity coverage). ``static-export`` is NOT exact (it freezes an
     input-dependent policy; see `infer/export_pruned.py`) and is only
     considered when ``allow_static_export``.
+
+    ``dyn_mode`` may be a per-stage sequence (the reference's
+    ``--dyn_mode channel-channel-layer-layer`` configs): mixed models are
+    priced per stage at each stage's own paradigm and serve dense-masked
+    (the only exact whole-network path when paradigms differ).
     """
     from dataclasses import replace
 
@@ -191,6 +205,28 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
                                    grans).latency
 
     dense = lat("static", [1.0] * n_blocks)
+
+    if not isinstance(dyn_mode, str):
+        stage_modes = list(dyn_mode)
+        if len(set(stage_modes)) == 1:
+            dyn_mode = stage_modes[0]  # uniform: full per-paradigm ranking
+        else:
+            depths = _RESNET_DEPTHS[model_name]
+            if len(stage_modes) != len(depths):
+                raise ValueError(
+                    f"dyn_mode has {len(stage_modes)} stages, "
+                    f"{model_name} has {len(depths)}")
+            per_block = [_MASKED_BLOCK_MODE[m]
+                         for m, d in zip(stage_modes, depths)
+                         for _ in range(d)]
+            masked = lat(per_block)
+            ranking = {"dense": dense, "dense-masked": masked}
+            return ExecutionPlan(
+                kind="resnet", mode="dense-masked",
+                predicted_latency=masked, dense_latency=dense,
+                predicted_speedup=dense / masked, ranking=ranking,
+                exact=True,
+            )
     # dense-masked = static body + masker heads, whatever the paradigm:
     # the 0/1 mask multiplies fuse for free, only the gating heads add
     # cost. The predictor's 'channel' mode prices exactly that shape.

@@ -108,8 +108,33 @@ class TPUPredictor:
 
     def masker(self, cin, mask_size, h, w, spatial=True,
                hid=16, n_groups=1) -> SimulationReport:
-        """Gating head: pooled map + tiny conv/MLP — VPU + one skinny matmul."""
-        pool = self._vpu(self.spec.batch_size * cin * h * w, reads=1)
+        """Gating head: pooled map + tiny conv/MLP — VPU + one skinny matmul.
+
+        The channel masker's global-average pool is a plain reduction XLA
+        fuses into the producing conv's epilogue, so it re-reads NOTHING
+        (measured: dense-masked channel R101 runs 1.00x dense, bench.py
+        --resnet-masked). The spatial masker pools to a GRID
+        (adaptive_avg_pool to mask_size) — a strided window reduction XLA
+        materializes as its own pass, so it pays the feature-map re-read
+        (measured: spatial-masked R101 0.91x dense; the re-read model
+        gives 0.84x — conservative)."""
+        b = self.spec.batch_size
+        elems = b * cin * h * w
+        ms = mask_size if isinstance(mask_size, int) else mask_size[0]
+        # both pools write only the pooled map; a GRID pool (spatial masker
+        # with mask_size > 1) additionally re-reads the feature map (a
+        # strided window reduction XLA materializes on its own), while a
+        # global pool — the channel masker's GAP and the layer masker's
+        # mask_size=1 pool — fuses into the producer's epilogue
+        out_bytes = b * cin * max(ms * ms, 1) * self.dtype_bytes
+        in_bytes = elems * self.dtype_bytes if (spatial and ms > 1) else 0.0
+        mem = (in_bytes + out_bytes) / self.spec.mem_bandwidth
+        pool = SimulationReport(
+            latency=max(elems / self.spec.vpu_flops, mem),
+            compute_latency=elems / self.spec.vpu_flops,
+            memory_latency=mem,
+            cfg=[dict(op="vpu")],
+        )
         proj = self.conv(cin, max(2 * n_groups, 2), mask_size, mask_size, 1)
         return pool + proj
 
@@ -511,8 +536,14 @@ def tpu_channel_gather_block(p: TPUPredictor, g: BlockGeom,
         compute_latency=compute, memory_latency=weight_mem + act_mem,
         cfg=[dict(op="channel_gather_block", k=k)],
     )
-    rep = rep + p.masker(g.cin, 1, g.h * g.stride, g.h * g.stride,
-                         spatial=False)
+    # the gating GAP: in THIS engine the producer is the previous block's
+    # per-image bmm/scatter chain, which XLA does not fuse a reduction
+    # into — the masker pays the full feature-map read (unlike dense-masked
+    # serving, where the GAP fuses into the conv epilogue; `p.masker`)
+    read = (p.dtype_bytes * b * in_hw * g.cin) / s.mem_bandwidth
+    rep = rep + SimulationReport(
+        latency=read, memory_latency=read, cfg=[dict(op="masker_read")],
+    ) + p.masker(g.cin, 1, g.h * g.stride, g.h * g.stride, spatial=False)
     if g.has_downsample:
         rep = rep + p.conv(g.cin, g.cout, g.h * g.stride, g.h * g.stride, 1,
                            stride=g.stride)
@@ -595,39 +626,60 @@ def tpu_spatial_block(p: TPUPredictor, g: BlockGeom, granul: int,
     return rep
 
 
-def tpu_predict_network(p: TPUPredictor, model: str, mode: str = "static",
+def tpu_predict_network(p: TPUPredictor, model: str,
+                        mode: str | Sequence[str] = "static",
                         act_rates: Optional[Sequence[float]] = None,
                         granularity: Optional[Sequence[int]] = None
                         ) -> SimulationReport:
+    """Whole-network latency. ``mode`` is one paradigm name or a per-BLOCK
+    sequence of names — the reference configures ``dyn_mode`` per stage
+    (`train/main.py --dyn_mode channel-channel-layer-layer`), and mixed
+    models price each block at its own stage's paradigm. Extra per-block
+    names beyond the uniform paradigms: ``spatial_masked`` (dense-masked
+    serving of a spatial stage: static body + spatial masker, the 0/1
+    multiplies fuse for free) and ``both_masked`` (spatial + channel
+    maskers on a static body)."""
     blocks = MODEL_GEOMETRY[model]
     n = len(blocks)
     act_rates = list(act_rates) if act_rates is not None else [1.0] * n
     granularity = list(granularity) if granularity is not None else [4] * n
+    modes = [mode] * n if isinstance(mode, str) else list(mode)
+    if len(modes) != n:
+        raise ValueError(
+            f"per-block mode list has {len(modes)} entries, model has {n}")
     total = SimulationReport()
-    for g, rate, gran in zip(blocks, act_rates, granularity):
-        if mode == "static":
+    for g, rate, gran, m in zip(blocks, act_rates, granularity, modes):
+        if m == "static":
             total = total + tpu_static_block(p, g)
-        elif mode == "spatial":
+        elif m == "spatial":
             total = total + tpu_spatial_block(p, g, min(gran, g.h), rate)
-        elif mode == "pallas":
+        elif m == "pallas":
             total = total + tpu_pallas_spatial_block(
                 p, g, min(gran, g.h), rate
             )
-        elif mode == "channel":
+        elif m == "channel":
             # channel mode runs dense on TPU today (masks fuse for free)
             total = total + tpu_static_block(p, g) + p.masker(
                 g.cin, 1, g.h * g.stride, g.h * g.stride, spatial=False
             )
-        elif mode == "channel_gather":
+        elif m == "channel_gather":
             total = total + tpu_channel_gather_block(p, g, rate)
-        elif mode == "layer":
+        elif m in ("spatial_masked", "both_masked"):
+            total = total + tpu_static_block(p, g) + p.masker(
+                g.cin, max(g.h // gran, 1), g.h * g.stride, g.h * g.stride
+            )
+            if m == "both_masked":
+                total = total + p.masker(
+                    g.cin, 1, g.h * g.stride, g.h * g.stride, spatial=False
+                )
+        elif m == "layer":
             masker = p.masker(g.cin, 1, g.h * g.stride, g.h * g.stride)
             body = tpu_static_block(p, g)
             total = total + masker + body.scaled(
                 rate if p.spec.batch_size == 1 else 1.0
             )
         else:
-            raise ValueError(mode)
+            raise ValueError(m)
     # Under one jit, DMA and MXU overlap across the whole executable: the
     # network is bound by the larger of total compute and total traffic,
     # plus per-fusion scheduling overheads (one per recorded op).

@@ -127,6 +127,37 @@ def test_serving_engine_resnet_plan():
     assert plan.served == "dense-masked"
 
 
+def test_plan_resnet_serving_mixed_stage_modes():
+    """Per-stage dyn_mode (the reference's channel-channel-layer-layer
+    configs) gets a real per-stage-priced plan, not the no-ranking
+    fallback."""
+    plan = plan_resnet_serving(
+        "resnet101", dyn_mode=("channel", "channel", "layer", "layer"))
+    assert plan.mode == "dense-masked" and plan.exact
+    assert plan.ranking["dense-masked"] > plan.ranking["dense"]
+    # masker heads cost < 10% of the network
+    assert plan.predicted_speedup > 0.9
+    # a uniform sequence degrades to the full per-paradigm ranking
+    uni = plan_resnet_serving("resnet101", dyn_mode=("channel",) * 4)
+    assert uni.ranking.keys() == plan_resnet_serving(
+        "resnet101", dyn_mode="channel").ranking.keys()
+
+
+def test_serving_engine_mixed_dyn_mode_gets_ranked_plan():
+    from laudnet_tpu.models import LAUDResNet
+
+    m = LAUDResNet(layers=(3, 4, 23, 3), num_classes=10, input_size=64,
+                   dyn_mode=("channel", "channel", "layer", "layer"))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                               training=False))()
+    engine = ServingEngine(m, v)
+    plan = engine.calibrate([x])
+    assert plan.served == "dense-masked"
+    assert "dense-masked" in plan.ranking and "dense" in plan.ranking
+    assert plan.exact
+
+
 def test_serving_engine_resnet101_ranked_plan():
     """A real-geometry model gets a ranked plan priced at the MEASURED
     activation rate, and the engine reports the served path separately."""
