@@ -108,7 +108,10 @@ def main(argv=None):
     ap.add_argument("--hardware", default="v100",
                     choices=sorted(GPU_PRESETS) + sorted(TPU_PRESETS))
     ap.add_argument("--mode", default="all",
-                    choices=["static", "spatial", "channel", "layer", "all"])
+                    help="one of static/spatial/channel/layer/all, or a "
+                         "dash-separated per-stage list (the reference's "
+                         "--dyn_mode channel-channel-layer-layer configs; "
+                         "TPU hardware only)")
     ap.add_argument("--act-rate", type=float, default=1.0)
     ap.add_argument("--granularity", default="4-4-2-1",
                     help="per-stage spatial patch sizes, dash separated")
@@ -165,8 +168,25 @@ def main(argv=None):
     n_blocks = len(MODEL_GEOMETRY[args.model])
     rates = [args.act_rate] * n_blocks
 
-    modes = (["static", "spatial", "channel", "layer"]
-             if args.mode == "all" else [args.mode])
+    _MODES = ("static", "spatial", "channel", "layer", "pallas",
+              "channel_gather")
+    if "-" in args.mode:
+        # per-stage paradigm list, expanded to per-block like granularity
+        stage_modes = args.mode.split("-")
+        bad = [m for m in stage_modes if m not in _MODES]
+        if bad:
+            raise SystemExit(f"unknown mode(s) in per-stage list: {bad}")
+        if args.hardware in GPU_PRESETS:
+            raise SystemExit(
+                "per-stage --mode lists are supported on the TPU hardware "
+                "models only (the GPU predictor prices uniform paradigms)")
+        modes = [stage_list_to_blocks(args.model, stage_modes)]
+    elif args.mode == "all":
+        modes = ["static", "spatial", "channel", "layer"]
+    elif args.mode in _MODES:
+        modes = [args.mode]
+    else:
+        raise SystemExit(f"unknown --mode {args.mode!r}")
 
     if args.hardware in GPU_PRESETS:
         spec = GPU_PRESETS[args.hardware]
@@ -188,7 +208,8 @@ def main(argv=None):
           f"act_rate {args.act_rate}, granularity {args.granularity})")
     for m in modes:
         rep = run(m)
-        print(f"{m:8s}: {rep.latency * 1e3:8.3f} ms/batch "
+        label = args.mode if isinstance(m, list) else m
+        print(f"{label:8s}: {rep.latency * 1e3:8.3f} ms/batch "
               f"({rep.latency / bs * 1e3:7.4f} ms/img) "
               f"[compute {rep.compute_latency * 1e3:.3f} ms, "
               f"memory {rep.memory_latency * 1e3:.3f} ms]")
