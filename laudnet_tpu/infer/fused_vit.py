@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from laudnet_tpu.ops.pallas.vit_block import fused_vit_block
+from laudnet_tpu.ops.pallas.vit_block import (fused_vit_block,
+                                              fused_vit_block_int8)
+from laudnet_tpu.ops.quant import quantize_weight
 
 
 def _ln(x, p, eps=1e-6):
@@ -73,6 +75,7 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                     token_capacity: Optional[Sequence[float]] = None,
                     snap_capacities: bool = False,
                     head_gating: bool = False,
+                    int8: bool = False,
                     block_b: int = 1,
                     vmem_limit_bytes: Optional[int] = None,
                     interpret: bool = False):
@@ -90,8 +93,25 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
     eval-time per-head gates (``head_policy`` on the class token,
     ``on >= off`` — `models/laud_vit.py` head_skip) inside the kernel
     via lane-expanded multiplies, so head-gated models can serve the
-    block engine too."""
+    block engine too. ``int8`` serves the W8A8 variant
+    (`fused_vit_block_int8`): the four weight matmuls run s8 MXU (2x
+    bf16 peak) with per-channel weight scales quantized here at build
+    time and per-token dynamic activation scales on-chip; INEXACT
+    (quantization error) — callers opt in and should report agreement
+    vs the bf16 engine (`bench.py --int8` prints it)."""
     params = variables["params"]
+    qblocks = None
+    if int8:
+        qblocks = []
+        for i in range(depth):
+            blk = params[f"block_{i}"]
+            qb = {"ln1": blk["norm1"], "ln2": blk["norm2"]}
+            for name, src in (("qkv", "qkv"), ("proj", "proj"),
+                              ("fc1", "fc1"), ("fc2", "fc2")):
+                kq, ks = quantize_weight(blk[src]["kernel"])
+                qb[name] = {"kernel_q": kq, "scale": ks,
+                            "bias": blk[src]["bias"]}
+            qblocks.append(qb)
 
     def forward(x):
         p = params
@@ -135,16 +155,24 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                 hmask = (hl[:, 0] >= hl[:, 1]).astype(jnp.float32)
                 hg = jnp.repeat(hmask, dim // num_heads,
                                 axis=-1).reshape(b, 1, dim)
-            bp = {"ln1": blk["norm1"], "qkv": blk["qkv"],
-                  "proj": blk["proj"], "ln2": blk["norm2"],
-                  "fc1": blk["fc1"], "fc2": blk["fc2"]}
-            x = fused_vit_block(
-                x, token_mask.reshape(b, 1, cur),
-                token_mask.reshape(b, cur, 1), bp, num_heads=num_heads,
-                head_gate=hg,
-                block_b=block_b, vmem_limit_bytes=vmem_limit_bytes,
-                interpret=interpret,
-            )
+            if qblocks is not None:
+                x = fused_vit_block_int8(
+                    x, token_mask.reshape(b, 1, cur),
+                    token_mask.reshape(b, cur, 1), qblocks[i],
+                    num_heads=num_heads, head_gate=hg, block_b=block_b,
+                    vmem_limit_bytes=vmem_limit_bytes, interpret=interpret,
+                )
+            else:
+                bp = {"ln1": blk["norm1"], "qkv": blk["qkv"],
+                      "proj": blk["proj"], "ln2": blk["norm2"],
+                      "fc1": blk["fc1"], "fc2": blk["fc2"]}
+                x = fused_vit_block(
+                    x, token_mask.reshape(b, 1, cur),
+                    token_mask.reshape(b, cur, 1), bp, num_heads=num_heads,
+                    head_gate=hg,
+                    block_b=block_b, vmem_limit_bytes=vmem_limit_bytes,
+                    interpret=interpret,
+                )
         x = _ln(x, p["norm"])
         return (x[:, 0] @ p["head"]["kernel"].astype(x.dtype)
                 + p["head"]["bias"].astype(x.dtype))

@@ -53,6 +53,172 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + erf)
 
 
+def _qrows(x, eps=1e-6):
+    """In-kernel per-row dynamic symmetric int8 (`ops/quant.py` semantics,
+    inlined so it runs on the VPU over VMEM-resident rows)."""
+    a = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    s = jnp.maximum(a, eps) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def fused_vit_block_int8(x, key_mask, row_mask, qparams, *, num_heads: int,
+                         head_gate=None, ln_eps: float = 1e-6,
+                         block_b: int = 1, vmem_limit_bytes: int = None,
+                         interpret: bool = False):
+    """W8A8 fully fused ViT block: the four weight matmuls (qkv, proj,
+    fc1, fc2) run s8 x s8 -> s32 on the MXU (2x the bf16 peak on v5e),
+    with per-output-channel weight scales (baked at engine build,
+    `ops/quant.py::quantize_weight`) and per-token dynamic activation
+    scales computed on-chip right before each matmul. Attention itself
+    (scores, softmax, prob x V) stays bf16 — it is ~15% of the FLOPs and
+    softmax wants the f32 path anyway. LayerNorms, residuals, and GELU run
+    f32 exactly like the bf16 kernel, so the ONLY deviation from
+    `fused_vit_block` is the quantization of the weight-matmul operands.
+
+    ``qparams``: dict with ln1/ln2 (scale, bias) and qkv/proj/fc1/fc2 as
+    {"kernel_q": int8 (K, N), "scale": f32 (N,), "bias": (N,)}.
+    Same geometry requirements and batch-block policy as
+    `fused_vit_block`; int8 weights additionally HALVE the per-layer
+    weight DMA (DeiT-B: 7.1MB vs 14.2MB), so weights-dominated geometries
+    fit Mosaic's default scoped-VMEM limit again.
+    """
+    b, l, d = x.shape
+    dh = d // num_heads
+    assert num_heads % 2 == 0 and (2 * dh) % 128 == 0 and d % 128 == 0, (
+        "fused_vit_block_int8 needs 128-aligned head pairs"
+    )
+    hidden = qparams["fc1"]["kernel_q"].shape[1]
+    n_pairs = num_heads // 2
+    sm_scale = dh**-0.5
+    it = x.dtype.itemsize
+
+    def vmem_bytes(bb):
+        tok = bb * l
+        return (4 * tok * d * it                      # x in + out, dbl-buf
+                + tok * 3 * d * it                    # qkv buffer
+                + 2 * bb * l * l * 4                  # f32 score + prob
+                + 2 * tok * d * 4                     # f32 x2 + LN temp
+                + tok * max(d, hidden)                # int8 operand
+                + 2 * tok * d * it                    # attn concat + h2
+                + tok * (hidden + d) * 4              # mlp f32
+                + d * (3 * d + d + 2 * hidden)        # int8 weights
+                + (8 * d + hidden) * 4 + (5 * d + hidden) * 4)  # ln/scales
+
+    HEAD = 2 * 2**20
+    limit = vmem_limit_bytes or 16 * 2**20
+    bb = min(block_b, b)
+    while bb > 1 and (b % bb or vmem_bytes(bb) > limit - HEAD):
+        bb -= 1
+    if vmem_limit_bytes is None and vmem_bytes(bb) > limit - HEAD:
+        vmem_limit_bytes = min(100 * 2**20, vmem_bytes(bb) + 8 * 2**20)
+    grid = (b // bb,)
+
+    w = qparams
+    gated = head_gate is not None
+    args = [x, key_mask, row_mask]
+    if gated:
+        args.append(head_gate)
+    n_batched = len(args)
+    args += [
+        w["ln1"]["scale"].reshape(1, d), w["ln1"]["bias"].reshape(1, d),
+        w["qkv"]["kernel_q"], w["qkv"]["scale"].reshape(1, 3 * d),
+        w["qkv"]["bias"].reshape(1, 3 * d),
+        w["proj"]["kernel_q"], w["proj"]["scale"].reshape(1, d),
+        w["proj"]["bias"].reshape(1, d),
+        w["ln2"]["scale"].reshape(1, d), w["ln2"]["bias"].reshape(1, d),
+        w["fc1"]["kernel_q"], w["fc1"]["scale"].reshape(1, hidden),
+        w["fc1"]["bias"].reshape(1, hidden),
+        w["fc2"]["kernel_q"], w["fc2"]["scale"].reshape(1, d),
+        w["fc2"]["bias"].reshape(1, d),
+    ]
+
+    def spec_for(a, batched):
+        if batched:
+            return pl.BlockSpec((bb,) + a.shape[1:],
+                                lambda i: (i,) + (0,) * (a.ndim - 1),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec_for(a, k < n_batched) for k, a in enumerate(args)]
+
+    def qmm(xf, wq_ref, wscale_ref, bias_ref):
+        """f32 rows -> dynamic int8 -> s32 MXU matmul -> rank-1 dequant."""
+        xq, xs = _qrows(xf)
+        acc = jax.lax.dot_general(
+            xq, wq_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * xs
+                * wscale_ref[:].astype(jnp.float32)
+                + bias_ref[:].astype(jnp.float32))
+
+    bnums = (((2,), (2,)), ((0,), (0,)))
+    pv_nums = (((2,), (1,)), ((0,), (0,)))
+
+    def kernel(x_ref, kmask_ref, rmask_ref, *rest):
+        hg_ref = rest[0] if gated else None
+        (ln1s, ln1b, wqkv, sqkv, bqkv, wproj, sproj, bproj, ln2s, ln2b,
+         w1, s1, b1, w2, s2, b2, out_ref) = rest[1 if gated else 0:]
+        xin = x_ref[:]
+        cdt = xin.dtype
+        neg = (1.0 - kmask_ref[:].astype(jnp.float32)) * NEG
+        rmask = rmask_ref[:].astype(jnp.float32)
+
+        h1 = _ln(xin, ln1s[0], ln1b[0], ln_eps)  # f32 (bb, l, d)
+        qkv = qmm(h1.reshape(bb * l, d), wqkv, sqkv, bqkv).astype(cdt)
+        qkv = qkv.reshape(bb, l, 3 * d)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * dh), 2)
+        m_lo = (lane < dh).astype(cdt)
+        m_hi = (lane >= dh).astype(cdt)
+        outs = []
+        for hp in range(n_pairs):
+            off = 2 * dh * hp
+            q2 = qkv[:, :, off:off + 2 * dh]
+            k2 = qkv[:, :, d + off:d + off + 2 * dh]
+            v2 = qkv[:, :, 2 * d + off:2 * d + off + 2 * dh]
+            pair = None
+            for msk in (m_lo, m_hi):
+                s = jax.lax.dot_general(
+                    q2 * msk, k2, dimension_numbers=bnums,
+                    preferred_element_type=jnp.float32,
+                ) * sm_scale + neg
+                p = jax.nn.softmax(s, axis=-1)
+                o = jax.lax.dot_general(
+                    p.astype(cdt), v2 * msk, dimension_numbers=pv_nums,
+                    preferred_element_type=jnp.float32,
+                )
+                pair = o if pair is None else pair + o
+            outs.append(pair.astype(cdt))
+        attn = jnp.concatenate(outs, axis=-1)
+        if hg_ref is not None:
+            attn = attn * hg_ref[:].astype(cdt)
+
+        proj = qmm(attn.astype(jnp.float32).reshape(bb * l, d),
+                   wproj, sproj, bproj).reshape(bb, l, d)
+        x2 = xin.astype(jnp.float32) + proj * rmask
+
+        h2 = _ln(x2, ln2s[0], ln2b[0], ln_eps)
+        u = _gelu_exact(qmm(h2.reshape(bb * l, d), w1, s1, b1))
+        y = qmm(u, w2, s2, b2).reshape(bb, l, d)
+        out_ref[:] = (x2 + y * rmask).astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, l, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        compiler_params=(None if vmem_limit_bytes is None else
+                         pltpu.CompilerParams(
+                             vmem_limit_bytes=vmem_limit_bytes)),
+        interpret=interpret,
+    )(*args)
+
+
 def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
                     head_gate=None,
                     ln_eps: float = 1e-6, block_b: int = 1,
