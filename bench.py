@@ -232,6 +232,72 @@ def main_vit():
     print(json.dumps(out))
 
 
+def main_int8():
+    """W8A8 int8 serving (`build_fused_vit(int8=True)`): the four weight
+    matmuls per block run s8 x s8 -> s32 on the MXU (2x bf16 peak on
+    v5e), per-channel weight scales baked at build, per-token activation
+    scales on-chip. INEXACT by design — prints the measured top-1
+    agreement and relative logit error vs the exact bf16 engine on the
+    same batch as the honesty metric."""
+    from laudnet_tpu.infer.fused_vit import build_fused_vit
+    from laudnet_tpu.models import laud_deit_small
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH, SIZE, SIZE, 3)), DTYPE)
+    geom = dict(depth=12, dim=384, num_heads=6)
+
+    plain = laud_deit_small(token_skip=False, head_skip=False,
+                            layer_skip=False)
+    vp = _cast(
+        jax.jit(lambda: plain.init({"params": jax.random.PRNGKey(0)},
+                                   x.astype(jnp.float32), 1.0,
+                                   training=False))(),
+        DTYPE,
+    )
+    dense_bf16 = build_fused_vit(vp, **geom)
+    dense_int8 = build_fused_vit(vp, int8=True, **geom)
+    bf16_ips = _throughput(dense_bf16, x)
+    int8_ips = _throughput(dense_int8, x)
+
+    # honesty metric: agreement vs the exact engine on this batch
+    @jax.jit
+    def agree(x):
+        e = dense_bf16(x).astype(jnp.float32)
+        q = dense_int8(x).astype(jnp.float32)
+        top1 = jnp.mean((jnp.argmax(e, -1) == jnp.argmax(q, -1))
+                        .astype(jnp.float32))
+        rel = jnp.linalg.norm(q - e) / jnp.linalg.norm(e)
+        return top1, rel
+
+    top1, rel = (float(v) for v in agree(x))
+
+    base = laud_deit_small()
+    v = _cast(
+        jax.jit(lambda: base.init({"params": jax.random.PRNGKey(0)},
+                                  x.astype(jnp.float32), 1.0,
+                                  training=False))(),
+        DTYPE,
+    )
+    caps = (1.0, 1.0, 1.0) + (0.7,) * 4 + (0.5,) * 5
+    sel_int8 = _throughput(
+        build_fused_vit(v, token_capacity=caps, snap_capacities=True,
+                        int8=True, **geom), x)
+
+    out = {
+        "metric": ("images/sec/chip W8A8 int8 dense DeiT-S (fused block"
+                   " kernels, s8 MXU matmuls) vs bf16 dense, bs128"),
+        "value": round(int8_ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(int8_ips / bf16_ips, 4),
+        "bf16_dense_img_s": round(bf16_ips, 1),
+        "int8_snapped_select_img_s": round(sel_int8, 1),
+        "int8_snapped_select_vs_bf16_dense": round(sel_int8 / bf16_ips, 4),
+        "top1_agreement_vs_bf16": round(top1, 4),
+        "rel_logit_error_vs_bf16": round(rel, 4),
+    }
+    print(json.dumps(out))
+
+
 def main_resnet():
     from laudnet_tpu.models import resnet101, uni_resnet101
 
@@ -705,6 +771,8 @@ def main():
         main_t2t()  # the paper's own ViT family (T2T-ViT-19)
     elif "--deit-b" in sys.argv:
         main_deit_b()  # width-scaling point (dim 768)
+    elif "--int8" in sys.argv:
+        main_int8()  # W8A8 quantized serving + agreement honesty metric
     else:
         main_vit()  # HEADLINE: honest-dynamic token selection
 

@@ -93,6 +93,9 @@ class TPUSpec:
     sustained_frac: float = 0.70
     mxu_dim: int = 128
     batch_size: int = 128
+    # s8 x s8 -> s32 MXU rate; 0.0 means "derive as 2x bf16" (the v5e/v5p
+    # MXU doubles its per-cycle MACs at int8)
+    peak_int8: float = 0.0
     # Per-DMA issue cost for dynamically-indexed Pallas window copies
     # (measured on v5e: total kernel time tracks 3 * B * K DMAs at ~0.27 us
     # each regardless of patches-per-step or double buffering).

@@ -306,14 +306,22 @@ class TPUPredictor:
         )
 
     def fused_block(self, l: int, dim: int, heads: int,
-                    mlp_ratio: float) -> SimulationReport:
+                    mlp_ratio: float, int8: bool = False
+                    ) -> SimulationReport:
         """The fully fused transformer block kernel
         (`ops/pallas/vit_block.py`): per layer, HBM touches only x
         in/out + one weight fetch; LN/softmax/gelu run on the VPU in
         VMEM. VPU time ADDS to MXU time (Mosaic serializes the dependent
         LN -> matmul -> softmax chain; the additive form lands all three
         block-engine anchors within ~3%, an overlap model under-prices
-        every one)."""
+        every one).
+
+        ``int8`` prices the W8A8 variant (`fused_vit_block_int8`): the
+        four weight matmuls run at the s8 MXU rate (``peak_int8``, 2x
+        bf16 when unset) with per-row quantize (~5 VPU ops/operand elem)
+        and rank-1 dequantize (~3 ops/output elem) passes added, and the
+        weight DMA halved; attention stays bf16. STRUCTURAL pricing —
+        not yet calibrated against measured int8 anchors."""
         s = self.spec
         b = s.batch_size
         dh = dim // heads
@@ -334,13 +342,23 @@ class TPUPredictor:
         # fit: ~0.85 at K=384/DeiT-S, ~0.95 at K=768/DeiT-B — deeper
         # accumulation chains hide more pipeline bubbles)
         mm_eff = min(0.97, max(0.75, 0.75 + 0.1 * math.log2(dim / 192)))
-        mxu = (mm_flops / (peak * mm_eff)
+        mm_peak = peak
+        w_bytes = self.dtype_bytes
+        if int8:
+            mm_peak = s.peak_int8 or 2.0 * s.peak_bf16
+            w_bytes = 1
+        mxu = (mm_flops / (mm_peak * mm_eff)
                + attn_flops / (peak * s.sustained_frac))
         vpu_ops = (6.0 * b * heads * l_sub * l_lane  # softmax
                    + 2 * 6.0 * rows * dim        # two LayerNorms
                    + 8.0 * rows * hidden)        # gelu
+        if int8:
+            # per-row operand quantize (abs/max-reduce/div/round/clip) and
+            # rank-1 dequantize + bias on every matmul output
+            vpu_ops += (5.0 * rows * (3 * dim + hidden)
+                        + 3.0 * rows * (5 * dim + hidden))
         vpu = vpu_ops / self.spec.vpu_flops  # serial with the MXU chain
-        weights = dim * (3 * dim + dim + 2 * hidden) * self.dtype_bytes
+        weights = dim * (3 * dim + dim + 2 * hidden) * w_bytes
         mem = (2 * rows * dim * self.dtype_bytes + weights) \
             / s.mem_bandwidth
         # per-grid-step boundary at the kernel's batch-block 1 (the
@@ -358,7 +376,7 @@ class TPUPredictor:
         return SimulationReport(
             latency=mxu + vpu + mem + s.fusion_overhead + boundary,
             compute_latency=mxu + vpu, memory_latency=mem,
-            cfg=[dict(op="fused_block", l=l, dim=dim)],
+            cfg=[dict(op="fused_block", l=l, dim=dim, int8=int8)],
         )
 
     def token_select(self, l_from: int, l_to: int, d: int) -> SimulationReport:
@@ -433,6 +451,7 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
                     token_capacity: Optional[Sequence[float]] = None,
                     fused_attention: bool = False,
                     fused_block: bool = False,
+                    int8: bool = False,
                     ) -> SimulationReport:
     """LAUD-ViT serving latency on TPU (the op set `models/laud_vit.py`
     actually executes; VERDICT r1 missing #5).
@@ -449,10 +468,15 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
         only the policy heads add cost. The model predicting ~1.0x here IS
         the finding (these paradigms don't pay off on TPU under batching).
 
+    ``int8`` prices the W8A8 block engine (requires ``fused_block``).
+
     Aggregation is the SUM of per-op latencies: unlike the CNN conv stack,
     the transformer alternates MXU matmuls with HBM/VPU-bound softmax and
     layernorm phases that XLA cannot overlap across the dependency chain.
     """
+    if int8 and not fused_block:
+        raise ValueError("int8 pricing requires fused_block=True "
+                         "(the W8A8 path is the block engine)")
     n = (input_size // patch_size) ** 2
     b = p.spec.batch_size
     # patch embed: XLA lowers the stride==kernel patchify conv to a
@@ -474,7 +498,8 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
                 # head policy runs on the class token only (b rows); the
                 # gate itself is a lane-expanded multiply inside the kernel
                 total = total + p.matmul(b, dim, 2 * num_heads)
-            total = total + p.fused_block(l, dim, num_heads, mlp_ratio)
+            total = total + p.fused_block(l, dim, num_heads, mlp_ratio,
+                                          int8=int8)
         else:
             total = total + tpu_vit_block(
                 p, l, dim, num_heads, mlp_ratio,
