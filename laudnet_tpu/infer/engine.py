@@ -99,7 +99,7 @@ class ServingEngine:
                 and model.dim % 128 == 0
                 and (2 * model.dim // model.num_heads) % 128 == 0)
 
-    def _compile(self, model) -> Callable:
+    def _compile(self, model, int8: bool = False) -> Callable:
         if self._block_engine_ok(model):
             from laudnet_tpu.infer.fused_vit import build_fused_vit
 
@@ -109,7 +109,9 @@ class ServingEngine:
                 token_capacity=model.token_capacity,
                 snap_capacities=self.snap_capacities,
                 head_gating=getattr(model, "head_skip", False),
+                int8=int8,
             ))
+        assert not int8, "int8 serving requires the block engine"
         # otherwise ViTs serve the fused attention kernel on TPU
         # (numerically equivalent; `ops/pallas/vit_attention.py`)
         if (self._kind == "vit" and hasattr(model, "attn_impl")
@@ -126,14 +128,21 @@ class ServingEngine:
 
     def calibrate(self, batches: Iterable, *, quantile: float = 0.99,
                   margin: float = 0.05,
-                  allow_static_export: bool = False):
+                  allow_static_export: bool = False,
+                  allow_int8: bool = False):
         """Measure the policy on ``batches`` and rank execution paths on
         the TPU latency model. For ViTs the winner is compiled (token
         selection or dense-masked); for CNNs the engine keeps serving the
         exact dense-masked graph and the ranking — priced at the measured
         activation rate — is a recommendation (``plan.served`` names the
         compiled path, ``plan.mode`` the recommended one). Returns the
-        :class:`~laudnet_tpu.sim.plan.ExecutionPlan`."""
+        :class:`~laudnet_tpu.sim.plan.ExecutionPlan`.
+
+        ``allow_int8`` lets the plan CHOOSE the W8A8 block-engine
+        variants (always ranked when the block engine prices): inexact —
+        quantization error, ``plan.exact`` flips False — so it is opt-in
+        like ``allow_static_export``; report agreement vs the exact
+        engine (``bench.py --int8`` shows how)."""
         from laudnet_tpu.sim.plan import plan_resnet_serving, plan_vit_serving
 
         if self._kind == "vit":
@@ -163,6 +172,7 @@ class ServingEngine:
                 fused_attention=on_tpu and not block,
                 fused_block=on_tpu and block,
                 snap_capacities=self.snap_capacities,
+                allow_int8=allow_int8 and on_tpu and block,
                 # the no-selection alternative the engine would actually
                 # serve: the token-gated masked graph for token_skip
                 # models, the head-gated graph for head-only gating
@@ -170,12 +180,23 @@ class ServingEngine:
                             else "head" if getattr(m, "head_skip", False)
                             else "dense"),
             )
-            if self.plan.mode in ("token", "token-snapped"):
+            int8 = self.plan.mode.endswith("-int8")
+            eff_mode = (self.plan.mode[:-len("-int8")] if int8
+                        else self.plan.mode)
+            if eff_mode in ("token", "token-snapped"):
                 # token-snapped capacities arrive pre-snapped from the
                 # plan; snap_capacity_to_tiles is idempotent, so the
                 # engine's snap flag composes harmlessly
                 select = m.clone(token_capacity=self.plan.token_capacity)
-                self._fwd = self._compile(select)
+                self._fwd = self._compile(select, int8=int8)
+                self.plan.served = self.plan.mode
+            elif int8:
+                # dense-int8: the block engine at full capacity with
+                # quantized matmuls (gates still multiply inside the
+                # kernel for token-gated models)
+                self._fwd = self._compile(
+                    m.clone(token_capacity=(1.0,) * m.depth)
+                    if getattr(m, "token_skip", False) else m, int8=True)
                 self.plan.served = self.plan.mode
             elif getattr(m, "token_skip", False):
                 # "dense" for a token-gated model means NO selection, not

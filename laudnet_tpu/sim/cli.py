@@ -124,6 +124,10 @@ def main(argv=None):
                     help="with --plan: allow the plan to CHOOSE the "
                          "lane-snapped budget variant (it is always "
                          "priced in the ranking)")
+    ap.add_argument("--int8", action="store_true",
+                    help="with --plan: allow the plan to CHOOSE the W8A8 "
+                         "block-engine variants (always priced when the "
+                         "block engine ranks; inexact — quantization)")
     args = ap.parse_args(argv)
 
     if args.plan is not None:
@@ -144,7 +148,7 @@ def main(argv=None):
             spec=args.hardware if args.hardware in TPU_PRESETS else "v5e",
             batch_size=args.batch_size or 128,
             fused_block=block_ok, fused_attention=not block_ok,
-            snap_capacities=args.snap,
+            snap_capacities=args.snap, allow_int8=args.int8,
         )
         print(f"# {args.model} serving plan ({args.hardware})")
         print(f"mode     : {plan.mode}")

@@ -81,6 +81,7 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
                      fused_attention: bool = False,
                      fused_block: bool = False,
                      snap_capacities: bool = False,
+                     allow_int8: bool = False,
                      dense_mode: str = "mask") -> ExecutionPlan:
     """Build the serving plan from calibrated per-block keep fractions
     (`infer.calibrate.calibrate_token_capacity` output).
@@ -100,6 +101,13 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
     quantization term is what makes it faster) — but it is only CHOSEN
     when ``snap_capacities`` opts in, because it keeps slightly fewer
     tokens than calibration asked for.
+
+    When the block engine is priced (``fused_block``), the W8A8 int8
+    variants (``dense-int8`` / ``token-int8`` / ``token-snapped-int8``,
+    `fused_vit_block_int8`) are always RANKED; they are only CHOSEN when
+    ``allow_int8`` opts in, because quantization is inexact (the plan's
+    ``exact`` flips False) — same contract as static export on the CNN
+    side.
     """
     if isinstance(spec, str):
         spec = TPU_PRESETS[spec]
@@ -139,6 +147,20 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
             fused_attention=fused_attention,
             fused_block=fused_block).latency
 
+    if fused_block:
+        geo = dict(depth=depth, dim=dim, num_heads=num_heads,
+                   mlp_ratio=mlp_ratio, input_size=input_size,
+                   patch_size=patch_size)
+        ranking["dense-int8"] = tpu_predict_vit(
+            p, mode="dense", fused_block=True, int8=True, **geo).latency
+        ranking["token-int8"] = tpu_predict_vit(
+            p, mode="token", token_capacity=caps, fused_block=True,
+            int8=True, **geo).latency
+        if snapped != caps:
+            ranking["token-snapped-int8"] = tpu_predict_vit(
+                p, mode="token", token_capacity=snapped, fused_block=True,
+                int8=True, **geo).latency
+
     dense = ranking["dense"]
     served_dense = ranking.get(dense_mode, dense)
     token = ranking.get("token", served_dense)
@@ -148,11 +170,21 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
     chosen_caps = caps
     if snap_capacities and snap_lat < chosen:
         mode, chosen, chosen_caps = "token-snapped", snap_lat, snapped
+    exact = True
+    if allow_int8 and fused_block:
+        int8_cands = [("dense-int8", None), ("token-int8", caps)]
+        if snap_capacities and "token-snapped-int8" in ranking:
+            int8_cands.append(("token-snapped-int8", snapped))
+        for name, c in int8_cands:
+            if ranking[name] < chosen:
+                mode, chosen, chosen_caps, exact = (
+                    name, ranking[name], c, False)
     return ExecutionPlan(
         kind="vit", mode=mode,
-        token_capacity=chosen_caps if mode != "dense" else None,
+        token_capacity=(chosen_caps
+                        if mode not in ("dense", "dense-int8") else None),
         predicted_latency=chosen, dense_latency=dense,
-        predicted_speedup=dense / chosen, ranking=ranking, exact=True,
+        predicted_speedup=dense / chosen, ranking=ranking, exact=exact,
     )
 
 

@@ -127,6 +127,33 @@ def test_serving_engine_resnet_plan():
     assert plan.served == "dense-masked"
 
 
+def test_plan_vit_int8_opt_in():
+    """int8 variants are always RANKED when the block engine prices, but
+    CHOSEN only on allow_int8 (inexact -> plan.exact False); dense-int8
+    carries no token_capacity."""
+    from laudnet_tpu.sim.plan import plan_vit_serving
+
+    keeps = (1.0,) * 3 + (0.7,) * 4 + (0.5,) * 5
+    base = plan_vit_serving(keeps, fused_block=True)
+    assert {"dense-int8", "token-int8"} <= base.ranking.keys()
+    assert base.exact and not base.mode.endswith("-int8")
+
+    q = plan_vit_serving(keeps, fused_block=True, allow_int8=True)
+    assert q.mode.endswith("-int8") and not q.exact
+    assert q.ranking[q.mode] < base.ranking[base.mode]
+
+    qd = plan_vit_serving((1.0,) * 12, fused_block=True, allow_int8=True)
+    assert qd.mode == "dense-int8" and qd.token_capacity is None
+
+    # snapped-int8 needs BOTH opt-ins
+    snap = plan_vit_serving(keeps, fused_block=True, allow_int8=True,
+                            snap_capacities=True)
+    assert snap.mode == "token-snapped-int8"
+    # without the block engine there is nothing to quantize
+    attn = plan_vit_serving(keeps, fused_attention=True, allow_int8=True)
+    assert "dense-int8" not in attn.ranking and attn.exact
+
+
 def test_plan_resnet_serving_mixed_stage_modes():
     """Per-stage dyn_mode (the reference's channel-channel-layer-layer
     configs) gets a real per-stage-priced plan, not the no-ranking
