@@ -238,7 +238,8 @@ class ServingEngine:
             act_rate = float(sum(rates) / len(rates)) if rates else 1.0
 
             depth_map = {16: "resnet50", 33: "resnet101"}
-            name = depth_map.get(sum(self.model.layers))
+            layers = getattr(self.model, "layers", None)  # RegNets: None
+            name = depth_map.get(sum(layers)) if layers else None
             if name is None:
                 # no analytic geometry for this depth: serve dense-masked,
                 # return an honest no-ranking plan instead of pricing the

@@ -170,6 +170,31 @@ def test_plan_resnet_serving_mixed_stage_modes():
         "resnet101", dyn_mode="channel").ranking.keys()
 
 
+def test_serving_engine_regnet_no_ranking_plan():
+    """A LAUD-RegNet (no `.layers`, no analytic TPU geometry for its
+    widths) serves dense-masked with the honest no-ranking plan instead
+    of crashing or pricing a wrong network."""
+    from laudnet_tpu.models.laud_regnet import LAUDRegNet, RegNetParams
+
+    p = RegNetParams(depths=(1, 1), widths=(24, 56), group_widths=(8, 8),
+                     bottleneck_multipliers=(1.0, 1.0), se_ratio=0.25)
+    m = LAUDRegNet(params_cfg=p, num_classes=10,
+                   dyn_mode=("channel", "channel"),
+                   spatial_mask_channel_group=(1, 1),
+                   mask_spatial_granularity=(1, 1),
+                   channel_dyn_granularity=(1, 1),
+                   channel_masker=("MLP", "MLP"),
+                   channel_masker_layers=(1, 1),
+                   reduction_ratio=(16, 16))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                               training=False))()
+    engine = ServingEngine(m, v)
+    plan = engine.calibrate([x])
+    assert plan.served == "dense-masked" and plan.ranking == {}
+    assert engine(x).shape == (1, 10)
+
+
 def test_serving_engine_mixed_dyn_mode_gets_ranked_plan():
     from laudnet_tpu.models import LAUDResNet
 
