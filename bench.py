@@ -143,7 +143,7 @@ def main_r101_target05():
         lambda: dense.init({"params": jax.random.PRNGKey(0)}, x32,
                            training=False))()), DTYPE)
     dense_ips = _throughput(lambda x: dense.apply(dv, x, training=False), x)
-    print(json.dumps({
+    out = {
         "metric": ("images/sec/chip LAUD-ResNet101 channel-2222 target-0.5 "
                    "(calibrated static export) vs dense ResNet-101, bs128 "
                    "bf16; fidelity = held-out per-image mask agreement"),
@@ -153,7 +153,31 @@ def main_r101_target05():
         "static_keep": round(static_keep, 4),
         "calibration_agreement": round(fid["mean_agreement"], 4),
         "calibration_coverage": round(fid["mean_coverage"], 4),
-    }))
+    }
+    import sys
+
+    if "--int8" in sys.argv:
+        # W8A8 on top of the export; logit agreement vs the float export
+        # on the same batch is the additional honesty metric
+        qfwd = export_pruned_resnet(vb, masks, layers=(3, 4, 23, 3),
+                                    channel_dyn_granularity=(2, 2, 2, 2),
+                                    input_size=SIZE, int8=True)
+        out["int8_export_img_s"] = round(_throughput(qfwd, x), 1)
+        out["int8_export_vs_dense"] = round(
+            out["int8_export_img_s"] / dense_ips, 4)
+
+        @jax.jit
+        def agree(x):
+            a = fwd(x).astype(jnp.float32)
+            b = qfwd(x).astype(jnp.float32)
+            top1 = jnp.mean((jnp.argmax(a, -1) == jnp.argmax(b, -1))
+                            .astype(jnp.float32))
+            return top1, jnp.linalg.norm(b - a) / jnp.linalg.norm(a)
+
+        t1, rel = (float(u) for u in agree(x))
+        out["int8_top1_agreement_vs_fp_export"] = round(t1, 4)
+        out["int8_rel_logit_error"] = round(rel, 4)
+    print(json.dumps(out))
 
 
 def main_vit():

@@ -46,15 +46,48 @@ def _conv(x, k, stride=1, padding=0):
     )
 
 
+def _quant_kernel(k, eps=1e-8):
+    """Per-output-channel symmetric int8 for an HWIO conv kernel (last
+    axis = cout). Returns (int8 kernel, f32 per-cout scale)."""
+    kf = k.astype(jnp.float32)
+    a = jnp.max(jnp.abs(kf), axis=tuple(range(k.ndim - 1)))
+    s = jnp.maximum(a, eps) / 127.0
+    q = jnp.clip(jnp.round(kf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _qconv(x, kq, stride=1, padding=0):
+    """W8A8 conv: per-tensor dynamic activation scale, s8 x s8 -> s32 on
+    the MXU, dequant by the activation scale only (the per-cout weight
+    scale is folded into the following BN affine). Returns x.dtype."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = lax.conv_general_dilated(
+        xq, kq, (stride, stride), [(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * xs).astype(x.dtype)
+
+
 def export_pruned_resnet(variables, block_masks: Sequence[np.ndarray],
                          layers: Sequence[int] = (3, 4, 23, 3),
                          channel_dyn_granularity: Sequence[int] = (2, 2, 2, 2),
-                         input_size: int = 224):
+                         input_size: int = 224, int8: bool = False):
     """Build ``forward(x) -> logits`` from a channel-mode LAUD-ResNet.
 
     ``block_masks``: one 0/1 group-mask per block (raster order), each of
     length ``width // granularity``; at least one group must be kept per
     block. Returns a jit-compatible closure over the pruned weights.
+
+    ``int8`` additionally quantizes every conv W8A8 (`ops/quant.py`
+    scheme: per-output-channel weight scales — folded into the BN affine
+    so the runtime dequant is the activation scale only — and per-tensor
+    dynamic activation scales; the s8 MXU runs at 2x the bf16 peak). A
+    second approximation on top of the frozen policy: re-validate
+    accuracy, `bench.py --r101-static --int8` prints the measured logit
+    agreement.
     """
     params = variables["params"]
     stats = variables["batch_stats"]
@@ -130,9 +163,35 @@ def export_pruned_resnet(variables, block_masks: Sequence[np.ndarray],
     a_stem, b_stem = _bn_affine(params["bn1"], stats["bn1"])
     stem_k = params["conv1"]["kernel"]
     fc = params["fc"]
+    fc_k, fc_b = fc["kernel"], fc["bias"]
+
+    conv = _conv
+    if int8:
+        # quantize every kernel; fold the per-cout weight scale into the
+        # multiplier that already follows each conv (BN affine / fc scale)
+        conv = _qconv
+        for blk in pruned:
+            blk["w1"], s1 = _quant_kernel(blk["w1"])
+            blk["a1"] = blk["a1"] * s1
+            blk["w2"], s2 = _quant_kernel(blk["w2"])
+            blk["a2"] = blk["a2"] * s2
+            # bias_map2 is added AFTER the a2 multiply, so it needs no
+            # rescale; w3 is stored (Cin, Co) — quantize as 1x1 HWIO
+            w3q, s3 = _quant_kernel(blk["w3"][None, None])
+            blk["w3"] = w3q[0, 0]
+            blk["a3"] = blk["a3"] * s3
+            if blk["ds"] is not None:
+                blk["ds"]["w"], sd = _quant_kernel(blk["ds"]["w"])
+                da, db = blk["ds"]["ab"]
+                blk["ds"]["ab"] = (da * sd, db)
+        stem_k, ss = _quant_kernel(stem_k)
+        a_stem = a_stem * ss
+        from laudnet_tpu.ops.quant import quantize_weight
+
+        fc_q, fc_s = quantize_weight(fc_k)
 
     def forward(x):
-        h = _conv(x, stem_k, stride=2, padding=3) * a_stem + b_stem
+        h = conv(x, stem_k, stride=2, padding=3) * a_stem + b_stem
         h = jnp.maximum(h, 0.0)
         h = lax.reduce_window(h, jnp.asarray(-jnp.inf, h.dtype), lax.max, (1, 3, 3, 1),
                               (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -140,14 +199,18 @@ def export_pruned_resnet(variables, block_masks: Sequence[np.ndarray],
             identity = h
             if blk["ds"] is not None:
                 da, db = blk["ds"]["ab"]
-                identity = _conv(h, blk["ds"]["w"],
-                                 stride=blk["stride"]) * da + db
-            y = jnp.maximum(_conv(h, blk["w1"]) * blk["a1"] + blk["b1"], 0.0)
-            y = _conv(y, blk["w2"], stride=blk["stride"], padding=1)
+                identity = conv(h, blk["ds"]["w"],
+                                stride=blk["stride"]) * da + db
+            y = jnp.maximum(conv(h, blk["w1"]) * blk["a1"] + blk["b1"], 0.0)
+            y = conv(y, blk["w2"], stride=blk["stride"], padding=1)
             y = jnp.maximum(y * blk["a2"] + blk["b2"] + blk["bias_map2"], 0.0)
-            y = _conv(y, blk["w3"][None, None]) * blk["a3"] + blk["b3"]
+            y = conv(y, blk["w3"][None, None]) * blk["a3"] + blk["b3"]
             h = jnp.maximum(y + identity, 0.0)
         pooled = h.mean(axis=(1, 2))
-        return pooled @ fc["kernel"] + fc["bias"]
+        if int8:
+            from laudnet_tpu.ops.quant import int8_linear
+
+            return int8_linear(pooled, fc_q, fc_s, fc_b).astype(pooled.dtype)
+        return pooled @ fc_k + fc_b
 
     return forward

@@ -55,6 +55,41 @@ def test_export_matches_dynamic_model_for_fixed_masks():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_int8_export_close_to_float_export():
+    """W8A8 export (`export_pruned_resnet(int8=True)`): logits stay close
+    to the float export and preserve argmax — the second approximation
+    layer on top of the frozen policy, with its error bounded here."""
+    layers = (1, 1, 1, 1)
+    gran = (2, 2, 2, 2)
+    model = laud_resnet.LAUDResNet(
+        layers=layers, num_classes=10, input_size=64,
+        dyn_mode=("channel",) * 4,
+        channel_dyn_granularity=gran,
+        channel_masker=("MLP",) * 4, channel_masker_layers=(1, 1, 1, 1),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                           training=False)
+    params = jax.device_get(variables["params"])
+    rng = np.random.default_rng(5)
+    masks = []
+    for scope in [s for s in sorted(params) if s.startswith("layer")]:
+        g = params[scope]["masker_channel"]["fc"]["bias"].shape[0] // 2
+        m = (rng.random(g) > 0.4).astype(np.float32)
+        m[0] = 1.0
+        masks.append(m)
+
+    f32 = jax.jit(export_pruned_resnet(
+        variables, masks, layers=layers, channel_dyn_granularity=gran,
+        input_size=64))(x)
+    q = jax.jit(export_pruned_resnet(
+        variables, masks, layers=layers, channel_dyn_granularity=gran,
+        input_size=64, int8=True))(x)
+    rel = float(jnp.linalg.norm(q - f32) / jnp.linalg.norm(f32))
+    assert rel < 0.06, rel
+    assert (jnp.argmax(q, -1) == jnp.argmax(f32, -1)).all()
+
+
 def test_calibrate_channel_masks():
     from laudnet_tpu.infer import calibrate_channel_masks
 
