@@ -419,7 +419,7 @@ def main_t2t():
         lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
                               training=False).logits, x
     )
-    print(json.dumps({
+    out = {
         "metric": ("images/sec/chip LAUD-T2T-ViT-19 token-select "
                    "(caps 1.0x3/0.7x5/0.5x6) vs dense trunk, bs128 "
                    "bf16, fused attention"),
@@ -428,7 +428,42 @@ def main_t2t():
         "vs_baseline": round(laud_ips / dense_ips, 4),
         "snapped_img_s": round(snap_ips, 1),
         "snapped_vs_baseline": round(snap_ips / dense_ips, 4),
-    }))
+    }
+    import sys
+
+    if "--int8" in sys.argv:
+        # W8A8 body matmuls via linear_impl='int8' (QuantDense) — the
+        # int8 path for this odd-head geometry (no block kernel); logit
+        # agreement vs the bf16 graph is the honesty metric
+        qsnap = laud_t2t_vit_19_backbone(token_capacity=snap_caps,
+                                         attn_impl="fused",
+                                         linear_impl="int8")
+        out["int8_snapped_img_s"] = round(_throughput(
+            lambda x: qsnap.apply(v, x, jnp.asarray(0.1, DTYPE),
+                                  training=False).logits, x), 1)
+        out["int8_snapped_vs_baseline"] = round(
+            out["int8_snapped_img_s"] / dense_ips, 4)
+        qdense = laud_t2t_vit_19_backbone(
+            token_skip=False, head_skip=False, layer_skip=False,
+            attn_impl="fused", linear_impl="int8")
+        out["int8_dense_img_s"] = round(_throughput(
+            lambda x: qdense.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                                   training=False).logits, x), 1)
+
+        @jax.jit
+        def agree(x):
+            a = plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                            training=False).logits.astype(jnp.float32)
+            b = qdense.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                             training=False).logits.astype(jnp.float32)
+            top1 = jnp.mean((jnp.argmax(a, -1) == jnp.argmax(b, -1))
+                            .astype(jnp.float32))
+            return top1, jnp.linalg.norm(b - a) / jnp.linalg.norm(a)
+
+        t1, rel = (float(u) for u in agree(x))
+        out["int8_top1_agreement_vs_bf16"] = round(t1, 4)
+        out["int8_rel_logit_error"] = round(rel, 4)
+    print(json.dumps(out))
 
 
 def main_deit_b():

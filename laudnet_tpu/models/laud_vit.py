@@ -82,6 +82,11 @@ class LAUDViTBlock(nn.Module):
     # 'fused' = the qkv-direct Pallas kernel
     # (`ops/pallas/vit_attention.py`) — same semantics, one VMEM pass.
     attn_impl: str = "reference"
+    # 'dense' = bf16/f32 matmuls; 'int8' = W8A8 qkv/proj/fc1/fc2 at EVAL
+    # (`ops/quant.py::QuantDense`, checkpoint-compatible params) — the
+    # int8 serving path for geometries the fused block kernel cannot
+    # take (odd heads: T2T's 7). Training always runs dense math.
+    linear_impl: str = "dense"
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -175,9 +180,21 @@ class LAUDViTBlock(nn.Module):
             token_score = token_score[bidx, idx]
             l = self.capacity
 
+        # body matmuls: nn.Dense, or the checkpoint-compatible W8A8
+        # QuantDense at eval when linear_impl='int8' (policy heads and
+        # norms always stay float)
+        if self.linear_impl == "int8" and not training:
+            from laudnet_tpu.ops.quant import QuantDense
+
+            mk_dense = lambda f, name: QuantDense(
+                f, name=name, param_dtype=self.param_dtype)
+        else:
+            mk_dense = lambda f, name: nn.Dense(
+                f, name=name, param_dtype=self.param_dtype)
+
         # --- attention branch -------------------------------------------
         y = nn.LayerNorm(name="norm1", param_dtype=self.param_dtype)(x)
-        qkv = nn.Dense(3 * d, name="qkv", param_dtype=self.param_dtype)(y)
+        qkv = mk_dense(3 * d, "qkv")(y)
         scale = dh**-0.5
         if self.attn_impl == "fused":
             from laudnet_tpu.ops.pallas.vit_attention import (
@@ -204,7 +221,7 @@ class LAUDViTBlock(nn.Module):
             if head_mask is not None:
                 out = out * head_mask[:, :, None, None]
             out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
-        out = nn.Dense(d, name="proj", param_dtype=self.param_dtype)(out)
+        out = mk_dense(d, "proj")(out)
         out = out * token_mask[:, :, None]  # skipped tokens don't update
         if attn_gate is not None:
             out = out * attn_gate[:, None, None]
@@ -212,9 +229,9 @@ class LAUDViTBlock(nn.Module):
 
         # --- MLP branch ----------------------------------------------------
         y = nn.LayerNorm(name="norm2", param_dtype=self.param_dtype)(x)
-        y = nn.Dense(hidden, name="fc1", param_dtype=self.param_dtype)(y)
+        y = mk_dense(hidden, "fc1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(d, name="fc2", param_dtype=self.param_dtype)(y)
+        y = mk_dense(d, "fc2")(y)
         y = y * token_mask[:, :, None]
         if mlp_gate is not None:
             y = y * mlp_gate[:, None, None]
@@ -282,6 +299,10 @@ class LAUDViT(nn.Module):
     # Pallas kernel, `ops/pallas/vit_attention.py`) — numerically
     # equivalent; fused is the TPU serving path
     attn_impl: str = "reference"
+    # 'dense' | 'int8': W8A8 body matmuls at eval (`ops/quant.py`),
+    # checkpoint-compatible — the int8 path for fused-attention-only
+    # geometries (T2T's odd heads); INEXACT, validate accuracy
+    linear_impl: str = "dense"
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -335,6 +356,7 @@ class LAUDViT(nn.Module):
                 mlp_ratio=self.mlp_ratio, token_skip=self.token_skip,
                 head_skip=self.head_skip, layer_skip=self.layer_skip,
                 capacity=cap, book_len=n + 1, attn_impl=self.attn_impl,
+                linear_impl=self.linear_impl,
                 name=f"block_{i}", param_dtype=self.param_dtype,
             )(x, token_mask, temperature, training=training)
             stats_all.append(st)

@@ -54,6 +54,39 @@ def quantize_rows(x: jax.Array, eps: float = 1e-6):
     return q.astype(jnp.int8), scale
 
 
+class QuantDense:
+    """Drop-in W8A8 replacement for ``nn.Dense`` (same param names/inits,
+    so trained bf16/f32 checkpoints load unchanged). Weights are
+    quantized per-output-channel inside the traced function — constants
+    under jit, so XLA folds the quantization at compile time; the runtime
+    work is the per-row activation quant + s8 matmul + rank-1 dequant.
+
+    Used by `models/laud_vit.py` ``linear_impl='int8'`` — the int8 path
+    for geometries the fused block kernel cannot take (odd heads: T2T's
+    7). Instantiated lazily to keep this module flax-free for kernels.
+    """
+
+    def __new__(cls, features: int, *, name=None, param_dtype=jnp.float32):
+        import flax.linen as nn
+
+        class _QuantDense(nn.Module):
+            features: int
+            param_dtype: object = jnp.float32
+
+            @nn.compact
+            def __call__(self, x):
+                k = self.param(
+                    "kernel", nn.initializers.lecun_normal(),
+                    (x.shape[-1], self.features), self.param_dtype)
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.features,), self.param_dtype)
+                kq, ks = quantize_weight(k)
+                return int8_linear(x, kq, ks, b).astype(x.dtype)
+
+        return _QuantDense(features=features, name=name,
+                           param_dtype=param_dtype)
+
+
 def int8_linear(x: jax.Array, wq: jax.Array, wscale: jax.Array,
                 bias=None) -> jax.Array:
     """W8A8 linear: dynamic per-row activation quant, s32 accumulation,

@@ -140,6 +140,37 @@ def test_int8_fused_vit_close_to_bf16_engine():
     assert (jnp.argmax(q, -1) == jnp.argmax(exact, -1)).all()
 
 
+def test_linear_impl_int8_checkpoint_compatible():
+    """`LAUDViT(linear_impl='int8')` loads the SAME variables as the dense
+    model (QuantDense mirrors nn.Dense param names/inits), quantizes only
+    at eval, and stays close to dense logits — the int8 path for
+    fused-attention-only geometries (T2T's odd 7 heads)."""
+    geom = dict(depth=2, dim=224, num_heads=7, mlp_ratio=2.0,
+                num_classes=11, token_skip=False, head_skip=False,
+                layer_skip=False)
+    x = _x(b=2, s=64, seed=11)
+    dense = LAUDViT(**geom)
+    v = jax.jit(lambda: dense.init({"params": jax.random.PRNGKey(0)}, x,
+                                   1.0, training=False))()
+    qmodel = LAUDViT(linear_impl="int8", **geom)
+    ref = dense.apply(v, x, 0.1, training=False).logits
+    q = qmodel.apply(v, x, 0.1, training=False).logits
+    rel = float(jnp.linalg.norm(q - ref) / jnp.linalg.norm(ref))
+    assert 0 < rel < 0.05, rel
+    assert (jnp.argmax(q, -1) == jnp.argmax(ref, -1)).all()
+    # training always runs dense math (identical graph, bit-equal)
+    rt = qmodel.apply(v, x, 1.0, training=True,
+                      rngs={"gumbel": jax.random.PRNGKey(2)}).logits
+    rd = dense.apply(v, x, 1.0, training=True,
+                     rngs={"gumbel": jax.random.PRNGKey(2)}).logits
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(rd))
+    # fresh init of the int8 model produces the same param tree
+    vq = jax.jit(lambda: qmodel.init({"params": jax.random.PRNGKey(0)}, x,
+                                     1.0, training=False))()
+    assert (jax.tree_util.tree_structure(vq)
+            == jax.tree_util.tree_structure(v))
+
+
 def test_int8_fused_vit_selection_path():
     """Token selection composes with the int8 kernel (the policy heads and
     top-k stay float; only the block matmuls quantize)."""
