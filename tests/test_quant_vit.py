@@ -140,6 +140,33 @@ def test_int8_fused_vit_close_to_bf16_engine():
     assert (jnp.argmax(q, -1) == jnp.argmax(exact, -1)).all()
 
 
+def test_int8_fused_engine_shards_over_data_mesh():
+    """The int8 block engine partitions along the batch grid under
+    shard_map exactly like the bf16 one (ServingEngine's mesh path) —
+    per-shard outputs equal the single-device engine."""
+    from jax.sharding import PartitionSpec as P
+
+    from laudnet_tpu.parallel.mesh import make_mesh
+
+    x = _x(b=8, seed=13)
+    dense = LAUDViT(token_skip=False, head_skip=False, layer_skip=False,
+                    **GEOM)
+    v = jax.jit(lambda: dense.init({"params": jax.random.PRNGKey(0)}, x,
+                                   1.0, training=False))()
+    fwd = build_fused_vit(v, depth=2, dim=256, num_heads=4, int8=True,
+                          interpret=True)
+    mesh = make_mesh()
+    sharded = jax.jit(jax.shard_map(fwd, mesh=mesh, in_specs=P("data"),
+                                    out_specs=P("data"), check_vma=False))
+    a, b = np.asarray(sharded(x)), np.asarray(fwd(x))
+    # CPU Eigen retiles matmuls by batch size, so a 1-ulp pre-quant
+    # difference can flip an int8 code between the B=1 shards and the
+    # B=8 reference — tolerate a few flipped quanta, require the same
+    # predictions (on TPU the MXU accumulation order is batch-invariant)
+    assert np.abs(a - b).max() < 0.05, np.abs(a - b).max()
+    assert (a.argmax(-1) == b.argmax(-1)).all()
+
+
 def test_linear_impl_int8_checkpoint_compatible():
     """`LAUDViT(linear_impl='int8')` loads the SAME variables as the dense
     model (QuantDense mirrors nn.Dense param names/inits), quantizes only
