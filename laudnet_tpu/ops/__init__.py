@@ -1,4 +1,10 @@
 from laudnet_tpu.ops.gating import gumbel_softmax, binary_gate
+from laudnet_tpu.ops.quant import (
+    QuantDense,
+    int8_linear,
+    quantize_rows,
+    quantize_weight,
+)
 from laudnet_tpu.ops.masking import (
     apply_channel_mask,
     apply_spatial_mask,
@@ -15,4 +21,8 @@ __all__ = [
     "expand_mask",
     "upsample_mask_nearest",
     "adaptive_avg_pool",
+    "QuantDense",
+    "int8_linear",
+    "quantize_rows",
+    "quantize_weight",
 ]

@@ -140,6 +140,30 @@ def test_int8_fused_vit_close_to_bf16_engine():
     assert (jnp.argmax(q, -1) == jnp.argmax(exact, -1)).all()
 
 
+def test_int8_head_gated_composes():
+    """head_gating + int8 in the block kernel: the gate multiplies the
+    attention output inside the quantized kernel, staying close to the
+    bf16 head-gated engine (some heads forced closed so the gate bites)."""
+    import flax
+
+    x = _x(seed=17)
+    base = LAUDViT(token_skip=False, layer_skip=False, head_skip=True,
+                   **GEOM)
+    v = jax.jit(lambda: base.init({"params": jax.random.PRNGKey(3)}, x,
+                                  1.0, training=False))()
+    v = flax.core.unfreeze(v) if hasattr(flax.core, "unfreeze") else dict(v)
+    bias = v["params"]["block_0"]["head_policy"]["bias"]
+    v["params"]["block_0"]["head_policy"]["bias"] = bias.at[1].set(-5.0)
+
+    exact = build_fused_vit(v, depth=2, dim=256, num_heads=4,
+                            head_gating=True, interpret=True)(x)
+    q = build_fused_vit(v, depth=2, dim=256, num_heads=4, head_gating=True,
+                        int8=True, interpret=True)(x)
+    rel = float(jnp.linalg.norm(q - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.05, rel
+    assert (jnp.argmax(q, -1) == jnp.argmax(exact, -1)).all()
+
+
 def test_int8_fused_engine_shards_over_data_mesh():
     """The int8 block engine partitions along the batch grid under
     shard_map exactly like the bf16 one (ServingEngine's mesh path) —
