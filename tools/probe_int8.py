@@ -1,0 +1,127 @@
+"""int8 capability + rate probe (v5e) for the W8A8 serving paths.
+
+Answers, on the real chip, the three questions the int8 design rests on:
+
+  1. XLA s8 matmul: does `dot_general(int8, int8, preferred=int32)` hit
+     the MXU's double-rate path? (8192^3 vs the measured bf16 anchor
+     ~139 TFLOP/s.)
+  2. Mosaic/Pallas s8 dot: does the same dot compile and run INSIDE a
+     pallas_call (the fused block kernel's qmm)?
+  3. XLA s8 conv: does `conv_general_dilated(int8, int8)` run at the s8
+     rate (the quantized static export's hot op)?
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site JAX_PLATFORMS=axon \
+     timeout 1500 python tools/probe_int8.py
+(First pallas execution pays the one-time ~2-5 min Mosaic warm-up.)
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import _chain_time
+
+
+def rate_matmul(dtype, n=8192):
+    rng = np.random.default_rng(0)
+    if dtype == jnp.int8:
+        a = jnp.asarray(rng.integers(-127, 127, (n, n)), jnp.int8)
+        b = jnp.asarray(rng.integers(-127, 127, (n, n)), jnp.int8)
+    else:
+        a = jnp.asarray(rng.standard_normal((n, n)), dtype)
+        b = jnp.asarray(rng.standard_normal((n, n)), dtype)
+
+    def step(x):
+        acc = jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=(jnp.int32 if dtype == jnp.int8
+                                    else jnp.float32))
+        # data-dep: fold one scalar back so chaining fences
+        return x + acc[0, 0].astype(x.dtype) * 1e-30
+
+    t = _chain_time(lambda x: step(x), jnp.zeros((1, 1, 1, 1), jnp.float32))
+    return 2 * n**3 / t / 1e12  # T(FL)OP/s
+
+
+def rate_pallas_s8(n=4096):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(-127, 127, (n, n)), jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 127, (n, n)), jnp.int8)
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    blk = 512
+
+    def run(a, b):
+        return pl.pallas_call(
+            kernel,
+            grid=(n // blk, n // blk),
+            in_specs=[
+                pl.BlockSpec((blk, n), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, blk), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((blk, blk), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, n), jnp.int32),
+        )(a, b)
+
+    def step(x):
+        acc = run(a, b)
+        return x + acc[0, 0].astype(x.dtype) * 1e-30
+
+    t = _chain_time(lambda x: step(x), jnp.zeros((1, 1, 1, 1), jnp.float32))
+    return 2 * n**3 / t / 1e12
+
+
+def rate_conv(dtype, b=128, h=14, cin=1024, cout=512):
+    rng = np.random.default_rng(0)
+    if dtype == jnp.int8:
+        x = jnp.asarray(rng.integers(-127, 127, (b, h, h, cin)), jnp.int8)
+        k = jnp.asarray(rng.integers(-127, 127, (3, 3, cin, cout)), jnp.int8)
+        pref = jnp.int32
+    else:
+        x = jnp.asarray(rng.standard_normal((b, h, h, cin)), dtype)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.02, dtype)
+        pref = jnp.float32
+
+    def step(z):
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=pref)
+        return z + y[0, 0, 0, 0].astype(z.dtype) * 1e-30
+
+    t = _chain_time(lambda z: step(z), jnp.zeros((1, 1, 1, 1), jnp.float32))
+    return 2 * b * h * h * cin * cout * 9 / t / 1e12
+
+
+def main():
+    out = {}
+    out["xla_bf16_matmul_tflops"] = round(rate_matmul(jnp.bfloat16), 1)
+    out["xla_s8_matmul_tops"] = round(rate_matmul(jnp.int8), 1)
+    out["xla_bf16_conv_tflops"] = round(rate_conv(jnp.bfloat16), 1)
+    try:
+        out["xla_s8_conv_tops"] = round(rate_conv(jnp.int8), 1)
+    except Exception as e:  # noqa: BLE001 - probe reports, never crashes
+        out["xla_s8_conv_tops"] = f"FAILED: {type(e).__name__}: {e}"[:200]
+    try:
+        out["pallas_s8_matmul_tops"] = round(rate_pallas_s8(), 1)
+    except Exception as e:  # noqa: BLE001
+        out["pallas_s8_matmul_tops"] = (
+            f"FAILED: {type(e).__name__}: {e}"[:200])
+    print(json.dumps(out, indent=1))
+    os._exit(0)  # the axon tunnel hangs python exit
+
+
+if __name__ == "__main__":
+    main()
