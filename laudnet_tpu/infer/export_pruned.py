@@ -56,12 +56,15 @@ def _quant_kernel(k, eps=1e-8):
     return q, s
 
 
-def _qconv(x, kq, stride=1, padding=0):
-    """W8A8 conv: per-tensor dynamic activation scale, s8 x s8 -> s32 on
-    the MXU, dequant by the activation scale only (the per-cout weight
-    scale is folded into the following BN affine). Returns x.dtype."""
+def _qconv(x, kq, stride=1, padding=0, absmax=None):
+    """W8A8 conv: per-tensor activation scale (dynamic abs-max, or a
+    calibrated static ``absmax`` that skips the runtime reduce pass and
+    saturates outliers), s8 x s8 -> s32 on the MXU, dequant by the
+    activation scale only (the per-cout weight scale is folded into the
+    following BN affine). Returns x.dtype."""
     xf = x.astype(jnp.float32)
-    xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) * (1.0 / 127.0)
+    amax = jnp.max(jnp.abs(xf)) if absmax is None else jnp.float32(absmax)
+    xs = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     acc = lax.conv_general_dilated(
         xq, kq, (stride, stride), [(padding, padding)] * 2,
@@ -74,7 +77,9 @@ def _qconv(x, kq, stride=1, padding=0):
 def export_pruned_resnet(variables, block_masks: Sequence[np.ndarray],
                          layers: Sequence[int] = (3, 4, 23, 3),
                          channel_dyn_granularity: Sequence[int] = (2, 2, 2, 2),
-                         input_size: int = 224, int8: bool = False):
+                         input_size: int = 224, int8: bool = False,
+                         act_scales: Sequence[float] = None,
+                         record_act_scales: bool = False):
     """Build ``forward(x) -> logits`` from a channel-mode LAUD-ResNet.
 
     ``block_masks``: one 0/1 group-mask per block (raster order), each of
@@ -88,7 +93,19 @@ def export_pruned_resnet(variables, block_masks: Sequence[np.ndarray],
     second approximation on top of the frozen policy: re-validate
     accuracy, `bench.py --r101-static --int8` prints the measured logit
     agreement.
+
+    Dynamic activation scales cost one abs-max reduce pass per conv.
+    ``act_scales`` bakes calibrated per-site abs-max values instead
+    (static quantization — the reduce disappears, outliers saturate):
+    build once with ``record_act_scales=True`` — the forward then
+    returns ``(logits, per_site_absmax)`` — feed calibration batches
+    through it, and pass the (quantile of the) recorded scales back as
+    ``act_scales`` (`calibrate_export_act_scales` does exactly this).
+    Sites are ordered as the forward visits them: stem, then per block
+    [downsample?, conv1, conv2, conv3].
     """
+    if record_act_scales:
+        int8 = False  # scales are recorded on the float path
     params = variables["params"]
     stats = variables["batch_stats"]
 
@@ -165,11 +182,9 @@ def export_pruned_resnet(variables, block_masks: Sequence[np.ndarray],
     fc = params["fc"]
     fc_k, fc_b = fc["kernel"], fc["bias"]
 
-    conv = _conv
     if int8:
         # quantize every kernel; fold the per-cout weight scale into the
         # multiplier that already follows each conv (BN affine / fc scale)
-        conv = _qconv
         for blk in pruned:
             blk["w1"], s1 = _quant_kernel(blk["w1"])
             blk["a1"] = blk["a1"] * s1
@@ -191,6 +206,20 @@ def export_pruned_resnet(variables, block_masks: Sequence[np.ndarray],
         fc_q, fc_s = quantize_weight(fc_k)
 
     def forward(x):
+        obs = []  # record mode: per-site activation abs-max, visit order
+        site = [0]
+
+        def conv(h, k, stride=1, padding=0):
+            if record_act_scales:
+                obs.append(jnp.max(jnp.abs(h.astype(jnp.float32))))
+                return _conv(h, k, stride, padding)
+            if int8:
+                amax = (None if act_scales is None
+                        else act_scales[site[0]])
+                site[0] += 1
+                return _qconv(h, k, stride, padding, absmax=amax)
+            return _conv(h, k, stride, padding)
+
         h = conv(x, stem_k, stride=2, padding=3) * a_stem + b_stem
         h = jnp.maximum(h, 0.0)
         h = lax.reduce_window(h, jnp.asarray(-jnp.inf, h.dtype), lax.max, (1, 3, 3, 1),
@@ -210,7 +239,28 @@ def export_pruned_resnet(variables, block_masks: Sequence[np.ndarray],
         if int8:
             from laudnet_tpu.ops.quant import int8_linear
 
-            return int8_linear(pooled, fc_q, fc_s, fc_b).astype(pooled.dtype)
-        return pooled @ fc_k + fc_b
+            out = int8_linear(pooled, fc_q, fc_s, fc_b).astype(pooled.dtype)
+        else:
+            out = pooled @ fc_k + fc_b
+        if record_act_scales:
+            return out, jnp.stack(obs)
+        return out
 
     return forward
+
+
+def calibrate_export_act_scales(variables, block_masks, batches, *,
+                                quantile: float = 1.0, margin: float = 0.0,
+                                **export_kwargs):
+    """Record per-conv-site activation abs-max over calibration batches
+    for the static-scale int8 export. Returns a list ordered like the
+    export's conv sites; pass it as ``act_scales`` (typically with a
+    small ``margin``; values above the baked scale saturate at eval)."""
+    import numpy as np
+
+    fwd = jax.jit(export_pruned_resnet(
+        variables, block_masks, record_act_scales=True, **export_kwargs))
+    per_batch = [np.asarray(fwd(jnp.asarray(b))[1]) for b in batches]
+    arr = np.stack(per_batch)  # (n_batches, n_sites)
+    q = np.quantile(arr, quantile, axis=0) * (1.0 + margin)
+    return [float(v) for v in q]

@@ -89,6 +89,24 @@ def test_int8_export_close_to_float_export():
     assert rel < 0.06, rel
     assert (jnp.argmax(q, -1) == jnp.argmax(f32, -1)).all()
 
+    # static activation scales (no runtime abs-max pass): calibrated on
+    # the same batch they must reproduce the dynamic-scale result almost
+    # exactly, and the recorder emits one positive scale per conv site
+    from laudnet_tpu.infer.export_pruned import calibrate_export_act_scales
+
+    scales = calibrate_export_act_scales(
+        variables, masks, [x], layers=layers,
+        channel_dyn_granularity=gran, input_size=64)
+    # stem + 4 stage-first blocks (each: downsample + conv1/2/3)
+    n_sites = 1 + 4 * 4
+    assert len(scales) == n_sites and all(s > 0 for s in scales)
+    qs = jax.jit(export_pruned_resnet(
+        variables, masks, layers=layers, channel_dyn_granularity=gran,
+        input_size=64, int8=True, act_scales=scales))(x)
+    np.testing.assert_allclose(np.asarray(qs), np.asarray(q), atol=0.05)
+    rel_s = float(jnp.linalg.norm(qs - f32) / jnp.linalg.norm(f32))
+    assert rel_s < 0.06, rel_s
+
 
 def test_calibrate_channel_masks():
     from laudnet_tpu.infer import calibrate_channel_masks
