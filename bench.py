@@ -74,6 +74,23 @@ def _throughput(step_fn, x) -> float:
     return BATCH / max(_chain_time(step_fn, x) - _loop_overhead[0], 1e-9)
 
 
+def _agreement(fa, fb, x):
+    """Honesty metric for inexact serving paths: (top-1 agreement,
+    relative logit error) of ``fb`` vs ``fa`` on one batch."""
+
+    @jax.jit
+    def agree(x):
+        a = fa(x).astype(jnp.float32)
+        b = fb(x).astype(jnp.float32)
+        top1 = jnp.mean((jnp.argmax(a, -1) == jnp.argmax(b, -1))
+                        .astype(jnp.float32))
+        rel = (jnp.linalg.norm(b - a)
+               / jnp.maximum(jnp.linalg.norm(a), 1e-9))
+        return top1, rel
+
+    return tuple(float(v) for v in agree(x))
+
+
 def _cast(tree, dtype):
     return jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
@@ -165,16 +182,7 @@ def main_r101_target05():
         out["int8_export_img_s"] = round(_throughput(qfwd, x), 1)
         out["int8_export_vs_dense"] = round(
             out["int8_export_img_s"] / dense_ips, 4)
-
-        @jax.jit
-        def agree(x):
-            a = fwd(x).astype(jnp.float32)
-            b = qfwd(x).astype(jnp.float32)
-            top1 = jnp.mean((jnp.argmax(a, -1) == jnp.argmax(b, -1))
-                            .astype(jnp.float32))
-            return top1, jnp.linalg.norm(b - a) / jnp.linalg.norm(a)
-
-        t1, rel = (float(u) for u in agree(x))
+        t1, rel = _agreement(fwd, qfwd, x)
         out["int8_top1_agreement_vs_fp_export"] = round(t1, 4)
         out["int8_rel_logit_error"] = round(rel, 4)
     print(json.dumps(out))
@@ -284,16 +292,7 @@ def main_int8():
     int8_ips = _throughput(dense_int8, x)
 
     # honesty metric: agreement vs the exact engine on this batch
-    @jax.jit
-    def agree(x):
-        e = dense_bf16(x).astype(jnp.float32)
-        q = dense_int8(x).astype(jnp.float32)
-        top1 = jnp.mean((jnp.argmax(e, -1) == jnp.argmax(q, -1))
-                        .astype(jnp.float32))
-        rel = jnp.linalg.norm(q - e) / jnp.linalg.norm(e)
-        return top1, rel
-
-    top1, rel = (float(v) for v in agree(x))
+    top1, rel = _agreement(dense_bf16, dense_int8, x)
 
     base = laud_deit_small()
     v = _cast(
@@ -450,17 +449,11 @@ def main_t2t():
             lambda x: qdense.apply(vp, x, jnp.asarray(0.1, DTYPE),
                                    training=False).logits, x), 1)
 
-        @jax.jit
-        def agree(x):
-            a = plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
-                            training=False).logits.astype(jnp.float32)
-            b = qdense.apply(vp, x, jnp.asarray(0.1, DTYPE),
-                             training=False).logits.astype(jnp.float32)
-            top1 = jnp.mean((jnp.argmax(a, -1) == jnp.argmax(b, -1))
-                            .astype(jnp.float32))
-            return top1, jnp.linalg.norm(b - a) / jnp.linalg.norm(a)
-
-        t1, rel = (float(u) for u in agree(x))
+        t1, rel = _agreement(
+            lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                                  training=False).logits,
+            lambda x: qdense.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                                   training=False).logits, x)
         out["int8_top1_agreement_vs_bf16"] = round(t1, 4)
         out["int8_rel_logit_error"] = round(rel, 4)
     print(json.dumps(out))

@@ -46,14 +46,14 @@ def _conv(x, k, stride=1, padding=0):
     )
 
 
-def _quant_kernel(k, eps=1e-8):
+def _quant_kernel(k):
     """Per-output-channel symmetric int8 for an HWIO conv kernel (last
-    axis = cout). Returns (int8 kernel, f32 per-cout scale)."""
-    kf = k.astype(jnp.float32)
-    a = jnp.max(jnp.abs(kf), axis=tuple(range(k.ndim - 1)))
-    s = jnp.maximum(a, eps) / 127.0
-    q = jnp.clip(jnp.round(kf / s), -127, 127).astype(jnp.int8)
-    return q, s
+    axis = cout): `ops/quant.py::quantize_weight` over the flattened
+    reduce axes. Returns (int8 kernel, f32 per-cout scale)."""
+    from laudnet_tpu.ops.quant import quantize_weight
+
+    q, s = quantize_weight(k.reshape(-1, k.shape[-1]))
+    return q.reshape(k.shape), s
 
 
 def _qconv(x, kq, stride=1, padding=0, absmax=None):

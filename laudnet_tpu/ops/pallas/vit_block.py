@@ -62,6 +62,66 @@ def _qrows(x, eps=1e-6):
     return q, s
 
 
+_BNUMS = (((2,), (2,)), ((0,), (0,)))
+_PV_NUMS = (((2,), (1,)), ((0,), (0,)))
+
+
+def _pair_attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt):
+    """Lane-masked head-PAIR attention over a packed (bb, L, 3D) qkv
+    buffer (shared by the bf16 and int8 block kernels): dh=64 is half a
+    128-lane tile, so heads process in pairs with constant lane masks —
+    (q2*m_lo)@k2 isolates head a exactly. f32 scores/softmax in VMEM,
+    additive key mask ``neg``; returns the merged (bb, L, D) output."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * dh), 2)
+    m_lo = (lane < dh).astype(cdt)
+    m_hi = (lane >= dh).astype(cdt)
+    outs = []
+    for hp in range(n_pairs):
+        off = 2 * dh * hp
+        q2 = qkv[:, :, off:off + 2 * dh]
+        k2 = qkv[:, :, d + off:d + off + 2 * dh]
+        v2 = qkv[:, :, 2 * d + off:2 * d + off + 2 * dh]
+        pair = None
+        for msk in (m_lo, m_hi):
+            s = jax.lax.dot_general(
+                q2 * msk, k2, dimension_numbers=_BNUMS,
+                preferred_element_type=jnp.float32,
+            ) * sm_scale + neg
+            p = jax.nn.softmax(s, axis=-1)
+            o = jax.lax.dot_general(
+                p.astype(cdt), v2 * msk, dimension_numbers=_PV_NUMS,
+                preferred_element_type=jnp.float32,
+            )
+            pair = o if pair is None else pair + o
+        outs.append(pair.astype(cdt))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _spec_for(a, batched, bb):
+    """BlockSpec: batch-blocked leading dim for per-image operands, whole
+    array for weights/scales."""
+    if batched:
+        return pl.BlockSpec((bb,) + a.shape[1:],
+                            lambda i: (i,) + (0,) * (a.ndim - 1),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                        memory_space=pltpu.VMEM)
+
+
+def _pick_bb(b, block_b, vmem_bytes, vmem_limit_bytes):
+    """Walk the batch block down until the working set fits the scoped
+    VMEM limit; auto-raise the limit for weights-dominated geometries
+    (v5e has 128MB physical; Mosaic's default scoped limit is 16MB)."""
+    HEAD = 2 * 2**20                    # headroom for Mosaic's own scratch
+    limit = vmem_limit_bytes or 16 * 2**20
+    bb = min(block_b, b)
+    while bb > 1 and (b % bb or vmem_bytes(bb) > limit - HEAD):
+        bb -= 1
+    if vmem_limit_bytes is None and vmem_bytes(bb) > limit - HEAD:
+        vmem_limit_bytes = min(100 * 2**20, vmem_bytes(bb) + 8 * 2**20)
+    return bb, vmem_limit_bytes
+
+
 def fused_vit_block_int8(x, key_mask, row_mask, qparams, *, num_heads: int,
                          head_gate=None, ln_eps: float = 1e-6,
                          block_b: int = 1, vmem_limit_bytes: int = None,
@@ -81,7 +141,10 @@ def fused_vit_block_int8(x, key_mask, row_mask, qparams, *, num_heads: int,
     Same geometry requirements and batch-block policy as
     `fused_vit_block`; int8 weights additionally HALVE the per-layer
     weight DMA (DeiT-B: 7.1MB vs 14.2MB), so weights-dominated geometries
-    fit Mosaic's default scoped-VMEM limit again.
+    fit Mosaic's default scoped-VMEM limit again. No ``mlp_chunk``
+    escape hatch here (bf16-only): the auto-raised VMEM limit covers
+    every geometry the engine admits; a geometry too large for that
+    should serve the bf16 kernel with chunking instead.
     """
     b, l, d = x.shape
     dh = d // num_heads
@@ -105,13 +168,8 @@ def fused_vit_block_int8(x, key_mask, row_mask, qparams, *, num_heads: int,
                 + d * (3 * d + d + 2 * hidden)        # int8 weights
                 + (8 * d + hidden) * 4 + (5 * d + hidden) * 4)  # ln/scales
 
-    HEAD = 2 * 2**20
-    limit = vmem_limit_bytes or 16 * 2**20
-    bb = min(block_b, b)
-    while bb > 1 and (b % bb or vmem_bytes(bb) > limit - HEAD):
-        bb -= 1
-    if vmem_limit_bytes is None and vmem_bytes(bb) > limit - HEAD:
-        vmem_limit_bytes = min(100 * 2**20, vmem_bytes(bb) + 8 * 2**20)
+    bb, vmem_limit_bytes = _pick_bb(b, block_b, vmem_bytes,
+                                    vmem_limit_bytes)
     grid = (b // bb,)
 
     w = qparams
@@ -133,15 +191,7 @@ def fused_vit_block_int8(x, key_mask, row_mask, qparams, *, num_heads: int,
         w["fc2"]["bias"].reshape(1, d),
     ]
 
-    def spec_for(a, batched):
-        if batched:
-            return pl.BlockSpec((bb,) + a.shape[1:],
-                                lambda i: (i,) + (0,) * (a.ndim - 1),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
-                            memory_space=pltpu.VMEM)
-
-    in_specs = [spec_for(a, k < n_batched) for k, a in enumerate(args)]
+    in_specs = [_spec_for(a, k < n_batched, bb) for k, a in enumerate(args)]
 
     def qmm(xf, wq_ref, wscale_ref, bias_ref):
         """f32 rows -> dynamic int8 -> s32 MXU matmul -> rank-1 dequant."""
@@ -153,9 +203,6 @@ def fused_vit_block_int8(x, key_mask, row_mask, qparams, *, num_heads: int,
         return (acc.astype(jnp.float32) * xs
                 * wscale_ref[:].astype(jnp.float32)
                 + bias_ref[:].astype(jnp.float32))
-
-    bnums = (((2,), (2,)), ((0,), (0,)))
-    pv_nums = (((2,), (1,)), ((0,), (0,)))
 
     def kernel(x_ref, kmask_ref, rmask_ref, *rest):
         hg_ref = rest[0] if gated else None
@@ -170,29 +217,7 @@ def fused_vit_block_int8(x, key_mask, row_mask, qparams, *, num_heads: int,
         qkv = qmm(h1.reshape(bb * l, d), wqkv, sqkv, bqkv).astype(cdt)
         qkv = qkv.reshape(bb, l, 3 * d)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * dh), 2)
-        m_lo = (lane < dh).astype(cdt)
-        m_hi = (lane >= dh).astype(cdt)
-        outs = []
-        for hp in range(n_pairs):
-            off = 2 * dh * hp
-            q2 = qkv[:, :, off:off + 2 * dh]
-            k2 = qkv[:, :, d + off:d + off + 2 * dh]
-            v2 = qkv[:, :, 2 * d + off:2 * d + off + 2 * dh]
-            pair = None
-            for msk in (m_lo, m_hi):
-                s = jax.lax.dot_general(
-                    q2 * msk, k2, dimension_numbers=bnums,
-                    preferred_element_type=jnp.float32,
-                ) * sm_scale + neg
-                p = jax.nn.softmax(s, axis=-1)
-                o = jax.lax.dot_general(
-                    p.astype(cdt), v2 * msk, dimension_numbers=pv_nums,
-                    preferred_element_type=jnp.float32,
-                )
-                pair = o if pair is None else pair + o
-            outs.append(pair.astype(cdt))
-        attn = jnp.concatenate(outs, axis=-1)
+        attn = _pair_attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt)
         if hg_ref is not None:
             attn = attn * hg_ref[:].astype(cdt)
 
@@ -279,14 +304,8 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
                 + rows * (hidden + d) * 4             # mlp slice f32
                 + (d * (3 * d + d + 2 * hidden) + 8 * d + hidden) * it)
 
-    HEAD = 2 * 2**20                    # headroom for Mosaic's own scratch
-    limit = vmem_limit_bytes or 16 * 2**20
-    bb = min(block_b, b)
-    while bb > 1 and (b % bb or vmem_bytes(bb) > limit - HEAD):
-        bb -= 1
-    if vmem_limit_bytes is None and vmem_bytes(bb) > limit - HEAD:
-        # weights-dominated geometry: auto-raise the scoped limit
-        vmem_limit_bytes = min(100 * 2**20, vmem_bytes(bb) + 8 * 2**20)
+    bb, vmem_limit_bytes = _pick_bb(b, block_b, vmem_bytes,
+                                    vmem_limit_bytes)
     grid = (b // bb,)
 
     w = params
@@ -304,21 +323,11 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
         w["fc2"]["kernel"], w["fc2"]["bias"].reshape(1, d),
     ]
 
-    def spec_for(a, batched):
-        if batched:
-            return pl.BlockSpec((bb,) + a.shape[1:],
-                                lambda i: (i,) + (0,) * (a.ndim - 1),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
-                            memory_space=pltpu.VMEM)
-
-    in_specs = [spec_for(a, k < n_batched) for k, a in enumerate(args)]
+    in_specs = [_spec_for(a, k < n_batched, bb) for k, a in enumerate(args)]
 
     mm = functools.partial(jax.lax.dot_general,
                            dimension_numbers=(((1,), (0,)), ((), ())),
                            preferred_element_type=jnp.float32)
-    bnums = (((2,), (2,)), ((0,), (0,)))
-    pv_nums = (((2,), (1,)), ((0,), (0,)))
 
     def kernel(x_ref, kmask_ref, rmask_ref, *rest):
         hg_ref = rest[0] if gated else None
@@ -334,29 +343,7 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
                + bqkv[:].astype(jnp.float32)).astype(cdt)
         qkv = qkv.reshape(bb, l, 3 * d)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * dh), 2)
-        m_lo = (lane < dh).astype(cdt)
-        m_hi = (lane >= dh).astype(cdt)
-        outs = []
-        for hp in range(n_pairs):
-            off = 2 * dh * hp
-            q2 = qkv[:, :, off:off + 2 * dh]
-            k2 = qkv[:, :, d + off:d + off + 2 * dh]
-            v2 = qkv[:, :, 2 * d + off:2 * d + off + 2 * dh]
-            pair = None
-            for msk in (m_lo, m_hi):
-                s = jax.lax.dot_general(
-                    q2 * msk, k2, dimension_numbers=bnums,
-                    preferred_element_type=jnp.float32,
-                ) * sm_scale + neg
-                p = jax.nn.softmax(s, axis=-1)
-                o = jax.lax.dot_general(
-                    p.astype(cdt), v2 * msk, dimension_numbers=pv_nums,
-                    preferred_element_type=jnp.float32,
-                )
-                pair = o if pair is None else pair + o
-            outs.append(pair.astype(cdt))
-        attn = jnp.concatenate(outs, axis=-1)  # (bb, L, D)
+        attn = _pair_attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt)
         if hg_ref is not None:
             # lane-expanded per-head gate; each head's dh lanes carry it
             attn = attn * hg_ref[:].astype(cdt)

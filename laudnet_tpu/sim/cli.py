@@ -188,6 +188,11 @@ def main(argv=None):
     elif args.mode == "all":
         modes = ["static", "spatial", "channel", "layer"]
     elif args.mode in _MODES:
+        if (args.hardware in GPU_PRESETS
+                and args.mode in ("pallas", "channel_gather")):
+            raise SystemExit(
+                f"--mode {args.mode} models a TPU engine; use a TPU "
+                "--hardware preset")
         modes = [args.mode]
     else:
         raise SystemExit(f"unknown --mode {args.mode!r}")

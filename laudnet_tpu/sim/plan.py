@@ -151,8 +151,13 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
         geo = dict(depth=depth, dim=dim, num_heads=num_heads,
                    mlp_ratio=mlp_ratio, input_size=input_size,
                    patch_size=patch_size)
+        # a "dense-int8" decision on a gated model serves the block
+        # engine at full capacity WITH the policy heads still running —
+        # price it at dense_mode's paradigm so the exact-vs-int8
+        # comparison charges both sides the same gating heads
+        eff_dense = dense_mode if dense_mode in ("mask", "head") else "dense"
         ranking["dense-int8"] = tpu_predict_vit(
-            p, mode="dense", fused_block=True, int8=True, **geo).latency
+            p, mode=eff_dense, fused_block=True, int8=True, **geo).latency
         ranking["token-int8"] = tpu_predict_vit(
             p, mode="token", token_capacity=caps, fused_block=True,
             int8=True, **geo).latency

@@ -34,11 +34,16 @@ def rate_matmul(dtype, n=8192):
         b = jnp.asarray(rng.standard_normal((n, n)), dtype)
 
     def step(x):
+        # fold the loop carry INTO an operand (not just the output): a
+        # dot over closed-over constants is loop-INVARIANT and XLA hoists
+        # it out of the chained fori_loop, timing an empty loop. The
+        # carried scalar is ~0 so values are unchanged, but being
+        # data-dependent it defeats invariant code motion.
+        bump = (x[0, 0, 0, 0] * 1e-30).astype(a.dtype)
         acc = jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
+            a + bump, b, (((1,), (0,)), ((), ())),
             preferred_element_type=(jnp.int32 if dtype == jnp.int8
                                     else jnp.float32))
-        # data-dep: fold one scalar back so chaining fences
         return x + acc[0, 0].astype(x.dtype) * 1e-30
 
     t = _chain_time(lambda x: step(x), jnp.zeros((1, 1, 1, 1), jnp.float32))
@@ -76,7 +81,8 @@ def rate_pallas_s8(n=4096):
         )(a, b)
 
     def step(x):
-        acc = run(a, b)
+        bump = (x[0, 0, 0, 0] * 1e-30).astype(a.dtype)  # defeat hoisting
+        acc = run(a + bump, b)
         return x + acc[0, 0].astype(x.dtype) * 1e-30
 
     t = _chain_time(lambda x: step(x), jnp.zeros((1, 1, 1, 1), jnp.float32))
@@ -95,8 +101,9 @@ def rate_conv(dtype, b=128, h=14, cin=1024, cout=512):
         pref = jnp.float32
 
     def step(z):
+        bump = (z[0, 0, 0, 0] * 1e-30).astype(x.dtype)  # defeat hoisting
         y = jax.lax.conv_general_dilated(
-            x, k, (1, 1), [(1, 1), (1, 1)],
+            x + bump, k, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=pref)
         return z + y[0, 0, 0, 0].astype(z.dtype) * 1e-30
