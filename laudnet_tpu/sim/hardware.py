@@ -117,4 +117,13 @@ TPU_PRESETS = {
         "v5p", peak_bf16=459e12, peak_fp32=115e12, vpu_flops=8e12,
         mem_bandwidth=2765e9, vmem_bytes=128e6, batch_size=128,
     ),
+    # v6e (Trillium): 918 bf16 TFLOPs / 1836 int8 TOPS, 32 GB HBM @
+    # 1640 GB/s (published chip specs). Projection-only preset — no v6e
+    # chip in this container; sustained_frac inherits the v5e-measured
+    # default rather than a chip-calibrated one.
+    "v6e": TPUSpec(
+        "v6e", peak_bf16=918e12, peak_fp32=230e12, vpu_flops=8e12,
+        mem_bandwidth=1640e9, vmem_bytes=128e6, batch_size=128,
+        peak_int8=1836e12,
+    ),
 }
