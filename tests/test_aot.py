@@ -34,6 +34,28 @@ def test_roundtrip_tiny_vit(tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_roundtrip_int8_engine():
+    """The W8A8 block engine exports through jax.export and round-trips
+    (interpret mode on CPU; on TPU the kernels serialize as custom calls
+    — the bf16 path is verified there, see docs/SERVING.md §4)."""
+    from laudnet_tpu.infer.fused_vit import build_fused_vit
+
+    m = LAUDViT(depth=2, dim=256, num_heads=4, mlp_ratio=2.0,
+                num_classes=11, token_skip=False, head_skip=False,
+                layer_skip=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                               training=False))()
+    fwd = build_fused_vit(v, depth=2, dim=256, num_heads=4, int8=True,
+                          interpret=True)
+    blob = export_serving_fn(fwd, (2, 64, 64, 3))
+    from jax import export as jax_export
+
+    served = jax_export.deserialize(blob).call
+    np.testing.assert_allclose(np.asarray(served(x)), np.asarray(fwd(x)),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_export_rejects_wrong_shape(tmp_path):
     def f(x):
         return x * 2.0
