@@ -497,7 +497,7 @@ def main_deit_b():
         DTYPE,
     )
     dense_ips = _throughput(build_fused_vit(vp, **geom), x)
-    print(json.dumps({
+    out = {
         "metric": ("images/sec/chip LAUD-DeiT-B token-select "
                    "(caps 1.0x3/0.7x4/0.5x5) vs dense DeiT-B, bs128 "
                    "bf16, fully fused block kernels"),
@@ -507,7 +507,23 @@ def main_deit_b():
         "snapped_img_s": round(snap_ips, 1),
         "snapped_vs_baseline": round(snap_ips / dense_ips, 4),
         "dense_fused_block_img_s": round(dense_ips, 1),
-    }))
+    }
+    import sys
+
+    if "--int8" in sys.argv:
+        # width-scaling int8 point: the predictor says wider matmuls
+        # amortize the VPU quant tax, so DeiT-B should gain MORE than S
+        dense_q = build_fused_vit(vp, int8=True, **geom)
+        out["int8_dense_img_s"] = round(_throughput(dense_q, x), 1)
+        out["int8_dense_vs_bf16"] = round(
+            out["int8_dense_img_s"] / dense_ips, 4)
+        out["int8_snapped_select_img_s"] = round(_throughput(
+            build_fused_vit(v, token_capacity=caps, snap_capacities=True,
+                            int8=True, **geom), x), 1)
+        t1, rel = _agreement(build_fused_vit(vp, **geom), dense_q, x)
+        out["int8_top1_agreement_vs_bf16"] = round(t1, 4)
+        out["int8_rel_logit_error"] = round(rel, 4)
+    print(json.dumps(out))
 
 
 def main_pallas():
