@@ -154,6 +154,30 @@ def test_plan_vit_int8_opt_in():
     assert "dense-int8" not in attn.ranking and attn.exact
 
 
+def test_serving_engine_allow_int8_serves_int8(monkeypatch):
+    """calibrate(allow_int8=True) on a block-engine-eligible geometry
+    chooses and compiles an int8 mode (plan.exact False, served==mode).
+    The backend gate is monkeypatched open; the compiled pallas closure
+    is never executed on CPU."""
+    import laudnet_tpu.infer.engine as engine_mod
+
+    kw = dict(depth=2, dim=256, num_heads=4, mlp_ratio=2.0, patch_size=16,
+              num_classes=10, head_skip=False, layer_skip=False)
+    m = LAUDViT(**kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                               training=False))()
+    engine = ServingEngine(m, v)
+    monkeypatch.setattr(engine_mod.jax, "default_backend", lambda: "tpu")
+    plan = engine.calibrate([x], allow_int8=True)
+    assert plan.mode.endswith("-int8") and not plan.exact
+    assert plan.served == plan.mode
+    assert {"dense-int8", "token-int8"} <= plan.ranking.keys()
+    # without the opt-in the same engine stays exact
+    plan2 = engine.calibrate([x])
+    assert plan2.exact and not plan2.mode.endswith("-int8")
+
+
 def test_plan_resnet_serving_mixed_stage_modes():
     """Per-stage dyn_mode (the reference's channel-channel-layer-layer
     configs) gets a real per-stage-priced plan, not the no-ranking
