@@ -260,6 +260,7 @@ class ServingEngine:
                     act_rate=act_rate, spec=self.spec,
                     batch_size=self.batch_size,
                     allow_static_export=allow_static_export,
+                    allow_int8=allow_int8,
                 )
                 self.plan.served = "dense-masked"
                 if (self.plan.mode == "layerskip"

@@ -208,7 +208,8 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
                         granularity: int = 4,
                         spec: str | TPUSpec = "v5e",
                         batch_size: int = 128,
-                        allow_static_export: bool = False) -> ExecutionPlan:
+                        allow_static_export: bool = False,
+                        allow_int8: bool = False) -> ExecutionPlan:
     """Pick the CNN serving path by predicted latency.
 
     Exact paths: ``dense-masked`` (masks fuse for free), ``layerskip``
@@ -288,14 +289,30 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
             max(total.compute_latency, total.memory_latency)
             + n_ops * p.spec.fusion_overhead
         )
-    exact_modes = {k: v for k, v in ranking.items() if k != "static-export"}
+        # W8A8 on the exported network with CALIBRATED static activation
+        # scales (`export_pruned_resnet(int8=True, act_scales=...)`):
+        # conv MXU time at the s8 rate, activations+weights at 1 byte.
+        # STRUCTURAL pricing, uncalibrated until a measured anchor lands;
+        # needs BOTH opt-ins (two approximation layers).
+        s8 = p.spec.peak_int8 or 2.0 * p.spec.peak_bf16
+        ranking["static-export-int8"] = (
+            max(total.compute_latency * (p.spec.peak_bf16 / s8),
+                total.memory_latency * 0.5)
+            + n_ops * p.spec.fusion_overhead
+        )
+    inexact = {"static-export", "static-export-int8"}
+    exact_modes = {k: v for k, v in ranking.items() if k not in inexact}
     mode = min(exact_modes, key=exact_modes.get)
     if allow_static_export and "static-export" in ranking and (
             ranking["static-export"] < exact_modes[mode]):
         mode = "static-export"
+    if (allow_static_export and allow_int8
+            and "static-export-int8" in ranking
+            and ranking["static-export-int8"] < ranking[mode]):
+        mode = "static-export-int8"
     chosen = ranking[mode]
     return ExecutionPlan(
         kind="resnet", mode=mode, predicted_latency=chosen,
         dense_latency=dense, predicted_speedup=dense / chosen,
-        ranking=ranking, exact=mode != "static-export",
+        ranking=ranking, exact=mode not in inexact,
     )

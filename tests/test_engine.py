@@ -194,6 +194,23 @@ def test_plan_resnet_serving_mixed_stage_modes():
         "resnet101", dyn_mode="channel").ranking.keys()
 
 
+def test_plan_resnet_static_export_int8():
+    """static-export-int8 is ranked whenever static-export is, chosen
+    only with BOTH opt-ins (two approximation layers), and faster than
+    the fp export under the structural s8 pricing."""
+    base = plan_resnet_serving("resnet101", allow_static_export=True)
+    assert "static-export-int8" in base.ranking
+    assert base.ranking["static-export-int8"] < base.ranking["static-export"]
+    assert base.mode == "static-export" and not base.exact
+
+    only_int8 = plan_resnet_serving("resnet101", allow_int8=True)
+    assert "static-export-int8" not in only_int8.ranking
+
+    both = plan_resnet_serving("resnet101", allow_static_export=True,
+                               allow_int8=True)
+    assert both.mode == "static-export-int8" and not both.exact
+
+
 def test_serving_engine_regnet_no_ranking_plan():
     """A LAUD-RegNet (no `.layers`, no analytic TPU geometry for its
     widths) serves dense-masked with the honest no-ranking plan instead
