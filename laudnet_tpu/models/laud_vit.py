@@ -180,14 +180,17 @@ class LAUDViTBlock(nn.Module):
             token_score = token_score[bidx, idx]
             l = self.capacity
 
-        # body matmuls: nn.Dense, or the checkpoint-compatible W8A8
-        # QuantDense at eval when linear_impl='int8' (policy heads and
-        # norms always stay float)
-        if self.linear_impl == "int8" and not training:
+        # body matmuls: nn.Dense, the checkpoint-compatible W8A8
+        # QuantDense at eval ('int8'), or its fake-quant QAT variant in
+        # training ('int8_qat': straight-through int8 numerics in the
+        # train graph, real s8 at eval). Policy heads / norms stay float.
+        if (self.linear_impl == "int8" and not training) or (
+                self.linear_impl == "int8_qat"):
             from laudnet_tpu.ops.quant import QuantDense
 
+            fake = self.linear_impl == "int8_qat" and training
             mk_dense = lambda f, name: QuantDense(
-                f, name=name, param_dtype=self.param_dtype)
+                f, name=name, fake=fake, param_dtype=self.param_dtype)
         else:
             mk_dense = lambda f, name: nn.Dense(
                 f, name=name, param_dtype=self.param_dtype)
@@ -299,9 +302,12 @@ class LAUDViT(nn.Module):
     # Pallas kernel, `ops/pallas/vit_attention.py`) — numerically
     # equivalent; fused is the TPU serving path
     attn_impl: str = "reference"
-    # 'dense' | 'int8': W8A8 body matmuls at eval (`ops/quant.py`),
-    # checkpoint-compatible — the int8 path for fused-attention-only
-    # geometries (T2T's odd heads); INEXACT, validate accuracy
+    # 'dense' | 'int8' | 'int8_qat': W8A8 body matmuls at eval
+    # (`ops/quant.py`), checkpoint-compatible — the int8 path for
+    # fused-attention-only geometries (T2T's odd heads); INEXACT,
+    # validate accuracy. 'int8_qat' additionally fake-quantizes in
+    # TRAINING (straight-through gradients) so fine-tuning optimizes
+    # under the serving path's int8 numerics.
     linear_impl: str = "dense"
     param_dtype: Any = jnp.float32
 

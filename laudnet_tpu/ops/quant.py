@@ -54,6 +54,22 @@ def quantize_rows(x: jax.Array, eps: float = 1e-6):
     return q.astype(jnp.int8), scale
 
 
+def fake_quant_weight(w: jax.Array) -> jax.Array:
+    """Quantize-dequantize with a straight-through gradient (QAT): the
+    forward sees exactly the int8-representable weights the serving path
+    will use; the backward passes gradients through unchanged."""
+    q, s = quantize_weight(w)
+    deq = (q.astype(jnp.float32) * s).astype(w.dtype)
+    return w + jax.lax.stop_gradient(deq - w)
+
+
+def fake_quant_rows(x: jax.Array) -> jax.Array:
+    """Per-row activation fake-quant with straight-through gradient."""
+    q, s = quantize_rows(x)
+    deq = (q.astype(jnp.float32) * s).astype(x.dtype)
+    return x + jax.lax.stop_gradient(deq - x)
+
+
 class QuantDense:
     """Drop-in W8A8 replacement for ``nn.Dense`` (same param names/inits,
     so trained bf16/f32 checkpoints load unchanged). Weights are
@@ -63,14 +79,19 @@ class QuantDense:
 
     Used by `models/laud_vit.py` ``linear_impl='int8'`` — the int8 path
     for geometries the fused block kernel cannot take (odd heads: T2T's
-    7). Instantiated lazily to keep this module flax-free for kernels.
+    7). ``fake=True`` builds the QAT variant instead: bf16/f32 matmul
+    over fake-quantized weights and activations (straight-through
+    gradients), so training sees the serving path's int8 numerics.
+    Instantiated lazily to keep this module flax-free for kernels.
     """
 
-    def __new__(cls, features: int, *, name=None, param_dtype=jnp.float32):
+    def __new__(cls, features: int, *, name=None, fake: bool = False,
+                param_dtype=jnp.float32):
         import flax.linen as nn
 
         class _QuantDense(nn.Module):
             features: int
+            fake: bool = False
             param_dtype: object = jnp.float32
 
             @nn.compact
@@ -80,10 +101,14 @@ class QuantDense:
                     (x.shape[-1], self.features), self.param_dtype)
                 b = self.param("bias", nn.initializers.zeros,
                                (self.features,), self.param_dtype)
+                if self.fake:
+                    return (fake_quant_rows(x)
+                            @ fake_quant_weight(k).astype(x.dtype)
+                            + b.astype(x.dtype))
                 kq, ks = quantize_weight(k)
                 return int8_linear(x, kq, ks, b).astype(x.dtype)
 
-        return _QuantDense(features=features, name=name,
+        return _QuantDense(features=features, name=name, fake=fake,
                            param_dtype=param_dtype)
 
 

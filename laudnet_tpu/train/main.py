@@ -76,6 +76,12 @@ def parse_args(argv=None):
                    help="ViT attention impl: 'fused' runs the Pallas "
                         "kernel forward (exact recomputed gradients) — "
                         "TPU only")
+    p.add_argument("--vit_linear", default="dense",
+                   choices=["dense", "int8_qat"],
+                   help="'int8_qat' fine-tunes the STUDENT under the "
+                        "int8 serving path's fake-quant numerics "
+                        "(straight-through gradients, ops/quant.py); "
+                        "the teacher stays dense")
     # gumbel temperature
     p.add_argument("--t0", type=float, default=5.0)
     p.add_argument("--t_last", type=float, default=0.1)
@@ -200,6 +206,7 @@ def main(argv=None):
             head_skip="head" in skips,
             layer_skip="layer" in skips,
             attn_impl=args.vit_attn,
+            linear_impl=args.vit_linear,
         )
         # dense teacher of the same geometry (all gates off); the reference
         # defers ViT training to AdaViT — this is the native equivalent

@@ -222,6 +222,59 @@ def test_linear_impl_int8_checkpoint_compatible():
             == jax.tree_util.tree_structure(v))
 
 
+def test_fake_quant_straight_through():
+    """QAT fake-quant: forward equals the dequantized int8 values;
+    backward is the identity (straight-through)."""
+    from laudnet_tpu.ops.quant import (fake_quant_rows, fake_quant_weight,
+                                       quantize_weight)
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((32, 16)) * 0.05, jnp.float32)
+    fq = fake_quant_weight(w)
+    q, s = quantize_weight(w)
+    np.testing.assert_allclose(np.asarray(fq),
+                               np.asarray(q, np.float32) * np.asarray(s),
+                               atol=1e-7)
+    g = jax.grad(lambda w: (fake_quant_weight(w) ** 2).sum())(w)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(fq), atol=1e-6)
+    x = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+    gx = jax.grad(lambda x: fake_quant_rows(x).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx), np.ones_like(gx))
+
+
+def test_linear_impl_int8_qat_trains_under_int8_numerics():
+    """'int8_qat': the TRAINING forward runs fake-quant (close to the
+    eval int8 engine, not to the dense graph), and gradients flow to
+    every body matmul weight."""
+    geom = dict(depth=2, dim=224, num_heads=7, mlp_ratio=2.0,
+                num_classes=11, token_skip=False, head_skip=False,
+                layer_skip=False)
+    x = _x(b=2, s=64, seed=19)
+    dense = LAUDViT(**geom)
+    v = jax.jit(lambda: dense.init({"params": jax.random.PRNGKey(0)}, x,
+                                   1.0, training=False))()
+    qat = LAUDViT(linear_impl="int8_qat", **geom)
+    train_logits = qat.apply(v, x, 1.0, training=True,
+                             rngs={"gumbel": jax.random.PRNGKey(1)}).logits
+    eval_int8 = LAUDViT(linear_impl="int8", **geom).apply(
+        v, x, 0.1, training=False).logits
+    dense_logits = dense.apply(v, x, 1.0, training=True,
+                               rngs={"gumbel": jax.random.PRNGKey(1)}).logits
+    d_int8 = float(jnp.linalg.norm(train_logits - eval_int8))
+    d_dense = float(jnp.linalg.norm(train_logits - dense_logits))
+    assert 0 < d_int8 < d_dense  # QAT graph tracks int8, not dense
+
+    def loss(params):
+        out = qat.apply({"params": params}, x, 1.0, training=True,
+                        rngs={"gumbel": jax.random.PRNGKey(1)})
+        return (out.logits ** 2).mean()
+
+    g = jax.grad(loss)(v["params"])
+    for name in ("qkv", "proj", "fc1", "fc2"):
+        gn = float(jnp.abs(g["block_0"][name]["kernel"]).max())
+        assert gn > 0, name
+
+
 def test_int8_fused_vit_selection_path():
     """Token selection composes with the int8 kernel (the policy heads and
     top-k stay float; only the block matmuls quantize)."""
