@@ -361,16 +361,35 @@ def main_resnet():
         lambda x: dense.apply(dense_vars, x, training=False), x
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "images/sec/chip LAUD-ResNet101 channel-2222 eval bs128 bf16",
-                "value": round(laud_ips, 1),
-                "unit": "img/s",
-                "vs_baseline": round(laud_ips / dense_ips, 4),
-            }
+    out = {
+        "metric": "images/sec/chip LAUD-ResNet101 channel-2222 eval bs128 bf16",
+        "value": round(laud_ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(laud_ips / dense_ips, 4),
+    }
+    import sys
+
+    if "--int8" in sys.argv:
+        # int8 dense-masked: W8A8 convs, per-input gating fully dynamic —
+        # no frozen-policy approximation, only quantization error
+        qlaud = uni_resnet101(
+            dyn_mode=("channel",) * 4,
+            channel_dyn_granularity=(2, 2, 2, 2),
+            channel_masker=("MLP",) * 4,
+            channel_masker_layers=(2, 2, 2, 2),
+            conv_impl="int8",
         )
-    )
+        qfwd = lambda x: qlaud.apply(
+            laud_vars, x, jnp.asarray(0.1, DTYPE), training=False).logits
+        out["int8_masked_img_s"] = round(_throughput(qfwd, x), 1)
+        out["int8_masked_vs_dense"] = round(
+            out["int8_masked_img_s"] / dense_ips, 4)
+        t1, rel = _agreement(
+            lambda x: laud.apply(laud_vars, x, jnp.asarray(0.1, DTYPE),
+                                 training=False).logits, qfwd, x)
+        out["int8_top1_agreement_vs_bf16"] = round(t1, 4)
+        out["int8_rel_logit_error"] = round(rel, 4)
+    print(json.dumps(out))
 
 
 def main_t2t():

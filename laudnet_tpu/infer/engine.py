@@ -263,7 +263,13 @@ class ServingEngine:
                     allow_int8=allow_int8,
                 )
                 self.plan.served = "dense-masked"
-                if (self.plan.mode == "layerskip"
+                if self.plan.mode == "dense-masked-int8":
+                    # W8A8 convs, per-input gating fully dynamic — the
+                    # only approximation is quantization itself
+                    self._fwd = self._compile(
+                        self.model.clone(conv_impl="int8"))
+                    self.plan.served = "dense-masked-int8"
+                elif (self.plan.mode == "layerskip"
                         and self.batch_size == 1):
                     from laudnet_tpu.infer.layerskip import (
                         build_layer_skip_resnet,

@@ -110,6 +110,11 @@ class LAUDBottleneck(nn.Module):
     execution: str = "dense"  # 'dense' | 'sparse' (eval-time patch gather)
     patch_capacity: float = 1.0  # fraction of patch slots kept in sparse mode
     bn_eval: bool = False  # freeze BN (norm_eval) while keeping Gumbel sampling
+    # 'dense' | 'int8': W8A8 convs at EVAL (`ops/quant.py::QuantConv`,
+    # checkpoint-compatible params). The masker heads, BN, and mask
+    # algebra stay float, so the per-input gating stays fully dynamic —
+    # only the conv arithmetic quantizes. Training always runs dense.
+    conv_impl: str = "dense"
     param_dtype: Any = jnp.float32
 
     def _sparse_eligible(self, training: bool) -> bool:
@@ -128,6 +133,11 @@ class LAUDBottleneck(nn.Module):
         assert self.dyn_mode in ("channel", "spatial", "both", "layer")
         inplanes = x.shape[-1]
         width = self.planes * self.group_width
+        Conv = nn.Conv
+        if self.conv_impl == "int8" and not training:
+            from laudnet_tpu.ops.quant import QuantConv
+
+            Conv = QuantConv
         out_planes = self.planes * EXPANSION
         channel_dyn_group = width // self.channel_dyn_granularity
         if isinstance(self.output_size, int):
@@ -227,11 +237,11 @@ class LAUDBottleneck(nn.Module):
             name=name,
             param_dtype=self.param_dtype,
         )
-        conv1 = nn.Conv(
+        conv1 = Conv(
             width, (1, 1), use_bias=False, kernel_init=he_normal_fan_out(),
             name="conv1", param_dtype=self.param_dtype,
         )
-        conv3 = nn.Conv(
+        conv3 = Conv(
             out_planes, (1, 1), use_bias=False, kernel_init=he_normal_fan_out(),
             name="conv3", param_dtype=self.param_dtype,
         )
@@ -259,7 +269,7 @@ class LAUDBottleneck(nn.Module):
 
         identity = x
         if self.has_downsample:
-            identity = nn.Conv(
+            identity = Conv(
                 out_planes, (1, 1), strides=self.stride, use_bias=False,
                 kernel_init=he_normal_fan_out(), name="downsample_conv",
                 param_dtype=self.param_dtype,
@@ -290,7 +300,7 @@ class LAUDBottleneck(nn.Module):
             g = sp.gather_patches(x1, idx, patch, halo=1)
             b_, k_, ph, pw, cg = g.shape
             gflat = g.reshape(b_ * k_, ph, pw, cg)
-            gflat = nn.Conv(
+            gflat = Conv(
                 width, (3, 3), padding="VALID",
                 feature_group_count=self.group_width, use_bias=False,
                 kernel_init=he_normal_fan_out(), name="conv2",
@@ -307,7 +317,7 @@ class LAUDBottleneck(nn.Module):
                 out = masking.apply_channel_mask(out, channel_mask)
             out = nn.relu(bn("bn1")(out))
 
-            out = nn.Conv(
+            out = Conv(
                 width, (3, 3), strides=self.stride, padding=self.dilation,
                 kernel_dilation=self.dilation,
                 feature_group_count=self.group_width, use_bias=False,
@@ -360,13 +370,20 @@ class LAUDResNet(nn.Module):
     reduction_ratio: Sequence[int] = (16, 16, 16, 16)
     execution: str = "dense"  # 'dense' | 'sparse' eval fast path
     patch_capacity: Sequence[float] = (1.0, 1.0, 1.0, 1.0)  # per stage
+    # 'dense' | 'int8': W8A8 convs at eval; masks stay fully dynamic
+    conv_impl: str = "dense"
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, temperature, *, training: bool = False):
         stem_width = int(64 * self.width_mult)
         c_in = x.shape[-1]
-        x = nn.Conv(
+        StemConv = nn.Conv
+        if self.conv_impl == "int8" and not training:
+            from laudnet_tpu.ops.quant import QuantConv
+
+            StemConv = QuantConv
+        x = StemConv(
             stem_width,
             (7, 7),
             strides=2,
@@ -429,6 +446,7 @@ class LAUDResNet(nn.Module):
                     reduction=self.reduction_ratio[s],
                     execution=self.execution,
                     patch_capacity=self.patch_capacity[s],
+                    conv_impl=self.conv_impl,
                     name=f"layer{s + 1}_{b}",
                     param_dtype=self.param_dtype,
                 )(x, temperature, training=training)

@@ -112,6 +112,75 @@ class QuantDense:
                            param_dtype=param_dtype)
 
 
+class QuantConv:
+    """Drop-in W8A8 replacement for ``flax.linen.Conv`` (same param
+    name/shape/init, so trained checkpoints load unchanged): per-tensor
+    dynamic activation scale, per-output-channel weight scales, s8
+    conv -> s32 accumulate -> rank-1 dequant, returned in the input
+    dtype. Covers the subset of nn.Conv the LAUD models use (NHWC,
+    int-or-'SAME'/'VALID' padding, int strides/dilation, groups,
+    use_bias=False). Used by ``LAUDResNet(conv_impl='int8')`` — int8
+    dense-masked serving where the per-input masks stay fully dynamic
+    and only the conv arithmetic quantizes."""
+
+    def __new__(cls, features: int, kernel_size, *, strides=1, padding="SAME",
+                kernel_dilation=1, feature_group_count: int = 1,
+                use_bias: bool = False, kernel_init=None, name=None,
+                param_dtype=jnp.float32):
+        import flax.linen as nn
+
+        assert not use_bias, "LAUD convs are bias-free (BN follows)"
+
+        class _QuantConv(nn.Module):
+            features: int
+            kernel_size: tuple
+            strides: int = 1
+            padding: object = "SAME"
+            kernel_dilation: int = 1
+            feature_group_count: int = 1
+            param_dtype: object = jnp.float32
+
+            @nn.compact
+            def __call__(self, x):
+                kh, kw = self.kernel_size
+                cin = x.shape[-1] // self.feature_group_count
+                k = self.param(
+                    "kernel",
+                    kernel_init or nn.initializers.lecun_normal(),
+                    (kh, kw, cin, self.features), self.param_dtype)
+                kq, ks = quantize_weight(
+                    k.reshape(-1, self.features))
+                kq = kq.reshape(k.shape)
+                xf = x.astype(jnp.float32)
+                amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
+                xs = amax * (1.0 / 127.0)
+                xq = jnp.clip(jnp.round(xf / xs), -127, 127
+                              ).astype(jnp.int8)
+                pad = self.padding
+                if isinstance(pad, int):
+                    pad = [(pad, pad), (pad, pad)]
+                s = (self.strides if isinstance(self.strides, tuple)
+                     else (self.strides, self.strides))
+                d = (self.kernel_dilation
+                     if isinstance(self.kernel_dilation, tuple)
+                     else (self.kernel_dilation, self.kernel_dilation))
+                acc = jax.lax.conv_general_dilated(
+                    xq, kq, s, pad, rhs_dilation=d,
+                    feature_group_count=self.feature_group_count,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                return (acc.astype(jnp.float32) * xs * ks
+                        ).astype(x.dtype)
+
+        ks = (kernel_size if isinstance(kernel_size, tuple)
+              else (kernel_size, kernel_size))
+        return _QuantConv(features=features, kernel_size=ks,
+                          strides=strides, padding=padding,
+                          kernel_dilation=kernel_dilation,
+                          feature_group_count=feature_group_count,
+                          name=name, param_dtype=param_dtype)
+
+
 def int8_linear(x: jax.Array, wq: jax.Array, wscale: jax.Array,
                 bias=None) -> jax.Array:
     """W8A8 linear: dynamic per-row activation quant, s32 accumulation,

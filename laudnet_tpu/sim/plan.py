@@ -269,6 +269,25 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
     # the 0/1 mask multiplies fuse for free, only the gating heads add
     # cost. The predictor's 'channel' mode prices exactly that shape.
     ranking = {"dense": dense, "dense-masked": lat("channel")}
+    # int8 dense-masked (`LAUDResNet(conv_impl='int8')`): W8A8 convs with
+    # the per-input gating fully dynamic — conv MXU time at the s8 rate,
+    # one extra per-conv dynamic-quantize pass (~an activation re-read).
+    # STRUCTURAL pricing, uncalibrated until a measured anchor lands.
+    # Note the model's own verdict at R101/v5e/bs128: the conv stack is
+    # only mildly compute-bound (14.4 vs 12.6 ms traffic), so halving
+    # MXU time buys less than the dynamic-quantize pass costs — the
+    # DYNAMIC-scale variant is predicted to LOSE here (it is ranked for
+    # transparency and chosen only where it wins). Static-scale int8
+    # avoids that pass but lives on the export path
+    # (`static-export-int8`), where scale calibration exists.
+    rep = tpu_predict_network(p, model_name, "channel", rates, grans)
+    s8 = p.spec.peak_int8 or 2.0 * p.spec.peak_bf16
+    ov = rep.latency - max(rep.compute_latency, rep.memory_latency)
+    ranking["dense-masked-int8"] = (
+        max(rep.compute_latency * (p.spec.peak_bf16 / s8),
+            rep.memory_latency)
+        + 0.5 * rep.memory_latency + ov
+    )
     if dyn_mode == "spatial":
         ranking["spatial-capacity"] = lat("spatial")  # gather engine
         ranking["pallas"] = lat("pallas")
@@ -300,12 +319,14 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
                 total.memory_latency * 0.5)
             + n_ops * p.spec.fusion_overhead
         )
-    inexact = {"static-export", "static-export-int8"}
+    inexact = {"static-export", "static-export-int8", "dense-masked-int8"}
     exact_modes = {k: v for k, v in ranking.items() if k not in inexact}
     mode = min(exact_modes, key=exact_modes.get)
     if allow_static_export and "static-export" in ranking and (
             ranking["static-export"] < exact_modes[mode]):
         mode = "static-export"
+    if allow_int8 and ranking["dense-masked-int8"] < ranking[mode]:
+        mode = "dense-masked-int8"
     if (allow_static_export and allow_int8
             and "static-export-int8" in ranking
             and ranking["static-export-int8"] < ranking[mode]):

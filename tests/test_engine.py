@@ -194,6 +194,48 @@ def test_plan_resnet_serving_mixed_stage_modes():
         "resnet101", dyn_mode="channel").ranking.keys()
 
 
+def test_plan_resnet_dense_masked_int8():
+    """dense-masked-int8 (W8A8 convs, masks fully dynamic) is always
+    ranked; on v5e/R101/bs128 the structural model predicts the
+    DYNAMIC-quantize variant LOSES (activation-traffic-bound: the
+    quantize pass adds ~1.4x traffic while compute only halves), so
+    allow_int8 declines it there — and chooses it where the model says
+    it wins (a bandwidth-rich spec). The engine compiles the chosen
+    variant via conv_impl='int8'."""
+    from dataclasses import replace
+
+    from laudnet_tpu.sim.hardware import TPU_PRESETS
+
+    base = plan_resnet_serving("resnet101")
+    assert "dense-masked-int8" in base.ranking
+    assert base.exact and not base.mode.endswith("-int8")
+
+    # v5e: predicted slower than the exact path -> declined
+    q = plan_resnet_serving("resnet101", allow_int8=True)
+    assert q.exact and not q.mode.endswith("-int8")
+    assert q.ranking["dense-masked-int8"] > q.ranking["dense-masked"]
+
+    # compute-bound regime (bandwidth-rich spec): int8 wins and is chosen
+    fat = replace(TPU_PRESETS["v5e"], mem_bandwidth=1e13)
+    qf = plan_resnet_serving("resnet101", allow_int8=True, spec=fat)
+    assert qf.mode == "dense-masked-int8" and not qf.exact
+
+    from laudnet_tpu.models import LAUDResNet
+
+    m = LAUDResNet(layers=(3, 4, 23, 3), num_classes=10, input_size=64,
+                   dyn_mode=("channel",) * 4,
+                   channel_masker=("MLP",) * 4,
+                   channel_masker_layers=(1, 1, 1, 1))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                               training=False))()
+    engine = ServingEngine(m, v, spec=fat)
+    plan = engine.calibrate([x], allow_int8=True)
+    assert plan.mode == "dense-masked-int8"
+    assert plan.served == "dense-masked-int8" and not plan.exact
+    assert engine(x).shape == (1, 10)
+
+
 def test_plan_resnet_static_export_int8():
     """static-export-int8 is ranked whenever static-export is, chosen
     only with BOTH opt-ins (two approximation layers), and faster than
