@@ -22,9 +22,12 @@ timeout 1800 python bench.py --r101-static --int8 > /tmp/int8_r101.json
 echo "=== 4b. DeiT-B int8 (width-scaling point)"
 timeout 1800 python bench.py --deit-b --int8 > /tmp/int8_deitb.json
 
+echo "=== 4c. CNN int8 dense-masked (dynamic masks, W8A8 convs)"
+timeout 1800 python bench.py --resnet-masked --int8 > /tmp/int8_masked.json
+
 echo "=== 5. headline sanity (bf16, should match BENCH_r02-era numbers)"
 timeout 1800 python bench.py > /tmp/int8_headline.json
 
 echo "=== done"
 cat /tmp/int8_probe.json /tmp/int8_vit.json /tmp/int8_t2t.json \
-    /tmp/int8_r101.json /tmp/int8_deitb.json /tmp/int8_headline.json
+    /tmp/int8_r101.json /tmp/int8_deitb.json /tmp/int8_masked.json /tmp/int8_headline.json
