@@ -16,6 +16,9 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site JAX_PLATFORMS=axon \
 """
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
