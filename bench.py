@@ -394,7 +394,13 @@ def main_resnet():
 
 def main_t2t():
     """LAUD-T2T-ViT-19 trunk with token selection vs its dense trunk — the
-    paper's own ViT family (panel (c) reports ~1.4x on V100)."""
+    paper's own ViT family (panel (c) reports ~1.4x on V100). Both sides
+    run the fully fused block kernels (r3: the odd head count — 7 of
+    dh=64 — rides a zero-padded fake head, `infer/fused_vit.py::
+    _pad_fake_head`); the attention-only fusion stays as a diagnostic."""
+    import sys
+
+    from laudnet_tpu.infer.fused_vit import build_fused_vit
     from laudnet_tpu.models import laud_t2t_vit_19_backbone
 
     rng = np.random.default_rng(0)
@@ -407,72 +413,66 @@ def main_t2t():
                                   training=False))(),
         DTYPE,
     )
+    geom = dict(depth=14, dim=448, num_heads=7)
     caps = (1.0,) * 3 + (0.7,) * 5 + (0.5,) * 6
-    select = laud_t2t_vit_19_backbone(token_capacity=caps,
-                                      attn_impl="fused")
-    laud_ips = _throughput(
-        lambda x: select.apply(v, x, jnp.asarray(0.1, DTYPE),
-                               training=False).logits, x
-    )
-    # lane-snapped keep budgets (k 137->128, 98->96) — the model-level
-    # equivalent of `snap_capacity_to_tiles` is just snapped fractions.
-    # +0.5 keeps int(cap*L) from FP-flooring 128.0 down to 127 (128/197*197
-    # rounds to 127.99999999999999).
-    snap_caps = (1.0,) * 3 + (128.5 / 197,) * 5 + (96.5 / 197,) * 6
-    snapped = laud_t2t_vit_19_backbone(token_capacity=snap_caps,
-                                       attn_impl="fused")
+    select_ips = _throughput(
+        build_fused_vit(v, token_capacity=caps, **geom), x)
+    # lane-snapped keep budgets (k 137->128, 98->96)
     snap_ips = _throughput(
-        lambda x: snapped.apply(v, x, jnp.asarray(0.1, DTYPE),
-                                training=False).logits, x
-    )
+        build_fused_vit(v, token_capacity=caps, snap_capacities=True,
+                        **geom), x)
     plain = laud_t2t_vit_19_backbone(token_skip=False, head_skip=False,
-                                     layer_skip=False, attn_impl="fused")
+                                     layer_skip=False)
     vp = _cast(
         jax.jit(lambda: plain.init({"params": jax.random.PRNGKey(0)},
                                    x.astype(jnp.float32), 1.0,
                                    training=False))(),
         DTYPE,
     )
-    dense_ips = _throughput(
-        lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
-                              training=False).logits, x
-    )
+    dense_ips = _throughput(build_fused_vit(vp, **geom), x)
     out = {
-        "metric": ("images/sec/chip LAUD-T2T-ViT-19 token-select "
-                   "(caps 1.0x3/0.7x5/0.5x6) vs dense trunk, bs128 "
-                   "bf16, fused attention"),
-        "value": round(laud_ips, 1),
+        "metric": ("images/sec/chip LAUD-T2T-ViT-19 token-select, "
+                   "lane-snapped caps (1.0x3/0.7x5/0.5x6 floored to the "
+                   "MXU tile grid) vs dense trunk, bs128 bf16, fully "
+                   "fused block kernels (fake-head padding for 7 heads)"),
+        "value": round(snap_ips, 1),
         "unit": "img/s",
-        "vs_baseline": round(laud_ips / dense_ips, 4),
-        "snapped_img_s": round(snap_ips, 1),
-        "snapped_vs_baseline": round(snap_ips / dense_ips, 4),
+        "vs_baseline": round(snap_ips / dense_ips, 4),
+        "nominal_caps_img_s": round(select_ips, 1),
+        "nominal_caps_vs_baseline": round(select_ips / dense_ips, 4),
+        "dense_fused_block_img_s": round(dense_ips, 1),
     }
-    import sys
+
+    if "--diagnostics" in sys.argv:
+        # the attention-only fusion (the r2 serving path) on both sides
+        snap_caps = (1.0,) * 3 + (128.5 / 197,) * 5 + (96.5 / 197,) * 6
+        snapped = laud_t2t_vit_19_backbone(token_capacity=snap_caps,
+                                           attn_impl="fused")
+        out["attnfused_snapped_img_s"] = round(_throughput(
+            lambda x: snapped.apply(v, x, jnp.asarray(0.1, DTYPE),
+                                    training=False).logits, x), 1)
+        plain_af = laud_t2t_vit_19_backbone(
+            token_skip=False, head_skip=False, layer_skip=False,
+            attn_impl="fused")
+        out["attnfused_dense_img_s"] = round(_throughput(
+            lambda x: plain_af.apply(vp, x, jnp.asarray(0.1, DTYPE),
+                                     training=False).logits, x), 1)
 
     if "--int8" in sys.argv:
-        # W8A8 body matmuls via linear_impl='int8' (QuantDense) — the
-        # int8 path for this odd-head geometry (no block kernel); logit
-        # agreement vs the bf16 graph is the honesty metric
-        qsnap = laud_t2t_vit_19_backbone(token_capacity=snap_caps,
-                                         attn_impl="fused",
-                                         linear_impl="int8")
+        # W8A8 via the int8 block engine (r3: the fake-head padding
+        # admits T2T; the earlier QuantDense-in-graph path measured a
+        # LOSS — int8 dense 4682 vs bf16 5432 img/s — because the
+        # quantize/dequant passes don't fuse, so the block engine is the
+        # int8 path here too). Agreement vs the bf16 engine is the
+        # honesty metric.
         out["int8_snapped_img_s"] = round(_throughput(
-            lambda x: qsnap.apply(v, x, jnp.asarray(0.1, DTYPE),
-                                  training=False).logits, x), 1)
+            build_fused_vit(v, token_capacity=caps, snap_capacities=True,
+                            int8=True, **geom), x), 1)
         out["int8_snapped_vs_baseline"] = round(
             out["int8_snapped_img_s"] / dense_ips, 4)
-        qdense = laud_t2t_vit_19_backbone(
-            token_skip=False, head_skip=False, layer_skip=False,
-            attn_impl="fused", linear_impl="int8")
-        out["int8_dense_img_s"] = round(_throughput(
-            lambda x: qdense.apply(vp, x, jnp.asarray(0.1, DTYPE),
-                                   training=False).logits, x), 1)
-
-        t1, rel = _agreement(
-            lambda x: plain.apply(vp, x, jnp.asarray(0.1, DTYPE),
-                                  training=False).logits,
-            lambda x: qdense.apply(vp, x, jnp.asarray(0.1, DTYPE),
-                                   training=False).logits, x)
+        qdense = build_fused_vit(vp, int8=True, **geom)
+        out["int8_dense_img_s"] = round(_throughput(qdense, x), 1)
+        t1, rel = _agreement(build_fused_vit(vp, **geom), qdense, x)
         out["int8_top1_agreement_vs_bf16"] = round(t1, 4)
         out["int8_rel_logit_error"] = round(rel, 4)
     print(json.dumps(out))

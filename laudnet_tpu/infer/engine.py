@@ -90,14 +90,17 @@ class ServingEngine:
         # selection path (token_capacity set)
         token_ok = (not getattr(model, "token_skip", False)
                     or getattr(model, "token_capacity", None) is not None)
+        # geometry: head pairs must be 128-lane-aligned; odd head counts
+        # (T2T's 7) are fine — the engine pads a zero fake head at build
+        # time (`fused_vit.py::_pad_fake_head`). Both stems serve (the
+        # t2t performer stem runs as the engine's prologue).
         return (self._kind == "vit"
                 and jax.default_backend() == "tpu"
                 and token_ok
                 and not getattr(model, "layer_skip", True)
-                and getattr(model, "stem", "patch") == "patch"
-                and model.num_heads % 2 == 0
-                and model.dim % 128 == 0
-                and (2 * model.dim // model.num_heads) % 128 == 0)
+                and getattr(model, "stem", "patch") in ("patch", "t2t")
+                and (2 * (model.dim // model.num_heads)) % 128 == 0
+                and model.dim % model.num_heads == 0)
 
     def _compile(self, model, int8: bool = False) -> Callable:
         if self._block_engine_ok(model):
@@ -106,6 +109,7 @@ class ServingEngine:
             return self._jit(build_fused_vit(
                 self.variables, depth=model.depth, dim=model.dim,
                 num_heads=model.num_heads, patch_size=model.patch_size,
+                stem=getattr(model, "stem", "patch"),
                 token_capacity=model.token_capacity,
                 snap_capacities=self.snap_capacities,
                 head_gating=getattr(model, "head_skip", False),

@@ -70,8 +70,30 @@ def snap_capacity_to_tiles(k: int) -> int:
     return k8
 
 
+def _pad_fake_head(blk, dim: int, num_heads: int):
+    """Zero-pad one fake head into a block's qkv/proj params so the
+    128-aligned pair kernel applies to odd head counts (T2T's 7): qkv
+    gains dh all-zero output columns per q/k/v section, proj gains dh
+    all-zero input rows. The fake head's q/k/v are exactly zero, its
+    attention output is zero, and the zero proj rows discard it —
+    bit-exact (`ops/pallas/vit_block.py::fused_vit_block`)."""
+    dh = dim // num_heads
+    qk = blk["qkv"]["kernel"].reshape(dim, 3, num_heads, dh)
+    qk = jnp.pad(qk, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    qb = blk["qkv"]["bias"].reshape(3, num_heads, dh)
+    qb = jnp.pad(qb, ((0, 0), (0, 1), (0, 0)))
+    out = dict(blk)
+    out["qkv"] = {"kernel": qk.reshape(dim, 3 * (num_heads + 1) * dh),
+                  "bias": qb.reshape(3 * (num_heads + 1) * dh)}
+    out["proj"] = {"kernel": jnp.pad(blk["proj"]["kernel"],
+                                     ((0, dh), (0, 0))),
+                   "bias": blk["proj"]["bias"]}
+    return out
+
+
 def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                     patch_size: int = 16,
+                    stem: str = "patch",
                     token_capacity: Optional[Sequence[float]] = None,
                     snap_capacities: bool = False,
                     head_gating: bool = False,
@@ -98,25 +120,53 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
     bf16 peak) with per-channel weight scales quantized here at build
     time and per-token dynamic activation scales on-chip; INEXACT
     (quantization error) — callers opt in and should report agreement
-    vs the bf16 engine (`bench.py --int8` prints it)."""
+    vs the bf16 engine (`bench.py --int8` prints it).
+
+    ``stem='t2t'`` runs the tokens-to-token performer stem
+    (`models/t2t.py::T2TStem`, params under ``t2t_stem``) as the token
+    prologue instead of conv patchify — the full T2T-ViT serving path.
+    Odd ``num_heads`` (T2T's 7) are handled by padding a zero fake head
+    into each block's qkv/proj at build time (`_pad_fake_head`)."""
     params = variables["params"]
+    odd = num_heads % 2 == 1
+    blocks = []
+    for i in range(depth):
+        blk = params[f"block_{i}"]
+        bp = {"norm1": blk["norm1"], "norm2": blk["norm2"],
+              "qkv": blk["qkv"], "proj": blk["proj"],
+              "fc1": blk["fc1"], "fc2": blk["fc2"]}
+        blocks.append(_pad_fake_head(bp, dim, num_heads) if odd else bp)
     qblocks = None
     if int8:
         qblocks = []
-        for i in range(depth):
-            blk = params[f"block_{i}"]
+        for blk in blocks:
             qb = {"ln1": blk["norm1"], "ln2": blk["norm2"]}
-            for name, src in (("qkv", "qkv"), ("proj", "proj"),
-                              ("fc1", "fc1"), ("fc2", "fc2")):
-                kq, ks = quantize_weight(blk[src]["kernel"])
+            for name in ("qkv", "proj", "fc1", "fc2"):
+                kq, ks = quantize_weight(blk[name]["kernel"])
                 qb[name] = {"kernel_q": kq, "scale": ks,
-                            "bias": blk[src]["bias"]}
+                            "bias": blk[name]["bias"]}
             qblocks.append(qb)
+
+    if stem == "t2t":
+        from laudnet_tpu.models.t2t import T2TStem
+
+        stem_mod = T2TStem(embed_dim=dim)
 
     def forward(x):
         p = params
         b = x.shape[0]
-        x, n = _patchify(p, x, dim, patch_size)
+        if stem == "t2t":
+            # performer stem (exact flax apply over its sub-tree), then
+            # the cls/pos prologue shared with the patch path
+            # (`models/laud_vit.py::LAUDViT.__call__` t2t branch)
+            t = stem_mod.apply({"params": p["t2t_stem"]}, x)
+            n = t.shape[1]
+            cls = jnp.broadcast_to(p["cls_token"].astype(t.dtype),
+                                   (b, 1, dim))
+            x = (jnp.concatenate([cls, t], axis=1)
+                 + p["pos_embed"].astype(t.dtype))
+        else:
+            x, n = _patchify(p, x, dim, patch_size)
 
         token_mask = jnp.ones((b, n + 1), jnp.float32)
         cur = n + 1
@@ -153,8 +203,12 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                     + blk["head_policy"]["bias"].astype(x.dtype))
                 hl = hl.reshape(b, 2, num_heads)
                 hmask = (hl[:, 0] >= hl[:, 1]).astype(jnp.float32)
-                hg = jnp.repeat(hmask, dim // num_heads,
-                                axis=-1).reshape(b, 1, dim)
+                if odd:  # fake head: gate value irrelevant (attn is 0)
+                    hmask = jnp.pad(hmask, ((0, 0), (0, 1)),
+                                    constant_values=1.0)
+                dh = dim // num_heads
+                hg = jnp.repeat(hmask, dh, axis=-1).reshape(
+                    b, 1, hmask.shape[-1] * dh)
             if qblocks is not None:
                 x = fused_vit_block_int8(
                     x, token_mask.reshape(b, 1, cur),
@@ -163,9 +217,10 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                     vmem_limit_bytes=vmem_limit_bytes, interpret=interpret,
                 )
             else:
-                bp = {"ln1": blk["norm1"], "qkv": blk["qkv"],
-                      "proj": blk["proj"], "ln2": blk["norm2"],
-                      "fc1": blk["fc1"], "fc2": blk["fc2"]}
+                pb = blocks[i]
+                bp = {"ln1": pb["norm1"], "qkv": pb["qkv"],
+                      "proj": pb["proj"], "ln2": pb["norm2"],
+                      "fc1": pb["fc1"], "fc2": pb["fc2"]}
                 x = fused_vit_block(
                     x, token_mask.reshape(b, 1, cur),
                     token_mask.reshape(b, cur, 1), bp, num_heads=num_heads,

@@ -13,10 +13,12 @@ entirely on-chip; per layer the only HBM traffic is x in, out out, and one
 weight fetch. Attention uses the lane-masked head-pair scheme of
 `vit_attention.py` (bf16 MXU, f32 accumulation, additive key mask).
 
-This is the serving fast path for dense and token-selection LAUD-ViT
-(`infer/fused_vit.py` composes it with the policy heads and top-k
-selection between blocks); gating paradigms that modulate inside the block
-(head/layer gates) use the attention-only fusion instead.
+This is the serving fast path for dense, token-selection and head-gated
+LAUD-ViT (`infer/fused_vit.py` composes it with the policy heads and top-k
+selection between blocks); layer gating modulates the residual structure
+per sample, so those models use the attention-only fusion instead. Odd
+head counts (T2T-ViT's 7) ride a zero-padded fake head prepared by the
+engine at build time (see `fused_vit_block`).
 """
 
 from __future__ import annotations
@@ -139,7 +141,9 @@ def fused_vit_block_int8(x, key_mask, row_mask, qparams, *, num_heads: int,
     ``qparams``: dict with ln1/ln2 (scale, bias) and qkv/proj/fc1/fc2 as
     {"kernel_q": int8 (K, N), "scale": f32 (N,), "bias": (N,)}.
     Same geometry requirements and batch-block policy as
-    `fused_vit_block`; int8 weights additionally HALVE the per-layer
+    `fused_vit_block` (including the zero-padded fake head for odd head
+    counts — fake columns quantize to 0 with the eps-floored scale);
+    int8 weights additionally HALVE the per-layer
     weight DMA (DeiT-B: 7.1MB vs 14.2MB), so weights-dominated geometries
     fit Mosaic's default scoped-VMEM limit again. No ``mlp_chunk``
     escape hatch here (bf16-only): the auto-raised VMEM limit covers
@@ -148,25 +152,29 @@ def fused_vit_block_int8(x, key_mask, row_mask, qparams, *, num_heads: int,
     """
     b, l, d = x.shape
     dh = d // num_heads
-    assert num_heads % 2 == 0 and (2 * dh) % 128 == 0 and d % 128 == 0, (
-        "fused_vit_block_int8 needs 128-aligned head pairs"
+    da = qparams["qkv"]["kernel_q"].shape[1] // 3
+    n_up = num_heads + num_heads % 2
+    assert da == n_up * dh and (2 * dh) % 128 == 0 and da % 128 == 0, (
+        "fused_vit_block_int8 needs 128-aligned head pairs "
+        "(odd head counts: pre-pad qkv/proj with a zero fake head)"
     )
     hidden = qparams["fc1"]["kernel_q"].shape[1]
-    n_pairs = num_heads // 2
+    n_pairs = n_up // 2
     sm_scale = dh**-0.5
     it = x.dtype.itemsize
 
     def vmem_bytes(bb):
         tok = bb * l
         return (4 * tok * d * it                      # x in + out, dbl-buf
-                + tok * 3 * d * it                    # qkv buffer
+                + tok * 3 * da * it                   # qkv buffer
                 + 2 * bb * l * l * 4                  # f32 score + prob
                 + 2 * tok * d * 4                     # f32 x2 + LN temp
                 + tok * max(d, hidden)                # int8 operand
-                + 2 * tok * d * it                    # attn concat + h2
+                + tok * (da + d) * it                 # attn concat + h2
                 + tok * (hidden + d) * 4              # mlp f32
-                + d * (3 * d + d + 2 * hidden)        # int8 weights
-                + (8 * d + hidden) * 4 + (5 * d + hidden) * 4)  # ln/scales
+                + d * 3 * da + da * d + 2 * d * hidden  # int8 weights
+                + (4 * d + 4 * da + hidden) * 4
+                + (d + 4 * da + hidden) * 4)          # ln/scales/biases
 
     bb, vmem_limit_bytes = _pick_bb(b, block_b, vmem_bytes,
                                     vmem_limit_bytes)
@@ -180,8 +188,8 @@ def fused_vit_block_int8(x, key_mask, row_mask, qparams, *, num_heads: int,
     n_batched = len(args)
     args += [
         w["ln1"]["scale"].reshape(1, d), w["ln1"]["bias"].reshape(1, d),
-        w["qkv"]["kernel_q"], w["qkv"]["scale"].reshape(1, 3 * d),
-        w["qkv"]["bias"].reshape(1, 3 * d),
+        w["qkv"]["kernel_q"], w["qkv"]["scale"].reshape(1, 3 * da),
+        w["qkv"]["bias"].reshape(1, 3 * da),
         w["proj"]["kernel_q"], w["proj"]["scale"].reshape(1, d),
         w["proj"]["bias"].reshape(1, d),
         w["ln2"]["scale"].reshape(1, d), w["ln2"]["bias"].reshape(1, d),
@@ -215,13 +223,13 @@ def fused_vit_block_int8(x, key_mask, row_mask, qparams, *, num_heads: int,
 
         h1 = _ln(xin, ln1s[0], ln1b[0], ln_eps)  # f32 (bb, l, d)
         qkv = qmm(h1.reshape(bb * l, d), wqkv, sqkv, bqkv).astype(cdt)
-        qkv = qkv.reshape(bb, l, 3 * d)
+        qkv = qkv.reshape(bb, l, 3 * da)
 
-        attn = _pair_attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt)
+        attn = _pair_attention(qkv, neg, da, dh, n_pairs, sm_scale, cdt)
         if hg_ref is not None:
             attn = attn * hg_ref[:].astype(cdt)
 
-        proj = qmm(attn.astype(jnp.float32).reshape(bb * l, d),
+        proj = qmm(attn.astype(jnp.float32).reshape(bb * l, da),
                    wproj, sproj, bproj).reshape(bb, l, d)
         x2 = xin.astype(jnp.float32) + proj * rmask
 
@@ -255,13 +263,19 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
     (B, L, 1) 1/0 over token rows (the model multiplies both branch
     outputs by the token mask); ``params``: dict with ln1/ln2 (scale,
     bias), qkv/proj/fc1/fc2 (kernel, bias) in the flax layouts.
-    ``head_gate``: optional (B, 1, D) per-head 0/1 gate lane-expanded to
+    ``head_gate``: optional (B, 1, Da) per-head 0/1 gate lane-expanded to
     feature lanes (each head's dh lanes carry its gate — the model
     multiplies per-head attention outputs before the merge,
     `models/laud_vit.py` head_skip; identical after merge). Requires
-    even ``num_heads`` with 128-aligned head pairs (DeiT geometry);
-    geometries without them (T2T's odd 7 heads / D=448) keep the
-    attention-only fusion instead. Returns (B, L, D).
+    128-aligned head pairs: (2*dh) % 128 == 0. Odd head counts (T2T's
+    7 heads / D=448) ride a zero-padded FAKE head: the caller pads the
+    qkv kernel/bias with one all-zero head per q/k/v section (columns)
+    and the proj kernel with dh zero rows (`infer/fused_vit.py` does
+    this at build time), giving a padded attention width
+    Da = (H+1)*dh with 128-aligned slice offsets. The fake head's q/k/v
+    are exactly zero, so its pair-masked scores are 0, its attention
+    output is 0, and the zero proj rows discard it — bit-exact vs the
+    unpadded math. Returns (B, L, D).
 
     Batch-block choice: ``block_b=1`` — a v5e sweep (DeiT-S and DeiT-B,
     L=197/138/99, bs128) found batch-block 1 beats every larger block on
@@ -285,11 +299,14 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
     """
     b, l, d = x.shape
     dh = d // num_heads
-    assert num_heads % 2 == 0 and (2 * dh) % 128 == 0 and d % 128 == 0, (
-        "fused_vit_block needs 128-aligned head pairs"
+    da = params["qkv"]["kernel"].shape[1] // 3
+    n_up = num_heads + num_heads % 2
+    assert da == n_up * dh and (2 * dh) % 128 == 0 and da % 128 == 0, (
+        "fused_vit_block needs 128-aligned head pairs "
+        "(odd head counts: pre-pad qkv/proj with a zero fake head)"
     )
     hidden = params["fc1"]["kernel"].shape[1]
-    n_pairs = num_heads // 2
+    n_pairs = n_up // 2
     sm_scale = dh**-0.5
     it = x.dtype.itemsize
 
@@ -297,12 +314,13 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
         tok = bb * l
         rows = tok if mlp_chunk is None else min(mlp_chunk, tok)
         return (4 * tok * d * it                      # x in + out, dbl-buf
-                + tok * 3 * d * it                    # qkv buffer
+                + tok * 3 * da * it                   # qkv buffer
                 + 2 * bb * l * l * 4                  # f32 score + prob
                 + 2 * tok * d * 4                     # f32 x2 + LN temp
-                + 2 * tok * d * it                    # attn concat + h2
+                + tok * (da + d) * it                 # attn concat + h2
                 + rows * (hidden + d) * 4             # mlp slice f32
-                + (d * (3 * d + d + 2 * hidden) + 8 * d + hidden) * it)
+                + (d * 3 * da + da * d + 2 * d * hidden
+                   + 4 * d + 4 * da + hidden) * it)
 
     bb, vmem_limit_bytes = _pick_bb(b, block_b, vmem_bytes,
                                     vmem_limit_bytes)
@@ -316,7 +334,7 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
     n_batched = len(args)
     args += [
         w["ln1"]["scale"].reshape(1, d), w["ln1"]["bias"].reshape(1, d),
-        w["qkv"]["kernel"], w["qkv"]["bias"].reshape(1, 3 * d),
+        w["qkv"]["kernel"], w["qkv"]["bias"].reshape(1, 3 * da),
         w["proj"]["kernel"], w["proj"]["bias"].reshape(1, d),
         w["ln2"]["scale"].reshape(1, d), w["ln2"]["bias"].reshape(1, d),
         w["fc1"]["kernel"], w["fc1"]["bias"].reshape(1, hidden),
@@ -341,14 +359,14 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
         h1 = _ln(xin, ln1s[0], ln1b[0], ln_eps).astype(cdt)
         qkv = (mm(h1.reshape(bb * l, d), wqkv[:])
                + bqkv[:].astype(jnp.float32)).astype(cdt)
-        qkv = qkv.reshape(bb, l, 3 * d)
+        qkv = qkv.reshape(bb, l, 3 * da)
 
-        attn = _pair_attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt)
+        attn = _pair_attention(qkv, neg, da, dh, n_pairs, sm_scale, cdt)
         if hg_ref is not None:
             # lane-expanded per-head gate; each head's dh lanes carry it
             attn = attn * hg_ref[:].astype(cdt)
 
-        proj = (mm(attn.reshape(bb * l, d), wproj[:])
+        proj = (mm(attn.reshape(bb * l, da), wproj[:])
                 + bproj[:].astype(jnp.float32)).reshape(bb, l, d)
         x2 = xin.astype(jnp.float32) + proj * rmask
 

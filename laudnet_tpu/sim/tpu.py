@@ -325,6 +325,11 @@ class TPUPredictor:
         s = self.spec
         b = s.batch_size
         dh = dim // heads
+        # odd head counts ride the kernel's zero-padded fake head
+        # (`ops/pallas/vit_block.py`): attention and qkv/proj run at the
+        # padded width da = (H + H%2) * dh (T2T: 7 heads/448 -> 8/512)
+        n_up = heads + heads % 2
+        da = n_up * dh
         hidden = int(dim * mlp_ratio)
         peak = s.peak_bf16 if self.dtype_bytes == 2 else s.peak_fp32
         # MXU tile quantization: token counts pad to 8 sublanes in matmul
@@ -336,8 +341,8 @@ class TPUPredictor:
         l_sub = -(-l // 8) * 8
         l_lane = -(-l // 128) * 128
         rows = b * l_sub
-        mm_flops = 2.0 * rows * dim * (3 * dim + dim + 2 * hidden)
-        attn_flops = 2.0 * (2.0 * b * heads * l_sub * l_lane * (2 * dh))
+        mm_flops = 2.0 * rows * dim * (3 * da + da + 2 * hidden)
+        attn_flops = 2.0 * (2.0 * b * n_up * l_sub * l_lane * (2 * dh))
         # sustained MXU fraction rises with contraction depth (two-point
         # fit: ~0.85 at K=384/DeiT-S, ~0.95 at K=768/DeiT-B — deeper
         # accumulation chains hide more pipeline bubbles)
@@ -349,16 +354,16 @@ class TPUPredictor:
             w_bytes = 1
         mxu = (mm_flops / (mm_peak * mm_eff)
                + attn_flops / (peak * s.sustained_frac))
-        vpu_ops = (6.0 * b * heads * l_sub * l_lane  # softmax
+        vpu_ops = (6.0 * b * n_up * l_sub * l_lane  # softmax
                    + 2 * 6.0 * rows * dim        # two LayerNorms
                    + 8.0 * rows * hidden)        # gelu
         if int8:
             # per-row operand quantize (abs/max-reduce/div/round/clip) and
             # rank-1 dequantize + bias on every matmul output
-            vpu_ops += (5.0 * rows * (3 * dim + hidden)
-                        + 3.0 * rows * (5 * dim + hidden))
+            vpu_ops += (5.0 * rows * (2 * dim + da + hidden)
+                        + 3.0 * rows * (3 * da + 2 * dim + hidden))
         vpu = vpu_ops / self.spec.vpu_flops  # serial with the MXU chain
-        weights = dim * (3 * dim + dim + 2 * hidden) * w_bytes
+        weights = (dim * 3 * da + da * dim + 2 * dim * hidden) * w_bytes
         mem = (2 * rows * dim * self.dtype_bytes + weights) \
             / s.mem_bandwidth
         # per-grid-step boundary at the kernel's batch-block 1 (the

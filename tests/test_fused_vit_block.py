@@ -97,6 +97,130 @@ def test_fused_vit_selection_matches_model():
                                atol=2e-5)
 
 
+def test_block_kernel_fake_head_matches_reference_ops():
+    """Odd head counts (T2T's 7) ride a zero-padded fake head: the padded
+    kernel must equal the unpadded jnp reference at the LOGICAL head
+    count — the fake head's q/k/v are zero, its attention output is zero,
+    and the zero proj rows discard it."""
+    from laudnet_tpu.infer.fused_vit import _pad_fake_head
+
+    rng = np.random.default_rng(11)
+    b, l, d, h = 2, 19, 192, 3  # dh=64 -> aligned pairs, odd head count
+    hidden = 384
+    x = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    mask = jnp.asarray((rng.random((b, l)) > 0.3), jnp.float32)
+    mask = mask.at[:, 0].set(1.0)
+
+    def mkd(shape):
+        return jnp.asarray(rng.standard_normal(shape) * 0.05, jnp.float32)
+
+    blk = {
+        "norm1": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
+        "norm2": {"scale": mkd((d,)) + 1.0, "bias": mkd((d,))},
+        "qkv": {"kernel": mkd((d, 3 * d)), "bias": mkd((3 * d,))},
+        "proj": {"kernel": mkd((d, d)), "bias": mkd((d,))},
+        "fc1": {"kernel": mkd((d, hidden)), "bias": mkd((hidden,))},
+        "fc2": {"kernel": mkd((hidden, d)), "bias": mkd((d,))},
+    }
+
+    def ln(y, p):
+        mu = y.mean(-1, keepdims=True)
+        var = ((y - mu) ** 2).mean(-1, keepdims=True)
+        return (y - mu) / jnp.sqrt(var + 1e-6) * p["scale"] + p["bias"]
+
+    def reference(x):
+        h1 = ln(x, blk["norm1"])
+        qkv = h1 @ blk["qkv"]["kernel"] + blk["qkv"]["bias"]
+        qh = qkv.reshape(b, l, 3, h, d // h).transpose(2, 0, 3, 1, 4)
+        q, k, v = qh[0], qh[1], qh[2]
+        s = (q @ k.transpose(0, 1, 3, 2)) * (d // h) ** -0.5
+        s = s + (1.0 - mask)[:, None, None, :] * -1e9
+        o = (jax.nn.softmax(s, -1) @ v).transpose(0, 2, 1, 3).reshape(
+            b, l, d)
+        proj = o @ blk["proj"]["kernel"] + blk["proj"]["bias"]
+        x2 = x + proj * mask[:, :, None]
+        h2 = ln(x2, blk["norm2"])
+        u = jax.nn.gelu(h2 @ blk["fc1"]["kernel"]
+                        + blk["fc1"]["bias"], approximate=False)
+        y = u @ blk["fc2"]["kernel"] + blk["fc2"]["bias"]
+        return x2 + y * mask[:, :, None]
+
+    padded = _pad_fake_head(blk, d, h)
+    assert padded["qkv"]["kernel"].shape == (d, 3 * 4 * 64)
+    assert padded["proj"]["kernel"].shape == (4 * 64, d)
+    params = {"ln1": padded["norm1"], "ln2": padded["norm2"],
+              "qkv": padded["qkv"], "proj": padded["proj"],
+              "fc1": padded["fc1"], "fc2": padded["fc2"]}
+    out = fused_vit_block(x, mask.reshape(b, 1, l), mask.reshape(b, l, 1),
+                          params, num_heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(reference(x)),
+                               atol=2e-5)
+
+
+def test_fused_vit_odd_heads_matches_model():
+    """build_fused_vit pads the fake head automatically for odd-head
+    models (dense + selection + head gating)."""
+    geom = dict(depth=2, dim=192, num_heads=3, mlp_ratio=2.0,
+                num_classes=11)
+    x = _x(seed=13)
+    base = LAUDViT(layer_skip=False, **geom)
+    v = jax.jit(lambda: base.init({"params": jax.random.PRNGKey(5)}, x,
+                                  1.0, training=False))()
+    import flax
+
+    v = flax.core.unfreeze(v) if hasattr(flax.core, "unfreeze") else dict(v)
+    bias = v["params"]["block_1"]["head_policy"]["bias"]
+    v["params"]["block_1"]["head_policy"]["bias"] = bias.at[2].set(-5.0)
+
+    caps = (1.0, 0.5)
+    sel = LAUDViT(layer_skip=False, token_capacity=caps, **geom)
+    ref = sel.apply(v, x, 0.1, training=False)
+    assert float(jnp.asarray(ref.head_density).mean()) < 1.0
+    fwd = build_fused_vit(v, depth=2, dim=192, num_heads=3,
+                          token_capacity=caps, head_gating=True,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(fwd(x)), np.asarray(ref.logits),
+                               atol=2e-5)
+
+
+def test_fused_vit_odd_heads_int8_close():
+    """The int8 block engine accepts the padded odd-head geometry: the
+    all-zero fake-head columns quantize to zero codes (eps-floored
+    scale), so the padded int8 engine stays close to the bf16 one."""
+    geom = dict(depth=2, dim=192, num_heads=3, mlp_ratio=2.0,
+                num_classes=11, token_skip=False, head_skip=False,
+                layer_skip=False)
+    x = _x(seed=17)
+    base = LAUDViT(**geom)
+    v = jax.jit(lambda: base.init({"params": jax.random.PRNGKey(6)}, x,
+                                  1.0, training=False))()
+    ref = np.asarray(base.apply(v, x, 0.1, training=False).logits)
+    q = np.asarray(build_fused_vit(v, depth=2, dim=192, num_heads=3,
+                                   int8=True, interpret=True)(x))
+    rel = np.linalg.norm(q - ref) / np.linalg.norm(ref)
+    assert 0 < rel < 0.05, rel
+    assert (q.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_fused_vit_t2t_stem_matches_model():
+    """stem='t2t' runs the performer stem as the engine prologue — the
+    full T2T-ViT serving path (odd heads + tokens-to-token stem)."""
+    geom = dict(depth=2, dim=192, num_heads=3, mlp_ratio=2.0,
+                num_classes=11, stem="t2t")
+    x = _x(b=1, s=224, seed=19)  # T2TStem is built for 224 inputs
+    base = LAUDViT(head_skip=False, layer_skip=False, **geom)
+    v = jax.jit(lambda: base.init({"params": jax.random.PRNGKey(7)}, x,
+                                  1.0, training=False))()
+    caps = (1.0, 0.5)
+    sel = LAUDViT(head_skip=False, layer_skip=False, token_capacity=caps,
+                  **geom)
+    ref = sel.apply(v, x, 0.1, training=False).logits
+    fwd = build_fused_vit(v, depth=2, dim=192, num_heads=3, stem="t2t",
+                          token_capacity=caps, interpret=True)
+    np.testing.assert_allclose(np.asarray(fwd(x)), np.asarray(ref),
+                               atol=2e-5)
+
+
 def test_block_kernel_rejects_unaligned_geometry():
     x = jnp.zeros((1, 5, 192))
     params = {

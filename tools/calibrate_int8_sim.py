@@ -107,13 +107,23 @@ def main() -> None:
         print("  -- int8_deitb.json missing --")
 
     t2t = _load(os.path.join(d, "int8_t2t.json"))
-    print("== T2T-ViT-19 QuantDense graph (bench --t2t --int8)")
+    print("== T2T-ViT-19 trunk (bench --t2t [--int8])")
     if t2t:
-        _row("int8 dense (attention-fused graph)",
-             t2t.get("int8_dense_img_s"),
-             note="QuantDense-in-graph has no sim mode")
+        geo = dict(depth=14, dim=448, num_heads=7, mlp_ratio=3.0)
+        snap_t2t = (1.0,) * 3 + (128.5 / 197,) * 5 + (96.5 / 197,) * 6
+        # r3: the block engine admits T2T via fake-head padding, so the
+        # bf16 and int8 trunk anchors are all fused_block-modeled now
+        _row("bf16 dense (block engine)",
+             t2t.get("dense_fused_block_img_s"),
+             ips(mode="dense", fused_block=True, **geo))
+        _row("bf16 snapped select", t2t.get("value"),
+             ips(mode="token", token_capacity=snap_t2t,
+                 fused_block=True, **geo))
+        _row("int8 dense", t2t.get("int8_dense_img_s"),
+             ips(mode="dense", fused_block=True, int8=True, **geo))
         _row("int8 snapped select", t2t.get("int8_snapped_img_s"),
-             note="")
+             ips(mode="token", token_capacity=snap_t2t, fused_block=True,
+                 int8=True, **geo))
     else:
         print("  -- int8_t2t.json missing --")
 
