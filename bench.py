@@ -174,14 +174,28 @@ def main_r101_target05():
     import sys
 
     if "--int8" in sys.argv:
-        # W8A8 on top of the export; logit agreement vs the float export
-        # on the same batch is the additional honesty metric
-        qfwd = export_pruned_resnet(vb, masks, layers=(3, 4, 23, 3),
-                                    channel_dyn_granularity=(2, 2, 2, 2),
-                                    input_size=SIZE, int8=True)
+        # W8A8 on top of the export with CALIBRATED STATIC activation
+        # scales (the production variant — the dynamic per-tensor
+        # abs-max reduce serializes the graph and measures 0.42x the fp
+        # export; static scales measure 0.72x, still a LOSS on v5e: XLA
+        # s8 convs run ~1.08x bf16, not the nominal 2x, and the
+        # quantize/dequant passes break the export's fusion chains).
+        # Logit agreement vs the float export is the honesty metric.
+        from laudnet_tpu.infer.export_pruned import (
+            calibrate_export_act_scales,
+        )
+
+        kw = dict(layers=(3, 4, 23, 3),
+                  channel_dyn_granularity=(2, 2, 2, 2), input_size=SIZE)
+        scales = calibrate_export_act_scales(
+            vb, masks, [calib.astype(DTYPE)], **kw)
+        qfwd = export_pruned_resnet(vb, masks, int8=True,
+                                    act_scales=scales, **kw)
         out["int8_export_img_s"] = round(_throughput(qfwd, x), 1)
         out["int8_export_vs_dense"] = round(
             out["int8_export_img_s"] / dense_ips, 4)
+        out["int8_dynamic_scales_img_s"] = round(_throughput(
+            export_pruned_resnet(vb, masks, int8=True, **kw), x), 1)
         t1, rel = _agreement(fwd, qfwd, x)
         out["int8_top1_agreement_vs_fp_export"] = round(t1, 4)
         out["int8_rel_logit_error"] = round(rel, 4)
@@ -457,6 +471,31 @@ def main_t2t():
         out["attnfused_dense_img_s"] = round(_throughput(
             lambda x: plain_af.apply(vp, x, jnp.asarray(0.1, DTYPE),
                                      training=False).logits, x), 1)
+        # the FULL T2T-ViT-19 (performer stem) end-to-end through the
+        # block engine (stem='t2t' prologue)
+        from laudnet_tpu.models import laud_t2t_vit_19
+
+        full = laud_t2t_vit_19()
+        vf = _cast(
+            jax.jit(lambda: full.init({"params": jax.random.PRNGKey(0)},
+                                      x.astype(jnp.float32), 1.0,
+                                      training=False))(),
+            DTYPE,
+        )
+        out["full_snapped_img_s"] = round(_throughput(
+            build_fused_vit(vf, token_capacity=caps, snap_capacities=True,
+                            stem="t2t", **geom), x), 1)
+        vf_plain = _cast(
+            jax.jit(lambda: laud_t2t_vit_19(
+                token_skip=False, head_skip=False, layer_skip=False).init(
+                {"params": jax.random.PRNGKey(0)}, x.astype(jnp.float32),
+                1.0, training=False))(),
+            DTYPE,
+        )
+        out["full_dense_img_s"] = round(_throughput(
+            build_fused_vit(vf_plain, stem="t2t", **geom), x), 1)
+        out["full_vs_baseline"] = round(
+            out["full_snapped_img_s"] / out["full_dense_img_s"], 4)
 
     if "--int8" in sys.argv:
         # W8A8 via the int8 block engine (r3: the fake-head padding

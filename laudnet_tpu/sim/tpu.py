@@ -24,6 +24,21 @@ from laudnet_tpu.sim.models import MODEL_GEOMETRY, BlockGeom
 from laudnet_tpu.sim.report import SimulationReport
 from laudnet_tpu.sim.tiles import ceil_eff
 
+# W8A8 int8 calibration (fused block engine, measured v5e r3; see
+# tools/calibrate_int8_sim.py and tests/test_sim.py int8 anchors).
+# _INT8_MM_MULT: effective s8-vs-bf16 MXU multiplier for the engine's
+# weight matmuls when the spec sets no peak_int8. The chip's nominal s8
+# peak is 2x bf16, but the measured XLA s8 8192^3 matmul reaches only
+# ~1.32x (tools/probe_int8.py: 154 vs 117 T(FL)OPS same-method), and the
+# six measured engine anchors (DeiT-S/B, T2T dense+snapped-select) fit an
+# in-kernel effective multiplier below nominal too.
+# _INT8_STEP_OVERHEAD: extra per-grid-step cost of the int8 kernel
+# (operand re-layouts around the s8 MXU ops that don't scale with rows).
+# Jointly fitted over the six anchors: max |err| 2.9% at (1.8, 0.4 us)
+# vs +4.5..+14.3% at the nominal (2.0, 0).
+_INT8_MM_MULT = 1.8
+_INT8_STEP_OVERHEAD = 0.4e-6
+
 
 class TPUPredictor:
     """Analytic latency model of this framework's ops on one TPU chip."""
@@ -350,7 +365,7 @@ class TPUPredictor:
         mm_peak = peak
         w_bytes = self.dtype_bytes
         if int8:
-            mm_peak = s.peak_int8 or 2.0 * s.peak_bf16
+            mm_peak = s.peak_int8 or _INT8_MM_MULT * s.peak_bf16
             w_bytes = 1
         mxu = (mm_flops / (mm_peak * mm_eff)
                + attn_flops / (peak * s.sustained_frac))
@@ -378,6 +393,8 @@ class TPUPredictor:
         # 1.10x (1.16x snapped) — XLA fuses those tiny ops more cheaply
         # than the per-op floors assume.
         boundary = 3.3e-6 + 0.8e-6 * b
+        if int8:
+            boundary += _INT8_STEP_OVERHEAD * b
         return SimulationReport(
             latency=mxu + vpu + mem + s.fusion_overhead + boundary,
             compute_latency=mxu + vpu, memory_latency=mem,

@@ -158,13 +158,15 @@ def test_serving_engine_allow_int8_serves_int8(monkeypatch):
     """calibrate(allow_int8=True) on a block-engine-eligible geometry
     chooses and compiles an int8 mode (plan.exact False, served==mode).
     The backend gate is monkeypatched open; the compiled pallas closure
-    is never executed on CPU."""
+    is never executed on CPU. DeiT-S geometry (L=197): the calibrated
+    int8 pricing only wins at real token counts — at tiny L the
+    per-step int8 overhead dominates and the plan correctly declines."""
     import laudnet_tpu.infer.engine as engine_mod
 
-    kw = dict(depth=2, dim=256, num_heads=4, mlp_ratio=2.0, patch_size=16,
+    kw = dict(depth=2, dim=384, num_heads=6, mlp_ratio=4.0, patch_size=16,
               num_classes=10, head_skip=False, layer_skip=False)
     m = LAUDViT(**kw)
-    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 224, 224, 3))
     v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
                                training=False))()
     engine = ServingEngine(m, v)
@@ -196,29 +198,20 @@ def test_plan_resnet_serving_mixed_stage_modes():
 
 def test_plan_resnet_dense_masked_int8():
     """dense-masked-int8 (W8A8 convs, masks fully dynamic) is always
-    ranked; on v5e/R101/bs128 the structural model predicts the
-    DYNAMIC-quantize variant LOSES (activation-traffic-bound: the
-    quantize pass adds ~1.4x traffic while compute only halves), so
-    allow_int8 declines it there — and chooses it where the model says
-    it wins (a bandwidth-rich spec). The engine compiles the chosen
-    variant via conv_impl='int8'."""
-    from dataclasses import replace
-
-    from laudnet_tpu.sim.hardware import TPU_PRESETS
-
+    ranked; on v5e/R101/bs128 the r3-measured anchor is a mild WIN
+    (9874 vs 9109 img/s — XLA s8 convs at ~1.08x bf16), so allow_int8
+    chooses it and the engine compiles conv_impl='int8'. Without the
+    opt-in the exact path still wins (quantization is inexact)."""
     base = plan_resnet_serving("resnet101")
     assert "dense-masked-int8" in base.ranking
     assert base.exact and not base.mode.endswith("-int8")
+    # calibrated pricing: a mild predicted win over the exact path
+    ratio = (base.ranking["dense-masked"]
+             / base.ranking["dense-masked-int8"])
+    assert 1.0 < ratio < 1.2, ratio
 
-    # v5e: predicted slower than the exact path -> declined
     q = plan_resnet_serving("resnet101", allow_int8=True)
-    assert q.exact and not q.mode.endswith("-int8")
-    assert q.ranking["dense-masked-int8"] > q.ranking["dense-masked"]
-
-    # compute-bound regime (bandwidth-rich spec): int8 wins and is chosen
-    fat = replace(TPU_PRESETS["v5e"], mem_bandwidth=1e13)
-    qf = plan_resnet_serving("resnet101", allow_int8=True, spec=fat)
-    assert qf.mode == "dense-masked-int8" and not qf.exact
+    assert q.mode == "dense-masked-int8" and not q.exact
 
     from laudnet_tpu.models import LAUDResNet
 
@@ -229,7 +222,7 @@ def test_plan_resnet_dense_masked_int8():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
     v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
                                training=False))()
-    engine = ServingEngine(m, v, spec=fat)
+    engine = ServingEngine(m, v)
     plan = engine.calibrate([x], allow_int8=True)
     assert plan.mode == "dense-masked-int8"
     assert plan.served == "dense-masked-int8" and not plan.exact
@@ -237,12 +230,14 @@ def test_plan_resnet_dense_masked_int8():
 
 
 def test_plan_resnet_static_export_int8():
-    """static-export-int8 is ranked whenever static-export is, chosen
-    only with BOTH opt-ins (two approximation layers), and faster than
-    the fp export under the structural s8 pricing."""
+    """static-export-int8 is ranked whenever static-export is, but on
+    v5e it is a measured LOSS (9465 vs 13100 img/s static-scale; XLA s8
+    convs don't reach the nominal 2x and the quantize passes break the
+    export's fusion chains), so even with BOTH opt-ins the plan keeps
+    the fp export."""
     base = plan_resnet_serving("resnet101", allow_static_export=True)
     assert "static-export-int8" in base.ranking
-    assert base.ranking["static-export-int8"] < base.ranking["static-export"]
+    assert base.ranking["static-export-int8"] > base.ranking["static-export"]
     assert base.mode == "static-export" and not base.exact
 
     only_int8 = plan_resnet_serving("resnet101", allow_int8=True)
@@ -250,7 +245,9 @@ def test_plan_resnet_static_export_int8():
 
     both = plan_resnet_serving("resnet101", allow_static_export=True,
                                allow_int8=True)
-    assert both.mode == "static-export-int8" and not both.exact
+    # fp export still predicted fastest; int8 is only taken where its
+    # calibrated pricing wins (not on v5e)
+    assert both.mode == "static-export"
 
 
 def test_serving_engine_regnet_no_ranking_plan():

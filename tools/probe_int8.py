@@ -27,21 +27,26 @@ import numpy as np
 from bench import _chain_time
 
 
-def rate_matmul(dtype, n=8192):
-    rng = np.random.default_rng(0)
+def _dev_operand(shape, dtype, seed=0):
+    """Operand generated ON DEVICE inside the jit: closure-constant
+    operands of this size get embedded in the HLO and the axon tunnel's
+    remote_compile rejects the payload (HTTP 413). Generation is
+    loop-invariant, so XLA hoists it out of the timing loop."""
+    key = jax.random.PRNGKey(seed)
     if dtype == jnp.int8:
-        a = jnp.asarray(rng.integers(-127, 127, (n, n)), jnp.int8)
-        b = jnp.asarray(rng.integers(-127, 127, (n, n)), jnp.int8)
-    else:
-        a = jnp.asarray(rng.standard_normal((n, n)), dtype)
-        b = jnp.asarray(rng.standard_normal((n, n)), dtype)
+        return jax.random.randint(key, shape, -127, 127, jnp.int8)
+    return jax.random.normal(key, shape, dtype)
 
+
+def rate_matmul(dtype, n=8192):
     def step(x):
+        a = _dev_operand((n, n), dtype, 0)
+        b = _dev_operand((n, n), dtype, 1)
         # fold the loop carry INTO an operand (not just the output): a
-        # dot over closed-over constants is loop-INVARIANT and XLA hoists
-        # it out of the chained fori_loop, timing an empty loop. The
-        # carried scalar is ~0 so values are unchanged, but being
-        # data-dependent it defeats invariant code motion.
+        # dot over loop-invariant operands is hoisted out of the chained
+        # fori_loop, timing an empty loop. The carried scalar is ~0 so
+        # values are unchanged, but being data-dependent it defeats
+        # invariant code motion (the generation itself still hoists).
         bump = (x[0, 0, 0, 0] * 1e-30).astype(a.dtype)
         acc = jax.lax.dot_general(
             a + bump, b, (((1,), (0,)), ((), ())),
@@ -56,10 +61,6 @@ def rate_matmul(dtype, n=8192):
 def rate_pallas_s8(n=4096):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-    rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(-127, 127, (n, n)), jnp.int8)
-    b = jnp.asarray(rng.integers(-127, 127, (n, n)), jnp.int8)
 
     def kernel(a_ref, b_ref, o_ref):
         o_ref[:] = jax.lax.dot_general(
@@ -84,6 +85,8 @@ def rate_pallas_s8(n=4096):
         )(a, b)
 
     def step(x):
+        a = _dev_operand((n, n), jnp.int8, 0)
+        b = _dev_operand((n, n), jnp.int8, 1)
         bump = (x[0, 0, 0, 0] * 1e-30).astype(a.dtype)  # defeat hoisting
         acc = run(a + bump, b)
         return x + acc[0, 0].astype(x.dtype) * 1e-30
@@ -93,22 +96,41 @@ def rate_pallas_s8(n=4096):
 
 
 def rate_conv(dtype, b=128, h=14, cin=1024, cout=512):
-    rng = np.random.default_rng(0)
-    if dtype == jnp.int8:
-        x = jnp.asarray(rng.integers(-127, 127, (b, h, h, cin)), jnp.int8)
-        k = jnp.asarray(rng.integers(-127, 127, (3, 3, cin, cout)), jnp.int8)
-        pref = jnp.int32
-    else:
-        x = jnp.asarray(rng.standard_normal((b, h, h, cin)), dtype)
-        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.02, dtype)
-        pref = jnp.float32
+    pref = jnp.int32 if dtype == jnp.int8 else jnp.float32
 
     def step(z):
+        x = _dev_operand((b, h, h, cin), dtype, 0)
+        k = _dev_operand((3, 3, cin, cout), dtype, 1)
         bump = (z[0, 0, 0, 0] * 1e-30).astype(x.dtype)  # defeat hoisting
         y = jax.lax.conv_general_dilated(
             x + bump, k, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=pref)
+        return z + y[0, 0, 0, 0].astype(z.dtype) * 1e-30
+
+    t = _chain_time(lambda z: step(z), jnp.zeros((1, 1, 1, 1), jnp.float32))
+    return 2 * b * h * h * cin * cout * 9 / t / 1e12
+
+
+def rate_qconv_pipeline(b=128, h=14, cin=1024, cout=512):
+    """End-to-end W8A8 conv PIPELINE rate (logical bf16 flops/s): the
+    dynamic per-tensor abs-max + quantize + s8 conv + dequant sequence of
+    `infer/export_pruned.py::_qconv` / `ops/quant.py::QuantConv`, timed
+    against a bf16 activation stream — what the int8 CNN serving paths
+    actually pay per conv, including everything around the MXU op."""
+
+    def step(z):
+        x = _dev_operand((b, h, h, cin), jnp.bfloat16, 0)
+        k = _dev_operand((3, 3, cin, cout), jnp.int8, 1)
+        bump = (z[0, 0, 0, 0] * 1e-30).astype(x.dtype)
+        xf = (x + bump).astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) * (1.0 / 127.0)
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * xs).astype(jnp.bfloat16)
         return z + y[0, 0, 0, 0].astype(z.dtype) * 1e-30
 
     t = _chain_time(lambda z: step(z), jnp.zeros((1, 1, 1, 1), jnp.float32))
@@ -124,6 +146,11 @@ def main():
         out["xla_s8_conv_tops"] = round(rate_conv(jnp.int8), 1)
     except Exception as e:  # noqa: BLE001 - probe reports, never crashes
         out["xla_s8_conv_tops"] = f"FAILED: {type(e).__name__}: {e}"[:200]
+    try:
+        out["xla_qconv_pipeline_tflops"] = round(rate_qconv_pipeline(), 1)
+    except Exception as e:  # noqa: BLE001
+        out["xla_qconv_pipeline_tflops"] = (
+            f"FAILED: {type(e).__name__}: {e}"[:200])
     try:
         out["pallas_s8_matmul_tops"] = round(rate_pallas_s8(), 1)
     except Exception as e:  # noqa: BLE001
