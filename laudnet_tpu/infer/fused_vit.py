@@ -148,18 +148,17 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
             qblocks.append(qb)
 
     if stem == "t2t":
-        from laudnet_tpu.models.t2t import T2TStem
-
-        stem_mod = T2TStem(embed_dim=dim)
+        from laudnet_tpu.models.t2t import t2t_stem_conv_apply
 
     def forward(x):
         p = params
         b = x.shape[0]
         if stem == "t2t":
-            # performer stem (exact flax apply over its sub-tree), then
-            # the cls/pos prologue shared with the patch path
-            # (`models/laud_vit.py::LAUDViT.__call__` t2t branch)
-            t = stem_mod.apply({"params": p["t2t_stem"]}, x)
+            # conv-folded performer stem (`models/t2t.py::
+            # t2t_stem_conv_apply` — unfold+LN+kqv as convs, the patch
+            # tensors never materialize), then the cls/pos prologue
+            # shared with the patch path
+            t = t2t_stem_conv_apply(p["t2t_stem"], x, embed_dim=dim)
             n = t.shape[1]
             cls = jnp.broadcast_to(p["cls_token"].astype(t.dtype),
                                    (b, 1, dim))

@@ -110,10 +110,15 @@ class LAUDBottleneck(nn.Module):
     execution: str = "dense"  # 'dense' | 'sparse' (eval-time patch gather)
     patch_capacity: float = 1.0  # fraction of patch slots kept in sparse mode
     bn_eval: bool = False  # freeze BN (norm_eval) while keeping Gumbel sampling
-    # 'dense' | 'int8': W8A8 convs at EVAL (`ops/quant.py::QuantConv`,
-    # checkpoint-compatible params). The masker heads, BN, and mask
-    # algebra stay float, so the per-input gating stays fully dynamic —
-    # only the conv arithmetic quantizes. Training always runs dense.
+    # 'dense' | 'int8' | 'int8_qat': W8A8 convs at EVAL
+    # (`ops/quant.py::QuantConv`, checkpoint-compatible params). The
+    # masker heads, BN, and mask algebra stay float, so the per-input
+    # gating stays fully dynamic — only the conv arithmetic quantizes.
+    # 'int8_qat' additionally fake-quantizes in TRAINING
+    # (straight-through gradients): the train graph sees the serving
+    # path's int8 numerics — including the gate flips quantization noise
+    # causes at the masker inputs — so fine-tuning re-stabilizes the
+    # gates before int8 deployment.
     conv_impl: str = "dense"
     param_dtype: Any = jnp.float32
 
@@ -134,10 +139,16 @@ class LAUDBottleneck(nn.Module):
         inplanes = x.shape[-1]
         width = self.planes * self.group_width
         Conv = nn.Conv
-        if self.conv_impl == "int8" and not training:
+        if (self.conv_impl == "int8" and not training) or (
+                self.conv_impl == "int8_qat"):
+            import functools
+
             from laudnet_tpu.ops.quant import QuantConv
 
-            Conv = QuantConv
+            # int8_qat: fake-quant float convs in training, real s8 at
+            # eval (same contract as LAUDViT linear_impl='int8_qat')
+            Conv = functools.partial(
+                QuantConv, fake=self.conv_impl == "int8_qat" and training)
         out_planes = self.planes * EXPANSION
         channel_dyn_group = width // self.channel_dyn_granularity
         if isinstance(self.output_size, int):
@@ -370,7 +381,8 @@ class LAUDResNet(nn.Module):
     reduction_ratio: Sequence[int] = (16, 16, 16, 16)
     execution: str = "dense"  # 'dense' | 'sparse' eval fast path
     patch_capacity: Sequence[float] = (1.0, 1.0, 1.0, 1.0)  # per stage
-    # 'dense' | 'int8': W8A8 convs at eval; masks stay fully dynamic
+    # 'dense' | 'int8' | 'int8_qat': W8A8 convs at eval; masks stay
+    # fully dynamic. 'int8_qat' fake-quantizes in training (QAT).
     conv_impl: str = "dense"
     param_dtype: Any = jnp.float32
 
@@ -379,10 +391,14 @@ class LAUDResNet(nn.Module):
         stem_width = int(64 * self.width_mult)
         c_in = x.shape[-1]
         StemConv = nn.Conv
-        if self.conv_impl == "int8" and not training:
+        if (self.conv_impl == "int8" and not training) or (
+                self.conv_impl == "int8_qat"):
+            import functools
+
             from laudnet_tpu.ops.quant import QuantConv
 
-            StemConv = QuantConv
+            StemConv = functools.partial(
+                QuantConv, fake=self.conv_impl == "int8_qat" and training)
         x = StemConv(
             stem_width,
             (7, 7),

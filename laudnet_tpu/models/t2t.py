@@ -121,3 +121,109 @@ class T2TStem(nn.Module):
         t, _ = unfold(t, 3, 2, 1)  # (B, 14*14, 9*token_dim)
         return nn.Dense(self.embed_dim, name="project",
                         param_dtype=self.param_dtype)(t)
+
+
+# --- conv-folded stem (serving fast path) ----------------------------------
+
+
+def _folded_unfold_ln_dense(xmap, norm1, dense, k, s, pad, eps=1e-6):
+    """unfold(k,s,pad) -> LayerNorm -> Dense, folded into convs.
+
+    For a patch row u (the k*k*C unfolded vector), LayerNorm+Dense is
+        ((u - mu) / sqrt(var + eps)) @ (gamma ⊙ W) + (beta @ W + b)
+    with per-patch scalars mu/var. Since u @ (gamma ⊙ W) is exactly a
+    conv of the raw (B,H,W,C) map with the kernel reshaped to
+    (k,k,C,dout) — the unfold emits (ki,kj,c)-ordered rows — and
+    mu / E[u^2] are 1-channel convs with an all-ones kernel, the
+    (B, L, k*k*C) patch tensor never materializes. Bit-matched to the
+    unfold path up to fp reassociation (tests)."""
+    from jax import lax
+
+    c = xmap.shape[-1]
+    din = k * k * c
+    gamma = norm1["scale"].astype(jnp.float32)
+    beta = norm1["bias"].astype(jnp.float32)
+    w = dense["kernel"].astype(jnp.float32)  # (din, dout)
+    b = dense["bias"].astype(jnp.float32)
+    wg = w * gamma[:, None]
+    dout = w.shape[1]
+
+    def conv(z, kern):
+        return lax.conv_general_dilated(
+            z, kern.astype(z.dtype), (s, s), [(pad, pad)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y = conv(xmap, wg.reshape(k, k, c, dout))
+    ones = jnp.ones((k, k, c, 1), xmap.dtype)
+    mu = conv(xmap, ones) / din
+    ex2 = conv(xmap * xmap, ones) / din
+    inv = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + eps)
+    const = beta @ w + b
+    return ((y - mu * wg.sum(0).astype(y.dtype)) * inv
+            + const.astype(y.dtype))
+
+
+def _performer_tail(p, kqv, d, kernel_ratio=0.5):
+    """TokenPerformer after its kqv projection (exact re-implementation
+    of `TokenPerformer.__call__` from the split on): linear attention
+    with positive random features, proj, v-residual, norm2, MLP."""
+    b, l, _ = kqv.shape
+    m = int(d * kernel_ratio)
+    k, q, v = jnp.split(kqv, 3, axis=-1)
+    w = p["w"].astype(kqv.dtype)
+
+    def prm_exp(t):
+        xd = (t**2).sum(-1, keepdims=True) / 2.0
+        return jnp.exp(t @ w.T - xd) / m**0.5
+
+    kp, qp = prm_exp(k), prm_exp(q)
+    denom = qp @ kp.sum(axis=1)[:, :, None]
+    kptv = jnp.einsum("bld,blm->bdm", v, kp)
+    attn = jnp.einsum("blm,bdm->bld", qp, kptv) / (denom + 1e-8)
+    attn = attn @ p["proj"]["kernel"].astype(kqv.dtype) \
+        + p["proj"]["bias"].astype(kqv.dtype)
+    x = v + attn
+
+    n2 = p["norm2"]
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)
+         * n2["scale"].astype(jnp.float32)
+         + n2["bias"].astype(jnp.float32)).astype(x.dtype)
+    h = y @ p["fc1"]["kernel"].astype(x.dtype) + p["fc1"]["bias"].astype(
+        x.dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    h = h @ p["fc2"]["kernel"].astype(x.dtype) + p["fc2"]["bias"].astype(
+        x.dtype)
+    return x + h
+
+
+def t2t_stem_conv_apply(params, images, *, embed_dim: int = 448,
+                        token_dim: int = 64):
+    """Conv-folded forward of :class:`T2TStem` over its param subtree
+    (``variables["params"]["t2t_stem"]``) — the serving fast path used
+    by `infer/fused_vit.py::build_fused_vit(stem='t2t')`.
+
+    Equal to ``T2TStem.apply`` (same params, fp-reassociation-level
+    drift) but never materializes the (B, 3136, 147) / (B, 784, 576)
+    unfolded patch tensors: each unfold+LayerNorm+kqv chain runs as
+    three convs on the raw map (`_folded_unfold_ln_dense`), and the
+    final unfold+projection is a plain 3x3/2 conv."""
+    from jax import lax
+
+    b = images.shape[0]
+    p1, p2 = params["attn1"], params["attn2"]
+    t = _folded_unfold_ln_dense(images, p1["norm1"], p1["kqv"], 7, 4, 2)
+    t = _performer_tail(p1, t.reshape(b, 56 * 56, 3 * token_dim), token_dim)
+    t = t.reshape(b, 56, 56, token_dim)
+    t = _folded_unfold_ln_dense(t, p2["norm1"], p2["kqv"], 3, 2, 1)
+    t = _performer_tail(p2, t.reshape(b, 28 * 28, 3 * token_dim), token_dim)
+    t = t.reshape(b, 28, 28, token_dim)
+    proj = params["project"]
+    out = lax.conv_general_dilated(
+        t, proj["kernel"].astype(t.dtype).reshape(3, 3, token_dim,
+                                                  embed_dim),
+        (2, 2), [(1, 1)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + proj["bias"].astype(t.dtype)
+    return out.reshape(b, 14 * 14, embed_dim)

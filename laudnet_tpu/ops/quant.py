@@ -70,6 +70,17 @@ def fake_quant_rows(x: jax.Array) -> jax.Array:
     return x + jax.lax.stop_gradient(deq - x)
 
 
+def fake_quant_tensor(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Per-TENSOR activation fake-quant with straight-through gradient —
+    the `QuantConv` serving scheme (one dynamic scale per conv input),
+    used by CNN QAT (`LAUDResNet(conv_impl='int8_qat')`)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf)), eps) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / s), -127, 127)
+    deq = (q * s).astype(x.dtype)
+    return x + jax.lax.stop_gradient(deq - x)
+
+
 class QuantDense:
     """Drop-in W8A8 replacement for ``nn.Dense`` (same param names/inits,
     so trained bf16/f32 checkpoints load unchanged). Weights are
@@ -121,11 +132,18 @@ class QuantConv:
     int-or-'SAME'/'VALID' padding, int strides/dilation, groups,
     use_bias=False). Used by ``LAUDResNet(conv_impl='int8')`` — int8
     dense-masked serving where the per-input masks stay fully dynamic
-    and only the conv arithmetic quantizes."""
+    and only the conv arithmetic quantizes. ``fake=True`` builds the QAT
+    variant (``conv_impl='int8_qat'`` in training): a float conv over
+    fake-quantized weights and per-tensor fake-quantized activations
+    (straight-through gradients) — the train graph sees exactly the
+    serving path's int8 numerics, including the gate flips its masker
+    inputs cause, so fine-tuning re-stabilizes the gates under
+    quantization noise."""
 
     def __new__(cls, features: int, kernel_size, *, strides=1, padding="SAME",
                 kernel_dilation=1, feature_group_count: int = 1,
                 use_bias: bool = False, kernel_init=None, name=None,
+                fake: bool = False,
                 param_dtype=jnp.float32):
         import flax.linen as nn
 
@@ -138,6 +156,7 @@ class QuantConv:
             padding: object = "SAME"
             kernel_dilation: int = 1
             feature_group_count: int = 1
+            fake: bool = False
             param_dtype: object = jnp.float32
 
             @nn.compact
@@ -148,14 +167,6 @@ class QuantConv:
                     "kernel",
                     kernel_init or nn.initializers.lecun_normal(),
                     (kh, kw, cin, self.features), self.param_dtype)
-                kq, ks = quantize_weight(
-                    k.reshape(-1, self.features))
-                kq = kq.reshape(k.shape)
-                xf = x.astype(jnp.float32)
-                amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
-                xs = amax * (1.0 / 127.0)
-                xq = jnp.clip(jnp.round(xf / xs), -127, 127
-                              ).astype(jnp.int8)
                 pad = self.padding
                 if isinstance(pad, int):
                     pad = [(pad, pad), (pad, pad)]
@@ -164,6 +175,22 @@ class QuantConv:
                 d = (self.kernel_dilation
                      if isinstance(self.kernel_dilation, tuple)
                      else (self.kernel_dilation, self.kernel_dilation))
+                if self.fake:
+                    kf = fake_quant_weight(
+                        k.reshape(-1, self.features)).reshape(k.shape)
+                    return jax.lax.conv_general_dilated(
+                        fake_quant_tensor(x), kf.astype(x.dtype), s, pad,
+                        rhs_dilation=d,
+                        feature_group_count=self.feature_group_count,
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                kq, ks = quantize_weight(
+                    k.reshape(-1, self.features))
+                kq = kq.reshape(k.shape)
+                xf = x.astype(jnp.float32)
+                amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
+                xs = amax * (1.0 / 127.0)
+                xq = jnp.clip(jnp.round(xf / xs), -127, 127
+                              ).astype(jnp.int8)
                 acc = jax.lax.conv_general_dilated(
                     xq, kq, s, pad, rhs_dilation=d,
                     feature_group_count=self.feature_group_count,
@@ -178,7 +205,7 @@ class QuantConv:
                           strides=strides, padding=padding,
                           kernel_dilation=kernel_dilation,
                           feature_group_count=feature_group_count,
-                          name=name, param_dtype=param_dtype)
+                          fake=fake, name=name, param_dtype=param_dtype)
 
 
 def int8_linear(x: jax.Array, wq: jax.Array, wscale: jax.Array,

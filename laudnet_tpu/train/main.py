@@ -82,6 +82,13 @@ def parse_args(argv=None):
                         "int8 serving path's fake-quant numerics "
                         "(straight-through gradients, ops/quant.py); "
                         "the teacher stays dense")
+    p.add_argument("--conv_impl", default="dense",
+                   choices=["dense", "int8_qat"],
+                   help="CNN QAT (LAUD-ResNet archs): 'int8_qat' "
+                        "fine-tunes the student's convs under the W8A8 "
+                        "QuantConv fake-quant numerics — including the "
+                        "gate flips quantization noise causes at the "
+                        "masker inputs; the teacher stays dense")
     # gumbel temperature
     p.add_argument("--t0", type=float, default=5.0)
     p.add_argument("--t_last", type=float, default=0.1)
@@ -230,6 +237,11 @@ def main(argv=None):
             channel_masker_layers=_stage_list(args.channel_masker_layers, int),
             reduction_ratio=_stage_list(args.masker_reduction, int),
         )
+        if family == "resnet":
+            stage_kwargs["conv_impl"] = args.conv_impl
+        elif args.conv_impl != "dense":
+            raise SystemExit("--conv_impl int8_qat is LAUD-ResNet-only "
+                             "(QuantConv covers the ResNet conv set)")
         model = model_ctor(**stage_kwargs)
         if family == "regnet":
             from laudnet_tpu.models import regnet_static

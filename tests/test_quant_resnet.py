@@ -77,3 +77,47 @@ def test_int8_composes_with_spatial_and_sparse_execution():
     rel_s = float(jnp.linalg.norm(sparse_q.logits - sparse_f.logits)
                   / jnp.linalg.norm(sparse_f.logits))
     assert rel_s < 0.1, rel_s
+
+
+def test_int8_qat_training_and_eval():
+    """conv_impl='int8_qat': fake-quant float convs in TRAINING (the QAT
+    graph; straight-through gradients reach every conv kernel), real s8
+    at EVAL (identical to conv_impl='int8'), same param tree as dense."""
+    qat = laud_resnet.LAUDResNet(conv_impl="int8_qat", **GEOM)
+    dense = laud_resnet.LAUDResNet(**GEOM)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    v = dense.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                   training=False)
+    # same param tree: dense checkpoints load into the QAT model
+    vq = qat.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                  training=False)
+    assert (jax.tree_util.tree_structure(vq)
+            == jax.tree_util.tree_structure(v))
+
+    # training forward: fake-quant numerics, close to the dense graph
+    rngs = {"gumbel": jax.random.PRNGKey(2)}
+    out_qat, _ = qat.apply(v, x, 1.0, training=True, rngs=rngs,
+                           mutable=["batch_stats"])
+    out_dense, _ = dense.apply(v, x, 1.0, training=True, rngs=rngs,
+                               mutable=["batch_stats"])
+    rel = float(jnp.linalg.norm(out_qat.logits - out_dense.logits)
+                / jnp.linalg.norm(out_dense.logits))
+    assert 0 < rel < 0.2, rel
+
+    # straight-through gradients reach the conv kernels
+    def loss(params):
+        out, _ = qat.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x, 1.0,
+            training=True, rngs=rngs, mutable=["batch_stats"])
+        return (out.logits ** 2).mean()
+
+    g = jax.grad(loss)(v["params"])
+    gk = g["layer1_0"]["conv2"]["kernel"]
+    assert jnp.isfinite(gk).all() and float(jnp.abs(gk).max()) > 0
+
+    # eval: int8_qat serves the REAL s8 path, bit-equal to conv_impl='int8'
+    q_eval = qat.apply(v, x, 0.1, training=False)
+    q_int8 = laud_resnet.LAUDResNet(conv_impl="int8", **GEOM).apply(
+        v, x, 0.1, training=False)
+    np.testing.assert_array_equal(np.asarray(q_eval.logits),
+                                  np.asarray(q_int8.logits))
