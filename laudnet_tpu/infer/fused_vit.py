@@ -98,6 +98,7 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                     snap_capacities: bool = False,
                     head_gating: bool = False,
                     int8: bool = False,
+                    segments: bool = True,
                     block_b: int = 1,
                     vmem_limit_bytes: Optional[int] = None,
                     interpret: bool = False):
@@ -126,7 +127,23 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
     (`models/t2t.py::T2TStem`, params under ``t2t_stem``) as the token
     prologue instead of conv patchify — the full T2T-ViT serving path.
     Odd ``num_heads`` (T2T's 7) are handled by padding a zero fake head
-    into each block's qkv/proj at build time (`_pad_fake_head`)."""
+    into each block's qkv/proj at build time (`_pad_fake_head`).
+
+    ``segments`` (default on; engages only on bf16 token-selection
+    paths): consecutive layers between token-selection gather points
+    share ONE kernel (`fused_vit_segment`) — the segment's weights stay
+    VMEM-resident across the batch grid, x makes one HBM round trip per
+    segment instead of per layer, and per-layer token gates compose
+    in-kernel. Measured v5e: +2.0% on the snapped DeiT-S schedule
+    (natural 3/4/5-layer segments, 15294 vs 15003 img/s) but a LOSS on
+    dense paths (0.90x DeiT-S / 0.92x DeiT-B with long segments —
+    VMEM-resident weights crowd out pipelining), so dense serving keeps
+    one kernel per layer regardless of this flag. Segments are capped
+    at 5 layers (the measured sweet spot; sweep in
+    `tools/probe_segments.py --sweep`) and split so resident weights
+    stay under ~72MB. Bit-equal to the per-block path (tests); pass an
+    int to cap segment length explicitly, False for strictly per-block
+    kernels."""
     params = variables["params"]
     odd = num_heads % 2 == 1
     blocks = []
@@ -150,6 +167,24 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
     if stem == "t2t":
         from laudnet_tpu.models.t2t import t2t_stem_conv_apply
 
+    # Default True engages only on selection paths (dense measured
+    # slower under segments); an explicit int engages everywhere (the
+    # probe/sweep escape hatch).
+    seg_ok = (bool(segments) and not head_gating and qblocks is None
+              and depth > 0
+              and (token_capacity is not None or segments is not True))
+    if seg_ok:
+        from laudnet_tpu.ops.pallas.vit_block import fused_vit_segment
+
+        dh0 = dim // num_heads
+        da = (num_heads + num_heads % 2) * dh0
+        hidden = params["block_0"]["fc1"]["kernel"].shape[1]
+        itb = jnp.dtype(params["block_0"]["qkv"]["kernel"].dtype).itemsize
+        wl_bytes = itb * (dim * 3 * da + da * dim + 2 * dim * hidden)
+        n_max = max(1, min(5, int((72 * 2**20) // max(wl_bytes, 1))))
+        if segments is not True:  # an int caps layers per segment
+            n_max = min(n_max, max(1, int(segments)))
+
     def forward(x):
         p = params
         b = x.shape[0]
@@ -169,6 +204,72 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
 
         token_mask = jnp.ones((b, n + 1), jnp.float32)
         cur = n + 1
+
+        def entry_policy(i, x, token_mask, cur):
+            """Layer ``i``'s eval token gate + optional fixed-capacity
+            gather, applied at block entry (outside the kernels — the
+            gather needs top_k and the confidence scores)."""
+            blk = p[f"block_{i}"]
+            if token_capacity is None or "token_policy" not in blk:
+                return x, token_mask, cur
+            tl = (x @ blk["token_policy"]["kernel"].astype(x.dtype)
+                  + blk["token_policy"]["bias"].astype(x.dtype))
+            tmask = (tl[..., 0] >= tl[..., 1]).astype(jnp.float32)
+            tmask = tmask.at[:, 0].set(1.0)
+            token_mask = token_mask * tmask
+            score = (tl[..., 0] - tl[..., 1]).astype(jnp.float32)
+            k = min(max(2, int(token_capacity[i] * (n + 1))), cur)
+            if snap_capacities and k < cur:
+                k = min(max(2, snap_capacity_to_tiles(k)), cur)
+            if k < cur:
+                # rank kept above dropped; break ties by confidence;
+                # pin the class token (`laud_vit.py` selection)
+                conf = jax.nn.sigmoid(score)
+                rank = token_mask * 2.0 + conf
+                rank = rank.at[:, 0].add(4.0)
+                _, idx = lax.top_k(rank, k)
+                bidx = jnp.arange(b)[:, None]
+                x = x[bidx, idx]
+                token_mask = token_mask[bidx, idx]
+                cur = k
+            return x, token_mask, cur
+
+        def gathers_at(t, cur):
+            if token_capacity is None or (
+                    "token_policy" not in p[f"block_{t}"]):
+                return False
+            k = min(max(2, int(token_capacity[t] * (n + 1))), cur)
+            if snap_capacities and k < cur:
+                k = min(max(2, snap_capacity_to_tiles(k)), cur)
+            return k < cur
+
+        if seg_ok:
+            i = 0
+            while i < depth:
+                x, token_mask, cur = entry_policy(i, x, token_mask, cur)
+                j = i + 1
+                while (j < depth and (j - i) < n_max
+                       and not gathers_at(j, cur)):
+                    j += 1
+                plist = []
+                for t in range(i, j):
+                    pb = blocks[t]
+                    d_ = {"ln1": pb["norm1"], "qkv": pb["qkv"],
+                          "proj": pb["proj"], "ln2": pb["norm2"],
+                          "fc1": pb["fc1"], "fc2": pb["fc2"]}
+                    if (t > i and token_capacity is not None
+                            and "token_policy" in p[f"block_{t}"]):
+                        d_["token_policy"] = p[f"block_{t}"]["token_policy"]
+                    plist.append(d_)
+                x, token_mask = fused_vit_segment(
+                    x, token_mask, plist, num_heads=num_heads,
+                    block_b=block_b, vmem_limit_bytes=vmem_limit_bytes,
+                    interpret=interpret)
+                i = j
+            x = _ln(x, p["norm"])
+            return (x[:, 0] @ p["head"]["kernel"].astype(x.dtype)
+                    + p["head"]["bias"].astype(x.dtype))
+
         for i in range(depth):
             blk = p[f"block_{i}"]
             if token_capacity is not None and "token_policy" in blk:

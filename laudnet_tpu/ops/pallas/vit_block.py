@@ -404,3 +404,167 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
                              vmem_limit_bytes=vmem_limit_bytes)),
         interpret=interpret,
     )(*args)
+
+
+def fused_vit_segment(x, token_mask, params_list, *, num_heads: int,
+                      ln_eps: float = 1e-6, block_b: int = 1,
+                      vmem_limit_bytes: int = None,
+                      interpret: bool = False):
+    """A SEGMENT of transformer layers in one Pallas kernel.
+
+    `fused_vit_block` pays a per-grid-step boundary (~0.8us) and an
+    x-in/x-out HBM round trip per LAYER. Between token-selection gather
+    points the sequence length is constant, so consecutive layers can
+    share one kernel: all their weights stay VMEM-resident across the
+    batch grid (constant index_map -> fetched once), x makes ONE round
+    trip for the whole segment, and the per-layer token gates compose
+    IN-KERNEL. DeiT-S's 1.0x3/0.7x4/0.5x5 schedule becomes 3 kernels +
+    2 selection ops instead of 12 kernels.
+
+    ``x``: (B, L, D); ``token_mask``: (B, L) composed 0/1 gate state at
+    segment entry (the segment's first layer's own gate/selection is
+    applied OUTSIDE, at the gather point). ``params_list``: one dict per
+    layer with ln1/qkv/proj/ln2/fc1/fc2 (odd head counts: pre-padded
+    with the zero fake head, see `fused_vit_block`); a layer dict may
+    also carry ``token_policy`` {kernel (D,2), bias (2,)} — then that
+    layer's eval token gate (logit0 >= logit1, class token pinned)
+    is computed from x at its entry and composed into the running mask,
+    exactly as `infer/fused_vit.py` does between per-layer kernels.
+
+    Layouts: Mosaic requires each operand's last-two block dims to be
+    (8,128)-aligned or whole, so the mask rides in BOTH broadcast-ready
+    shapes — key layout (B,1,L) and row layout (B,L,1) — as separate
+    operands (the per-block kernel's scheme), avoiding any (bb,L)-block
+    mask operand. In-kernel gate updates keep both layouts live: the
+    row update slices logit lanes directly, the key update pays one
+    tiny (bb,L,1)->(bb,1,L) swap per policy layer.
+
+    Returns ``(out, token_mask_out)`` with ``token_mask_out`` (B, L) —
+    the final mask feeds the next segment / gather point. Head/layer
+    gating models keep the per-block kernels (their gates need the
+    class token's policy head per layer).
+    """
+    b, l, d = x.shape
+    dh = d // num_heads
+    da = params_list[0]["qkv"]["kernel"].shape[1] // 3
+    n_up = num_heads + num_heads % 2
+    assert da == n_up * dh and (2 * dh) % 128 == 0 and da % 128 == 0, (
+        "fused_vit_segment needs 128-aligned head pairs "
+        "(odd head counts: pre-pad qkv/proj with a zero fake head)"
+    )
+    hidden = params_list[0]["fc1"]["kernel"].shape[1]
+    n_layers = len(params_list)
+    n_pairs = n_up // 2
+    sm_scale = dh**-0.5
+    it = x.dtype.itemsize
+
+    def vmem_bytes(bb):
+        tok = bb * l
+        return (4 * tok * d * it + 6 * bb * l * 4      # x io + mask bufs
+                + tok * 3 * da * it
+                + 2 * bb * l * l * 4
+                + 2 * tok * d * 4
+                + tok * (da + d) * it
+                + tok * (hidden + d) * 4
+                + n_layers * (d * 3 * da + da * d + 2 * d * hidden
+                              + 4 * d + 4 * da + hidden + 3 * d) * it)
+
+    bb, vmem_limit_bytes = _pick_bb(b, block_b, vmem_bytes,
+                                    vmem_limit_bytes)
+    grid = (b // bb,)
+
+    mask_key = token_mask.reshape(b, 1, l)
+    mask_row = token_mask.reshape(b, l, 1)
+    args = [x, mask_key, mask_row]
+    layer_keys = []
+    for w in params_list:
+        keys = ["ln1_s", "ln1_b", "qkv_k", "qkv_b", "proj_k", "proj_b",
+                "ln2_s", "ln2_b", "fc1_k", "fc1_b", "fc2_k", "fc2_b"]
+        args += [
+            w["ln1"]["scale"].reshape(1, d), w["ln1"]["bias"].reshape(1, d),
+            w["qkv"]["kernel"], w["qkv"]["bias"].reshape(1, 3 * da),
+            w["proj"]["kernel"], w["proj"]["bias"].reshape(1, d),
+            w["ln2"]["scale"].reshape(1, d), w["ln2"]["bias"].reshape(1, d),
+            w["fc1"]["kernel"], w["fc1"]["bias"].reshape(1, hidden),
+            w["fc2"]["kernel"], w["fc2"]["bias"].reshape(1, d),
+        ]
+        if "token_policy" in w:
+            keys += ["tp_k", "tp_b"]
+            args += [w["token_policy"]["kernel"],
+                     w["token_policy"]["bias"].reshape(1, 2)]
+        layer_keys.append(keys)
+
+    in_specs = [_spec_for(a, k < 3, bb) for k, a in enumerate(args)]
+
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+    def kernel(x_ref, mkey_ref, mrow_ref, *rest):
+        refs = list(rest[:-2])
+        out_ref, mask_out_ref = rest[-2], rest[-1]
+        xin = x_ref[:]
+        cdt = xin.dtype
+        mask_key = mkey_ref[:].astype(jnp.float32)  # (bb, 1, L)
+        mask_row = mrow_ref[:].astype(jnp.float32)  # (bb, L, 1)
+        pos_row = jax.lax.broadcasted_iota(jnp.int32, (bb, l, 1), 1)
+
+        for keys in layer_keys:
+            w = {k: refs.pop(0) for k in keys}
+            if "tp_k" in w:
+                # eval token gate at block entry (logit0 >= logit1),
+                # class token pinned open; gates compose. The row
+                # update slices logit lanes in place; the key layout
+                # pays one (bb,L,1)->(bb,1,L) swap.
+                tl = (mm(xin.reshape(bb * l, d).astype(cdt), w["tp_k"][:])
+                      + w["tp_b"][:].astype(jnp.float32))
+                tl = tl.reshape(bb, l, 2)
+                tm = (tl[:, :, 0:1] >= tl[:, :, 1:2]).astype(jnp.float32)
+                tm = jnp.where(pos_row == 0, 1.0, tm)  # (bb, L, 1)
+                mask_row = mask_row * tm
+                mask_key = mask_key * jnp.swapaxes(tm, 1, 2)
+            neg = (1.0 - mask_key) * NEG  # (bb, 1, L)
+            rmask = mask_row              # (bb, L, 1)
+
+            h1 = _ln(xin, w["ln1_s"][0], w["ln1_b"][0], ln_eps).astype(cdt)
+            qkv = (mm(h1.reshape(bb * l, d), w["qkv_k"][:])
+                   + w["qkv_b"][:].astype(jnp.float32)).astype(cdt)
+            qkv = qkv.reshape(bb, l, 3 * da)
+            attn = _pair_attention(qkv, neg, da, dh, n_pairs, sm_scale,
+                                   cdt)
+            proj = (mm(attn.reshape(bb * l, da), w["proj_k"][:])
+                    + w["proj_b"][:].astype(jnp.float32)).reshape(bb, l, d)
+            x2 = xin.astype(jnp.float32) + proj * rmask
+
+            h2 = _ln(x2.astype(cdt), w["ln2_s"][0], w["ln2_b"][0],
+                     ln_eps).astype(cdt)
+            u = (mm(h2.reshape(bb * l, d), w["fc1_k"][:])
+                 + w["fc1_b"][:].astype(jnp.float32))
+            u = _gelu_exact(u).astype(cdt)
+            y = (mm(u, w["fc2_k"][:])
+                 + w["fc2_b"][:].astype(jnp.float32)).reshape(bb, l, d)
+            xin = (x2 + y * rmask).astype(cdt)
+
+        out_ref[:] = xin.astype(out_ref.dtype)
+        mask_out_ref[:] = mask_key.astype(mask_out_ref.dtype)
+
+    out, mask_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((bb, l, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, d), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, l), token_mask.dtype),
+        ],
+        compiler_params=(None if vmem_limit_bytes is None else
+                         pltpu.CompilerParams(
+                             vmem_limit_bytes=vmem_limit_bytes)),
+        interpret=interpret,
+    )(*args)
+    return out, mask_out.reshape(b, l)

@@ -358,3 +358,25 @@ def test_fused_vit_head_gated_matches_model():
                            interpret=True)
     np.testing.assert_allclose(np.asarray(fwd2(x)), np.asarray(ref2),
                                atol=2e-5)
+
+
+def test_fused_vit_segments_equal_per_block():
+    """The multi-layer segment kernel (default) is bit-equal to the
+    per-block kernel path on dense and selection (same math, same
+    accumulation order per layer — only kernel boundaries move)."""
+    x = _x(seed=29)
+    base = LAUDViT(head_skip=False, layer_skip=False, **GEOM)
+    v = jax.jit(lambda: base.init({"params": jax.random.PRNGKey(8)}, x,
+                                  1.0, training=False))()
+    for caps in (None, (1.0, 0.5)):
+        # dense paths need an explicit segment cap (default True only
+        # engages on selection — measured policy)
+        seg = build_fused_vit(v, depth=2, dim=256, num_heads=4,
+                              token_capacity=caps,
+                              segments=True if caps else 2,
+                              interpret=True)(x)
+        blk = build_fused_vit(v, depth=2, dim=256, num_heads=4,
+                              token_capacity=caps, segments=False,
+                              interpret=True)(x)
+        np.testing.assert_allclose(np.asarray(seg), np.asarray(blk),
+                                   atol=2e-6)
