@@ -6,6 +6,13 @@ from laudnet_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from laudnet_tpu.parallel.pp import pipeline_apply, stack_layer_params
+from laudnet_tpu.parallel.tp import (
+    RESNET_TP_RULES,
+    VIT_TP_RULES,
+    shard_params,
+    tensor_parallel_specs,
+)
 
 __all__ = [
     "data_parallel_shardings",
@@ -14,4 +21,10 @@ __all__ = [
     "put_global_batch",
     "replicate",
     "shard_batch",
+    "pipeline_apply",
+    "stack_layer_params",
+    "tensor_parallel_specs",
+    "shard_params",
+    "VIT_TP_RULES",
+    "RESNET_TP_RULES",
 ]

@@ -1,0 +1,105 @@
+"""Tensor parallelism: Megatron-style sharding rules, GSPMD-executed.
+
+The reference's only parallelism is data-parallel DDP (`train/main.py:261-262`);
+scaling a LAUD model past one chip's HBM has no reference analog. On TPU the
+idiomatic mechanism is *annotation-based* tensor parallelism: place each weight
+matrix with a ``NamedSharding`` that splits it over the mesh's ``model`` axis
+and let GSPMD propagate the activation shardings and insert the all-reduces
+over ICI — no collective appears in user code.
+
+The rules implement the Megatron layout for a transformer block:
+
+* column-parallel ``qkv`` / ``fc1`` (split the OUTPUT feature dim, biases
+  split to match) — each shard computes its own slice of heads / hidden
+  units with zero communication;
+* row-parallel ``proj`` / ``fc2`` (split the INPUT feature dim, biases
+  replicated) — each shard holds the partial sum for its slice and GSPMD
+  inserts ONE all-reduce per branch, the minimum for this decomposition;
+* the classifier ``head`` column-parallel (vocab/class sharded logits);
+* everything small (LayerNorms, policy/gating heads, maskers, cls/pos
+  embeddings) replicated.
+
+Sequence parallelism falls out of the same mechanism: batch stays on the
+``data`` axis, and GSPMD re-shards the token dim around the LayerNorms when
+that is cheaper — there is nothing to hand-schedule.
+
+For LAUD-ResNets the analogous layout splits each bottleneck's 1x1 expand
+conv (``conv3``) row-wise and the 3x3 (``conv2``) column-wise on the output
+channel dim; maskers stay replicated so every shard agrees on the gates.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (param-path regex, PartitionSpec template) — first match wins; the
+# template names the dim to split with 'model' and pads/truncates to the
+# leaf's rank from the LEFT (kernels differ in rank: Dense (in, out),
+# conv HWIO (h, w, in, out)).
+VIT_TP_RULES: Tuple[Tuple[str, Tuple[Any, ...]], ...] = (
+    (r".*(qkv|fc1)/kernel$", (None, "model")),   # column-parallel
+    (r".*(qkv|fc1)/bias$", ("model",)),
+    (r".*(proj|fc2)/kernel$", ("model", None)),  # row-parallel
+    (r".*head/kernel$", (None, "model")),        # class-sharded logits
+    (r".*head/bias$", ("model",)),
+)
+
+RESNET_TP_RULES: Tuple[Tuple[str, Tuple[Any, ...]], ...] = (
+    (r".*conv2/kernel$", (None, "model")),       # 3x3: split out-channels
+    (r".*conv3/kernel$", ("model", None)),       # 1x1 expand: row-parallel
+    (r".*fc/kernel$", (None, "model")),
+    (r".*fc/bias$", ("model",)),
+)
+
+
+def _spec_for(name: str, leaf, rules, axis: str, axis_size: int):
+    for pattern, template in rules:
+        if re.match(pattern, name):
+            if leaf.ndim < len(template):
+                return P()
+            # left-pad with None so the template's trailing dims line up
+            # with the leaf's trailing dims (conv kernels are rank 4).
+            spec = (None,) * (leaf.ndim - len(template)) + tuple(
+                axis if t == "model" else t for t in template
+            )
+            # only shard dims the axis divides evenly — otherwise replicate
+            # (e.g. a 7-head T2T qkv on a 2-way model axis).
+            dims_ok = all(
+                s is None or leaf.shape[i] % axis_size == 0
+                for i, s in enumerate(spec)
+            )
+            return P(*spec) if dims_ok else P()
+    return P()
+
+
+def tensor_parallel_specs(params, rules=VIT_TP_RULES, *,
+                          axis: str = "model", mesh: Mesh | None = None):
+    """PartitionSpec pytree for ``params`` under Megatron-style ``rules``.
+
+    Pass ``mesh`` to get ``NamedSharding`` leaves (ready for
+    ``jax.device_put`` / ``jit(..., in_shardings=...)``); omit it to get raw
+    ``PartitionSpec`` leaves (for ``shard_map`` or logical-axis plumbing).
+    """
+    axis_size = 1
+    if mesh is not None:
+        axis_size = mesh.shape.get(axis, 1)
+
+    def leaf_spec(path, leaf):
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        spec = _spec_for(name, leaf, rules, axis, axis_size)
+        return NamedSharding(mesh, spec) if mesh is not None else spec
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+
+def shard_params(params, mesh: Mesh, rules=VIT_TP_RULES,
+                 *, axis: str = "model"):
+    """Place ``params`` on ``mesh`` with the tensor-parallel layout."""
+    shardings = tensor_parallel_specs(params, rules, axis=axis, mesh=mesh)
+    return jax.device_put(params, shardings)

@@ -1,0 +1,197 @@
+"""Tensor- and pipeline-parallel execution on the virtual 8-device mesh.
+
+Both mechanisms must be *transparent*: the sharded/pipelined forward must
+reproduce the single-device graph (same params, same gates) to float
+tolerance, with parameters actually distributed (per-device shards smaller
+than the full weights).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from laudnet_tpu.models.laud_vit import LAUDViT, LAUDViTBlock
+from laudnet_tpu.parallel import (
+    RESNET_TP_RULES,
+    VIT_TP_RULES,
+    pipeline_apply,
+    shard_params,
+    stack_layer_params,
+    tensor_parallel_specs,
+)
+
+TINY = dict(depth=4, dim=64, num_heads=4, patch_size=16, num_classes=13)
+
+
+def _tiny_vit_and_params():
+    model = LAUDViT(**TINY)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 32, 32, 3)), jnp.float32
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, x, 1.0, training=False
+    )
+    return model, variables, x
+
+
+def test_tp_specs_follow_megatron_layout():
+    model, variables, _ = _tiny_vit_and_params()
+    specs = tensor_parallel_specs(variables["params"], VIT_TP_RULES)
+    assert specs["block_0"]["qkv"]["kernel"] == P(None, "model")
+    assert specs["block_0"]["qkv"]["bias"] == P("model")
+    assert specs["block_0"]["proj"]["kernel"] == P("model", None)
+    assert specs["block_0"]["proj"]["bias"] == P()
+    assert specs["block_0"]["fc1"]["kernel"] == P(None, "model")
+    assert specs["block_0"]["fc2"]["kernel"] == P("model", None)
+    assert specs["head"]["kernel"] == P(None, "model")
+    # gating/policy heads and norms stay replicated
+    assert specs["block_0"]["token_policy"]["kernel"] == P()
+    assert specs["block_0"]["norm1"]["scale"] == P()
+    assert specs["pos_embed"] == P()
+
+
+def test_tp_resnet_rules_split_conv_kernels():
+    from laudnet_tpu.models import LAUDResNet
+
+    model = LAUDResNet(layers=(1, 1, 1, 1), num_classes=10, input_size=32)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)}, x, 1.0, training=False
+        )
+    )
+    specs = tensor_parallel_specs(variables["params"], RESNET_TP_RULES)
+    layer0 = specs["layer1_block0"] if "layer1_block0" in specs else None
+    flat = {
+        "/".join(str(getattr(p, "key", p)) for p in path): s
+        for path, s in jax.tree_util.tree_leaves_with_path(
+            specs, is_leaf=lambda s: isinstance(s, P)
+        )
+    }
+    conv2 = [v for k, v in flat.items() if k.endswith("conv2/kernel")]
+    conv3 = [v for k, v in flat.items() if k.endswith("conv3/kernel")]
+    assert conv2 and all(s == P(None, None, None, "model") for s in conv2)
+    assert conv3 and all(s == P(None, None, "model", None) for s in conv3)
+    assert layer0 is None or True  # naming checked via the flat map
+
+
+def test_tp_forward_matches_replicated():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    model, variables, x = _tiny_vit_and_params()
+    ref = model.apply(variables, x, 0.1, training=False).logits
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "model")
+    )
+    params_tp = shard_params(variables["params"], mesh, VIT_TP_RULES)
+    # the qkv matrices must actually be distributed column-wise
+    qkv = params_tp["block_0"]["qkv"]["kernel"]
+    assert qkv.addressable_shards[0].data.shape == (64, 3 * 64 // 2)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def fwd(params, x):
+        return model.apply({"params": params}, x, 0.1,
+                           training=False).logits
+
+    got = fwd(params_tp, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_matches_sequential():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    model, variables, x = _tiny_vit_and_params()
+    params = variables["params"]
+    n_tokens = (32 // 16) ** 2 + 1
+
+    block = LAUDViTBlock(dim=TINY["dim"], num_heads=TINY["num_heads"],
+                         book_len=n_tokens)
+
+    # embed on the host graph, pipeline the trunk
+    def embed(x):
+        p = params["patch_embed"]
+        y = jax.lax.conv_general_dilated(
+            x, p["kernel"], (16, 16), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["bias"]
+        y = y.reshape(x.shape[0], -1, TINY["dim"])
+        cls = jnp.broadcast_to(params["cls_token"],
+                               (x.shape[0], 1, TINY["dim"]))
+        return jnp.concatenate([cls, y], 1) + params["pos_embed"]
+
+    tokens = embed(x)
+    mask0 = jnp.ones(tokens.shape[:2], tokens.dtype)
+
+    # sequential reference over the same per-block module
+    seq, mask = tokens, mask0
+    for i in range(TINY["depth"]):
+        seq, mask, _ = block.apply(
+            {"params": params[f"block_{i}"]}, seq, mask, 0.1, training=False
+        )
+
+    stacked, n_layers = stack_layer_params(params)
+    assert n_layers == TINY["depth"]
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("stage",))
+
+    def stage_fn(p_stage, buf):
+        y, m = buf["x"], buf["mask"]
+        # one layer per stage at depth 4 / 4 stages
+        y, m, _ = block.apply({"params": p_stage}, y, m, 0.1,
+                              training=False)
+        return {"x": y, "mask": m}
+
+    out = pipeline_apply(
+        stage_fn, stacked, {"x": tokens, "mask": mask0},
+        mesh=mesh, microbatches=4,
+    )
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(seq),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["mask"]), np.asarray(mask))
+
+
+def test_pipeline_multi_layer_stages():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    model, variables, x = _tiny_vit_and_params()
+    params = variables["params"]
+    n_tokens = (32 // 16) ** 2 + 1
+    block = LAUDViTBlock(dim=TINY["dim"], num_heads=TINY["num_heads"],
+                         book_len=n_tokens)
+    tokens = jnp.asarray(
+        np.random.default_rng(1).standard_normal((4, n_tokens, TINY["dim"])),
+        jnp.float32,
+    )
+    mask0 = jnp.ones(tokens.shape[:2], tokens.dtype)
+
+    seq, mask = tokens, mask0
+    for i in range(TINY["depth"]):
+        seq, mask, _ = block.apply(
+            {"params": params[f"block_{i}"]}, seq, mask, 0.1, training=False
+        )
+
+    stacked, _ = stack_layer_params(params)
+    # 2 stages x 2 layers: reshape the layer dim to (stages, layers/stage)
+    stacked2 = jax.tree_util.tree_map(
+        lambda a: a.reshape((2, 2) + a.shape[1:]), stacked
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("stage",))
+
+    def stage_fn(p_stage, buf):
+        y, m = buf["x"], buf["mask"]
+        for j in range(2):
+            p = jax.tree_util.tree_map(lambda a: a[j], p_stage)
+            y, m, _ = block.apply({"params": p}, y, m, 0.1, training=False)
+        return {"x": y, "mask": m}
+
+    out = pipeline_apply(
+        stage_fn, stacked2, {"x": tokens, "mask": mask0},
+        mesh=mesh, microbatches=2,
+    )
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(seq),
+                               rtol=2e-4, atol=2e-4)
