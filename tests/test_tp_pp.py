@@ -195,3 +195,79 @@ def test_pipeline_multi_layer_stages():
     )
     np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(seq),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_gradients_match_sequential():
+    """jax.grad flows through the GPipe schedule (reverse ppermute via AD):
+    stage-param gradients must equal the sequential trunk's gradients."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    _, variables, _ = _tiny_vit_and_params()
+    params = variables["params"]
+    n_tokens = (32 // 16) ** 2 + 1
+    block = LAUDViTBlock(dim=TINY["dim"], num_heads=TINY["num_heads"],
+                         book_len=n_tokens)
+    tokens = jnp.asarray(
+        np.random.default_rng(2).standard_normal((8, n_tokens, TINY["dim"])),
+        jnp.float32,
+    )
+    mask0 = jnp.ones(tokens.shape[:2], tokens.dtype)
+    stacked, _ = stack_layer_params(params)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("stage",))
+
+    def stage_fn(p_stage, buf):
+        y, m, _ = block.apply({"params": p_stage}, buf["x"], buf["mask"],
+                              0.1, training=False)
+        return {"x": y, "mask": m}
+
+    def pp_loss(stacked):
+        out = pipeline_apply(
+            stage_fn, stacked, {"x": tokens, "mask": mask0},
+            mesh=mesh, microbatches=4,
+        )
+        return jnp.sum(out["x"] ** 2)
+
+    def seq_loss(stacked):
+        y, m = tokens, mask0
+        for i in range(TINY["depth"]):
+            p = jax.tree_util.tree_map(lambda a: a[i], stacked)
+            y, m, _ = block.apply({"params": p}, y, m, 0.1, training=False)
+        return jnp.sum(y ** 2)
+
+    g_pp = jax.grad(pp_loss)(stacked)
+    g_seq = jax.grad(seq_loss)(stacked)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        ),
+        g_pp, g_seq,
+    )
+
+
+def test_tp_gradients_match_replicated():
+    """Gradients computed with Megatron-sharded params equal the
+    single-device gradients (GSPMD reduces them correctly)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    model, variables, x = _tiny_vit_and_params()
+    labels = jnp.asarray(np.arange(8) % TINY["num_classes"], jnp.int32)
+
+    def loss_fn(params, x):
+        out = model.apply({"params": params}, x, 0.1, training=False)
+        logp = jax.nn.log_softmax(out.logits)
+        return -jnp.mean(logp[jnp.arange(8), labels])
+
+    g_ref = jax.grad(loss_fn)(variables["params"], x)
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "model")
+    )
+    params_tp = shard_params(variables["params"], mesh, VIT_TP_RULES)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    g_tp = jax.jit(jax.grad(loss_fn))(params_tp, xs)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4
+        ),
+        g_tp, g_ref,
+    )
