@@ -6,6 +6,7 @@ from laudnet_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from laudnet_tpu.parallel.fsdp import fsdp_shard_params, fsdp_specs
 from laudnet_tpu.parallel.pp import pipeline_apply, stack_layer_params
 from laudnet_tpu.parallel.tp import (
     RESNET_TP_RULES,
@@ -27,4 +28,6 @@ __all__ = [
     "shard_params",
     "VIT_TP_RULES",
     "RESNET_TP_RULES",
+    "fsdp_specs",
+    "fsdp_shard_params",
 ]
