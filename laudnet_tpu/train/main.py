@@ -131,6 +131,10 @@ def parse_args(argv=None):
                         "jax.distributed.initialize")
     p.add_argument("--dist_num_processes", type=int, default=None)
     p.add_argument("--dist_process_id", type=int, default=None)
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + optimizer state over the data "
+                        "axis (ZeRO-3 analog, parallel/fsdp.py) instead "
+                        "of replicating them per device")
     return p.parse_args(argv)
 
 
@@ -392,13 +396,23 @@ def main(argv=None):
     )
     state = create_train_state(model, optimizer, sample, rng=rng,
                                variables=variables)
-    state = jax.device_put(state, repl)
+    state_sh = repl
+    if args.fsdp:
+        # ZeRO-3 analog: every large leaf of the TrainState (params AND
+        # the momentum buffers, which share their shapes) splits its
+        # largest dim over the data axis; GSPMD all-gathers weights at
+        # use and reduce-scatters gradients (parallel/fsdp.py).
+        from laudnet_tpu.parallel import fsdp_specs
+
+        state_sh = fsdp_specs(state, mesh=mesh, axis="data")
+        log("FSDP: params + optimizer state sharded over the data axis")
+    state = jax.device_put(state, state_sh)
     teacher_vars = jax.device_put(teacher_vars, repl)
 
     ckpt = CheckpointManager(os.path.join(args.train_url, "ckpt"))
     if ckpt.latest_step() is not None:
         state, meta = ckpt.restore(jax.eval_shape(lambda s: s, state))
-        state = jax.device_put(state, repl)
+        state = jax.device_put(state, state_sh)
         log(f"auto-resumed from step {int(state.step)}")
 
     train_step = jax.jit(

@@ -76,3 +76,22 @@ def test_train_main_regnet_smoke(tmp_path):
     assert np.isfinite(best)
     dens = np.loadtxt(tmp_path / "all_density_latest.txt")
     assert dens.shape[0] == 4
+
+
+def test_train_main_fsdp_smoke(tmp_path):
+    """--fsdp trains with params + optimizer state sharded over the data
+    axis (ZeRO-3 analog) and still produces a finite result."""
+    from laudnet_tpu.train.main import main
+
+    best = main([
+        "--arch", "uni_resnet50",
+        "--dyn_mode", "channel-channel-channel-channel",
+        "--channel_dyn_granularity", "2-2-2-2",
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+        "--input_size", "32", "--num_classes", "10",
+        "--train_url", str(tmp_path), "--print_freq", "1",
+        "--fsdp",
+    ])
+    assert np.isfinite(best)
+    log = (tmp_path / "train.log").read_text()
+    assert "FSDP" in log
