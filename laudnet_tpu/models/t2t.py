@@ -153,14 +153,16 @@ def _folded_unfold_ln_dense(xmap, norm1, dense, k, s, pad, eps=1e-6):
             z, kern.astype(z.dtype), (s, s), [(pad, pad)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    y = conv(xmap, wg.reshape(k, k, c, dout))
-    ones = jnp.ones((k, k, c, 1), xmap.dtype)
-    mu = conv(xmap, ones) / din
-    ex2 = conv(xmap * xmap, ones) / din
+    y = conv(xmap, wg.reshape(k, k, c, dout)).astype(jnp.float32)
+    # LN statistics in f32: E[u^2]-mu^2 cancels catastrophically in bf16
+    # (every other LN here upcasts too, e.g. _performer_tail's norm2)
+    xf = xmap.astype(jnp.float32)
+    ones = jnp.ones((k, k, c, 1), jnp.float32)
+    mu = conv(xf, ones) / din
+    ex2 = conv(xf * xf, ones) / din
     inv = jax.lax.rsqrt(jnp.maximum(ex2 - mu * mu, 0.0) + eps)
     const = beta @ w + b
-    return ((y - mu * wg.sum(0).astype(y.dtype)) * inv
-            + const.astype(y.dtype))
+    return ((y - mu * wg.sum(0)) * inv + const).astype(xmap.dtype)
 
 
 def _performer_tail(p, kqv, d, kernel_ratio=0.5):

@@ -71,11 +71,15 @@ def fake_quant_rows(x: jax.Array) -> jax.Array:
 
 
 def fake_quant_tensor(x: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """Per-TENSOR activation fake-quant with straight-through gradient —
-    the `QuantConv` serving scheme (one dynamic scale per conv input),
-    used by CNN QAT (`LAUDResNet(conv_impl='int8_qat')`)."""
+    """Per-IMAGE activation fake-quant with straight-through gradient —
+    the `QuantConv` serving scheme (one dynamic scale per image per conv
+    input, so train-time noise matches serving and is independent of
+    batch composition), used by CNN QAT
+    (``LAUDResNet(conv_impl='int8_qat')``)."""
     xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf)), eps) * (1.0 / 127.0)
+    red = tuple(range(1, x.ndim))
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=red, keepdims=True),
+                    eps) * (1.0 / 127.0)
     q = jnp.clip(jnp.round(xf / s), -127, 127)
     deq = (q * s).astype(x.dtype)
     return x + jax.lax.stop_gradient(deq - x)
@@ -125,7 +129,7 @@ class QuantDense:
 
 class QuantConv:
     """Drop-in W8A8 replacement for ``flax.linen.Conv`` (same param
-    name/shape/init, so trained checkpoints load unchanged): per-tensor
+    name/shape/init, so trained checkpoints load unchanged): per-image
     dynamic activation scale, per-output-channel weight scales, s8
     conv -> s32 accumulate -> rank-1 dequant, returned in the input
     dtype. Covers the subset of nn.Conv the LAUD models use (NHWC,
@@ -134,7 +138,7 @@ class QuantConv:
     dense-masked serving where the per-input masks stay fully dynamic
     and only the conv arithmetic quantizes. ``fake=True`` builds the QAT
     variant (``conv_impl='int8_qat'`` in training): a float conv over
-    fake-quantized weights and per-tensor fake-quantized activations
+    fake-quantized weights and per-image fake-quantized activations
     (straight-through gradients) — the train graph sees exactly the
     serving path's int8 numerics, including the gate flips its masker
     inputs cause, so fine-tuning re-stabilizes the gates under
@@ -187,7 +191,13 @@ class QuantConv:
                     k.reshape(-1, self.features))
                 kq = kq.reshape(k.shape)
                 xf = x.astype(jnp.float32)
-                amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
+                # per-IMAGE scale (not per-batch): one image's outlier
+                # must not coarsen every other image's quantization, and
+                # logits must not depend on batch composition (or on the
+                # shard layout under shard_map)
+                amax = jnp.maximum(
+                    jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True),
+                    1e-6)
                 xs = amax * (1.0 / 127.0)
                 xq = jnp.clip(jnp.round(xf / xs), -127, 127
                               ).astype(jnp.int8)

@@ -29,10 +29,22 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map as _shard_map
+
+    _CHECK_KW = "check_vma"
+except ImportError:  # older jax: experimental API, check_rep kwarg
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    _CHECK_KW = "check_rep"
 from jax.sharding import Mesh, PartitionSpec as P
+
+
+def shard_map(f, **kw):
+    """`jax.shard_map` with replication checking off, spelled portably
+    (the modern API calls the kwarg check_vma, the experimental one
+    check_rep)."""
+    kw[_CHECK_KW] = False
+    return _shard_map(f, **kw)
 
 
 def stack_layer_params(params: dict, prefix: str = "block_"):
@@ -124,7 +136,6 @@ def pipeline_apply(fn: Callable[[Any, Any], Any], stage_params: Any, x: Any,
     out_mb = shard_map(
         spmd, mesh=mesh,
         in_specs=(stage_spec, P()), out_specs=P(),
-        check_vma=False,
     )(stage_params, x_mb)
     return jax.tree_util.tree_map(
         lambda a: a.reshape((batch,) + a.shape[2:]), out_mb

@@ -93,8 +93,9 @@ class TPUSpec:
     sustained_frac: float = 0.70
     mxu_dim: int = 128
     batch_size: int = 128
-    # s8 x s8 -> s32 MXU rate; 0.0 means "derive as 2x bf16" (the v5e/v5p
-    # MXU doubles its per-cycle MACs at int8)
+    # s8 x s8 -> s32 MXU rate; 0.0 means "derive from bf16 x the
+    # v5e-calibrated effective multiplier" (sim/tpu.py::_INT8_MM_MULT,
+    # 1.8 — the nominal 2x is not reached on the measured anchors)
     peak_int8: float = 0.0
     # Per-DMA issue cost for dynamically-indexed Pallas window copies
     # (measured on v5e: total kernel time tracks 3 * B * K DMAs at ~0.27 us
@@ -119,11 +120,11 @@ TPU_PRESETS = {
     ),
     # v6e (Trillium): 918 bf16 TFLOPs / 1836 int8 TOPS, 32 GB HBM @
     # 1640 GB/s (published chip specs). Projection-only preset — no v6e
-    # chip in this container; sustained_frac inherits the v5e-measured
-    # default rather than a chip-calibrated one.
+    # chip in this container; sustained_frac carries over the
+    # v5e-MEASURED 0.85 rather than a chip-calibrated value.
     "v6e": TPUSpec(
         "v6e", peak_bf16=918e12, peak_fp32=230e12, vpu_flops=8e12,
         mem_bandwidth=1640e9, vmem_bytes=128e6, batch_size=128,
-        peak_int8=1836e12,
+        peak_int8=1836e12, sustained_frac=0.85,
     ),
 }

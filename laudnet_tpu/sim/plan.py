@@ -274,7 +274,8 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
     # dense-masked = static body + masker heads, whatever the paradigm:
     # the 0/1 mask multiplies fuse for free, only the gating heads add
     # cost. The predictor's 'channel' mode prices exactly that shape.
-    ranking = {"dense": dense, "dense-masked": lat("channel")}
+    rep = tpu_predict_network(p, model_name, "channel", rates, grans)
+    ranking = {"dense": dense, "dense-masked": rep.latency}
     # int8 dense-masked (`LAUDResNet(conv_impl='int8')`): W8A8 convs with
     # the per-input gating fully dynamic. CALIBRATED r3 (measured v5e):
     # XLA's s8 convs do NOT reach the chip's nominal 2x MXU rate — the
@@ -283,7 +284,6 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
     # the measured masked-int8 R101 anchor is 9874 vs 9109 bf16 img/s
     # (1.084x). Price the conv stack at the measured s8-conv multiplier;
     # the quantize passes fuse (~free) in this graph shape.
-    rep = tpu_predict_network(p, model_name, "channel", rates, grans)
     ov = rep.latency - max(rep.compute_latency, rep.memory_latency)
     ranking["dense-masked-int8"] = (
         max(rep.compute_latency / _S8_CONV_MULT, rep.memory_latency) + ov

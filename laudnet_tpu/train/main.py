@@ -209,6 +209,12 @@ def main(argv=None):
 
     family = arch_family(args.arch)
     model_ctor = getattr(models, args.arch)
+    if family == "vit" and args.conv_impl != "dense":
+        raise SystemExit("--conv_impl applies to LAUD-ResNets; for ViT "
+                         "QAT use --vit_linear int8_qat")
+    if family != "vit" and args.vit_linear != "dense":
+        raise SystemExit("--vit_linear applies to ViT archs; for "
+                         "LAUD-ResNet QAT use --conv_impl int8_qat")
     if family == "vit":
         skips = set(args.vit_skip.split(","))
         model = model_ctor(

@@ -122,6 +122,7 @@ def rate_qconv_pipeline(b=128, h=14, cin=1024, cout=512):
     def step(z):
         x = _dev_operand((b, h, h, cin), jnp.bfloat16, 0)
         k = _dev_operand((3, 3, cin, cout), jnp.int8, 1)
+        ks = _dev_operand((cout,), jnp.float32, 2)  # per-channel w scales
         bump = (z[0, 0, 0, 0] * 1e-30).astype(x.dtype)
         xf = (x + bump).astype(jnp.float32)
         xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) * (1.0 / 127.0)
@@ -130,7 +131,9 @@ def rate_qconv_pipeline(b=128, h=14, cin=1024, cout=512):
             xq, k, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
-        y = (y.astype(jnp.float32) * xs).astype(jnp.bfloat16)
+        # full dequant: activation scale AND the rank-1 per-output-channel
+        # weight-scale broadcast QuantConv/_qconv pay
+        y = (y.astype(jnp.float32) * xs * ks).astype(jnp.bfloat16)
         return z + y[0, 0, 0, 0].astype(z.dtype) * 1e-30
 
     t = _chain_time(lambda z: step(z), jnp.zeros((1, 1, 1, 1), jnp.float32))

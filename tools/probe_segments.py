@@ -72,8 +72,13 @@ def main():
 
     for seg in (True, False):
         tag = "seg" if seg else "blk"
+        # dense rows must force an int cap: segments=True only engages
+        # with token selection active (seg_ok in infer/fused_vit.py), so
+        # a True/False sweep on the dense paths would time the per-block
+        # kernel twice and report a false ~1.0 ratio
+        dense_seg = 5 if seg else False
         out[f"deit_s_dense_{tag}"] = round(_throughput(
-            build_fused_vit(vp, segments=seg, **geom_s), x), 1)
+            build_fused_vit(vp, segments=dense_seg, **geom_s), x), 1)
         out[f"deit_s_select_{tag}"] = round(_throughput(
             build_fused_vit(v, token_capacity=caps, segments=seg,
                             **geom_s), x), 1)
@@ -81,7 +86,7 @@ def main():
             build_fused_vit(v, token_capacity=caps, snap_capacities=True,
                             segments=seg, **geom_s), x), 1)
         out[f"deit_b_dense_{tag}"] = round(_throughput(
-            build_fused_vit(vb, segments=seg, **geom_b), x), 1)
+            build_fused_vit(vb, segments=dense_seg, **geom_b), x), 1)
 
     out["deit_s_dense_ratio"] = round(
         out["deit_s_dense_seg"] / out["deit_s_dense_blk"], 4)
