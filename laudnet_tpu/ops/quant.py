@@ -70,7 +70,7 @@ def fake_quant_rows(x: jax.Array) -> jax.Array:
     return x + jax.lax.stop_gradient(deq - x)
 
 
-def fake_quant_tensor(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+def fake_quant_per_image(x: jax.Array, eps: float = 1e-6) -> jax.Array:
     """Per-IMAGE activation fake-quant with straight-through gradient —
     the `QuantConv` serving scheme (one dynamic scale per image per conv
     input, so train-time noise matches serving and is independent of
@@ -183,7 +183,7 @@ class QuantConv:
                     kf = fake_quant_weight(
                         k.reshape(-1, self.features)).reshape(k.shape)
                     return jax.lax.conv_general_dilated(
-                        fake_quant_tensor(x), kf.astype(x.dtype), s, pad,
+                        fake_quant_per_image(x), kf.astype(x.dtype), s, pad,
                         rhs_dilation=d,
                         feature_group_count=self.feature_group_count,
                         dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -118,13 +118,15 @@ TPU_PRESETS = {
         "v5p", peak_bf16=459e12, peak_fp32=115e12, vpu_flops=8e12,
         mem_bandwidth=2765e9, vmem_bytes=128e6, batch_size=128,
     ),
-    # v6e (Trillium): 918 bf16 TFLOPs / 1836 int8 TOPS, 32 GB HBM @
-    # 1640 GB/s (published chip specs). Projection-only preset — no v6e
-    # chip in this container; sustained_frac carries over the
-    # v5e-MEASURED 0.85 rather than a chip-calibrated value.
+    # v6e (Trillium): 918 bf16 TFLOPs, 32 GB HBM @ 1640 GB/s (published
+    # chip specs). Projection-only preset — no v6e chip in this container;
+    # sustained_frac carries over the v5e-MEASURED 0.85 rather than a
+    # chip-calibrated value. peak_int8 is deliberately left 0 so the int8
+    # rate derives as the v5e-calibrated 1.8x bf16 (_INT8_MM_MULT) rather
+    # than the nominal 2x (1836 TOPS) no measured chip has reached.
     "v6e": TPUSpec(
         "v6e", peak_bf16=918e12, peak_fp32=230e12, vpu_flops=8e12,
         mem_bandwidth=1640e9, vmem_bytes=128e6, batch_size=128,
-        peak_int8=1836e12, sustained_frac=0.85,
+        sustained_frac=0.85,
     ),
 }

@@ -114,8 +114,9 @@ def rate_conv(dtype, b=128, h=14, cin=1024, cout=512):
 
 def rate_qconv_pipeline(b=128, h=14, cin=1024, cout=512):
     """End-to-end W8A8 conv PIPELINE rate (logical bf16 flops/s): the
-    dynamic per-tensor abs-max + quantize + s8 conv + dequant sequence of
-    `infer/export_pruned.py::_qconv` / `ops/quant.py::QuantConv`, timed
+    dynamic per-IMAGE abs-max + quantize + s8 conv + dequant sequence of
+    `infer/export_pruned.py::_qconv` / `ops/quant.py::QuantConv` (one
+    scale per image, axis=(1,2,3) reduce + (B,1,1,1) broadcast), timed
     against a bf16 activation stream — what the int8 CNN serving paths
     actually pay per conv, including everything around the MXU op."""
 
@@ -125,7 +126,8 @@ def rate_qconv_pipeline(b=128, h=14, cin=1024, cout=512):
         ks = _dev_operand((cout,), jnp.float32, 2)  # per-channel w scales
         bump = (z[0, 0, 0, 0] * 1e-30).astype(x.dtype)
         xf = (x + bump).astype(jnp.float32)
-        xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) * (1.0 / 127.0)
+        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3),
+                                 keepdims=True), 1e-6) * (1.0 / 127.0)
         xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             xq, k, (1, 1), [(1, 1), (1, 1)],
