@@ -272,27 +272,7 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
 
         for i in range(depth):
             blk = p[f"block_{i}"]
-            if token_capacity is not None and "token_policy" in blk:
-                tl = (x @ blk["token_policy"]["kernel"].astype(x.dtype)
-                      + blk["token_policy"]["bias"].astype(x.dtype))
-                tmask = (tl[..., 0] >= tl[..., 1]).astype(jnp.float32)
-                tmask = tmask.at[:, 0].set(1.0)
-                token_mask = token_mask * tmask
-                score = (tl[..., 0] - tl[..., 1]).astype(jnp.float32)
-                k = min(max(2, int(token_capacity[i] * (n + 1))), cur)
-                if snap_capacities and k < cur:
-                    k = min(max(2, snap_capacity_to_tiles(k)), cur)
-                if k < cur:
-                    # rank kept above dropped; break ties by confidence;
-                    # pin the class token (`laud_vit.py` selection)
-                    conf = jax.nn.sigmoid(score)
-                    rank = token_mask * 2.0 + conf
-                    rank = rank.at[:, 0].add(4.0)
-                    _, idx = lax.top_k(rank, k)
-                    bidx = jnp.arange(b)[:, None]
-                    x = x[bidx, idx]
-                    token_mask = token_mask[bidx, idx]
-                    cur = k
+            x, token_mask, cur = entry_policy(i, x, token_mask, cur)
             hg = None
             if head_gating and "head_policy" in blk:
                 # eval head gate on the class token (selection pins cls

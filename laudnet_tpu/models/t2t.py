@@ -25,7 +25,8 @@ def t2t_stem_flops(embed_dim: int, token_dim: int = 64) -> float:
 
     def performer(l, din, d):
         m = d // 2
-        return l * (3 * din * d + 2 * d * m + 2 * l * 0  # qkv + features
+        return l * (3 * din * d + 2 * d * m  # kqv + q/k random features
+                    + 2 * d * m + m  # kptv, qp@kptv, denom einsums
                     + d * d  # proj
                     + 2 * d * d)  # mlp
 
@@ -72,11 +73,22 @@ class TokenPerformer(nn.Module):
         qkv = nn.Dense(3 * d, name="kqv", param_dtype=self.param_dtype)(y)
         k, q, v = jnp.split(qkv, 3, axis=-1)
 
+        # Published token_performer init: orthogonal_((m, d)) * sqrt(m) —
+        # orthonormal rows scaled so w^T x has variance |x|^2 * m / d.
+        # (A plain normal/sqrt(m) draw makes all m features collapse to
+        # ~exp(-|x|^2/2) and the linear attention near-uniform.)
         w = self.param(
-            "w", lambda key, shape: jax.random.normal(key, shape) / m**0.5,
+            "w",
+            lambda key, shape: (
+                jax.random.orthogonal(key, shape[1])[: shape[0]]
+                * shape[0] ** 0.5
+            ),
             (m, d),
         )
-        w = jax.lax.stop_gradient(w)  # fixed random features
+        # Fixed random features: stop_gradient zeroes the gradient, and
+        # train/optim.py::make_sgd masks this leaf out of weight decay
+        # (torch keeps requires_grad=False params out of the optimizer).
+        w = jax.lax.stop_gradient(w)
 
         def prm_exp(t):
             xd = (t**2).sum(-1, keepdims=True) / 2.0

@@ -515,10 +515,15 @@ def fused_vit_segment(x, token_mask, params_list, *, num_heads: int,
                 # eval token gate at block entry (logit0 >= logit1),
                 # class token pinned open; gates compose. The row
                 # update slices logit lanes in place; the key layout
-                # pays one (bb,L,1)->(bb,1,L) swap.
-                tl = (mm(xin.reshape(bb * l, d).astype(cdt), w["tp_k"][:])
-                      + w["tp_b"][:].astype(jnp.float32))
-                tl = tl.reshape(bb, l, 2)
+                # pays one (bb,L,1)->(bb,1,L) swap. Logits round to the
+                # compute dtype BEFORE the bias add and compare, exactly
+                # like the out-of-kernel path (`infer/fused_vit.py`
+                # entry_policy: x @ k + b in x.dtype) — an f32 compare
+                # could keep a different token set in bf16 serving.
+                tl = (mm(xin.reshape(bb * l, d).astype(cdt),
+                         w["tp_k"][:]).astype(cdt)
+                      + w["tp_b"][:].astype(cdt))
+                tl = tl.reshape(bb, l, 2).astype(jnp.float32)
                 tm = (tl[:, :, 0:1] >= tl[:, :, 1:2]).astype(jnp.float32)
                 tm = jnp.where(pos_row == 0, 1.0, tm)  # (bb, L, 1)
                 mask_row = mask_row * tm

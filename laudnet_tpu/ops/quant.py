@@ -88,9 +88,13 @@ def fake_quant_per_image(x: jax.Array, eps: float = 1e-6) -> jax.Array:
 class QuantDense:
     """Drop-in W8A8 replacement for ``nn.Dense`` (same param names/inits,
     so trained bf16/f32 checkpoints load unchanged). Weights are
-    quantized per-output-channel inside the traced function — constants
-    under jit, so XLA folds the quantization at compile time; the runtime
-    work is the per-row activation quant + s8 matmul + rank-1 dequant.
+    quantized per-output-channel inside the traced function — when params
+    are jit ARGUMENTS (the usual apply pattern) that abs-max/round/clip
+    re-executes every call; it is O(K*N) VPU work, small next to the
+    matmul at serving batch sizes, and XLA folds it only if the caller
+    closes over the params. Engine-build paths quantize once ahead of
+    time instead (`infer/fused_vit.py`). The per-call runtime work is
+    the per-row activation quant + s8 matmul + rank-1 dequant.
 
     Used by `models/laud_vit.py` ``linear_impl='int8'`` — the int8 path
     for geometries the fused block kernel cannot take (odd heads: T2T's

@@ -33,6 +33,8 @@ def fsdp_specs(params, *, axis: str = "data", mesh: Mesh | None = None,
     axis_size = mesh.shape.get(axis, 1) if mesh is not None else None
 
     def leaf_spec(leaf, base):
+        if isinstance(base, NamedSharding):  # tensor_parallel_specs(mesh=…)
+            base = base.spec
         base_t = tuple(base) if base is not None else ()
         base_t = base_t + (None,) * (leaf.ndim - len(base_t))
         if leaf.size < min_size or leaf.ndim == 0:

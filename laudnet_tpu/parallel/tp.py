@@ -66,8 +66,12 @@ def _spec_for(name: str, leaf, rules, axis: str, axis_size: int):
             spec = (None,) * (leaf.ndim - len(template)) + tuple(
                 axis if t == "model" else t for t in template
             )
-            # only shard dims the axis divides evenly — otherwise replicate
-            # (e.g. a 7-head T2T qkv on a 2-way model axis).
+            # only shard dims the axis divides evenly — otherwise
+            # replicate. This is elementwise divisibility, NOT head
+            # alignment: a 7-head T2T qkv (448, 1344) on a 2-way axis
+            # passes and splits mid-head — GSPMD stays correct, but the
+            # zero-communication column-parallel property is lost there
+            # (extra resharding collectives appear around attention).
             dims_ok = all(
                 s is None or leaf.shape[i] % axis_size == 0
                 for i, s in enumerate(spec)

@@ -30,19 +30,35 @@ def param_group_labels(params) -> Any:
     )
 
 
+def is_frozen_path(path) -> bool:
+    """True for fixed (non-trainable) leaves: the T2T performer's random
+    feature matrix ``w`` (`models/t2t.py` — stop_gradient zeroes its grad,
+    but weight decay is gradient-independent and would shrink it every
+    step; torch keeps requires_grad=False params out of the optimizer)."""
+    return bool(path) and str(getattr(path[-1], "key", path[-1])) == "w"
+
+
 def make_sgd(params, *, momentum=0.9, nesterov=True, weight_decay=5e-5,
              backbone_lr_mult=1.0, masker_lr_mult=1.0):
     """SGD + nesterov + decoupled-into-gradient weight decay (torch-style:
     ``g += wd * p`` before momentum), with per-group LR multipliers.
+    Fixed leaves (`is_frozen_path`) are masked out of the decay.
 
     The returned optimizer expects the LR via ``optax.inject_hyperparams`` —
     update the ``learning_rate`` hyperparam each step, or wrap in a schedule.
     """
     labels = param_group_labels(params)
 
+    # Callable mask: multi_transform hands each group a masked sub-tree,
+    # so the mask must be computed from whatever tree the transform sees.
+    def decay_mask(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not is_frozen_path(path), tree
+        )
+
     def group(mult):
         return optax.chain(
-            optax.add_decayed_weights(weight_decay),
+            optax.add_decayed_weights(weight_decay, mask=decay_mask),
             optax.trace(decay=momentum, nesterov=nesterov),
             optax.scale(mult),
         )

@@ -380,3 +380,45 @@ def test_fused_vit_segments_equal_per_block():
                               interpret=True)(x)
         np.testing.assert_allclose(np.asarray(seg), np.asarray(blk),
                                    atol=2e-6)
+
+
+def test_segment_interior_policy_gates_in_compute_dtype():
+    """An interior (non-gather) token-policy layer inside a segment must
+    round its logits to the compute dtype BEFORE the keep/drop compare,
+    exactly like the out-of-kernel path: a logit pair that ties in bf16
+    (1 vs 1 + 2^-9, which rounds to 1) but not in f32 must KEEP the
+    token in bf16 serving (r4 fix — an f32 compare dropped it)."""
+    from laudnet_tpu.ops.pallas.vit_block import fused_vit_segment
+
+    rng = np.random.default_rng(3)
+    b, l, d, h = 2, 8, 256, 2
+    hidden = 256
+
+    def mkd(shape):
+        return jnp.asarray(rng.standard_normal(shape) * 0.05, jnp.bfloat16)
+
+    def layer(policy_bias=None):
+        p = {
+            "ln1": {"scale": jnp.ones(d, jnp.bfloat16),
+                    "bias": jnp.zeros(d, jnp.bfloat16)},
+            "ln2": {"scale": jnp.ones(d, jnp.bfloat16),
+                    "bias": jnp.zeros(d, jnp.bfloat16)},
+            "qkv": {"kernel": mkd((d, 3 * d)), "bias": mkd((3 * d,))},
+            "proj": {"kernel": mkd((d, d)), "bias": mkd((d,))},
+            "fc1": {"kernel": mkd((d, hidden)), "bias": mkd((hidden,))},
+            "fc2": {"kernel": mkd((hidden, d)), "bias": mkd((d,))},
+        }
+        if policy_bias is not None:
+            p["token_policy"] = {
+                "kernel": jnp.zeros((d, 2), jnp.bfloat16),
+                "bias": jnp.asarray(policy_bias, jnp.float32),
+            }
+        return p
+
+    x = jnp.asarray(rng.standard_normal((b, l, d)), jnp.bfloat16)
+    mask0 = jnp.ones((b, l), jnp.float32)
+    params = [layer(), layer(policy_bias=[1.0, 1.0 + 2.0**-9])]
+    _, mask = fused_vit_segment(x, mask0, params, num_heads=h,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(mask),
+                                  np.ones((b, l), np.float32))

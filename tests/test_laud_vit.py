@@ -303,3 +303,19 @@ def test_token_selection_flops_match_masked_graph():
     np.testing.assert_allclose(np.asarray(out_t.logits),
                                np.asarray(out_m.logits), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_performer_random_features_published_init():
+    """TokenPerformer's fixed feature matrix follows the published
+    token_performer init: orthonormal rows scaled by sqrt(m), so
+    w @ w.T == m * I (r4 fix — a normal/sqrt(m) draw collapses the
+    features to near rank-1)."""
+    from laudnet_tpu.models.t2t import TokenPerformer
+
+    tp = TokenPerformer(dim=64)
+    x = jnp.zeros((1, 5, 147), jnp.float32)
+    v = tp.init({"params": jax.random.PRNGKey(0)}, x)
+    w = np.asarray(v["params"]["w"])
+    m = w.shape[0]
+    assert w.shape == (32, 64)
+    np.testing.assert_allclose(w @ w.T, m * np.eye(m), atol=1e-4)

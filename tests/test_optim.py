@@ -1,0 +1,62 @@
+"""Optimizer factory: param groups, decay masking of fixed leaves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laudnet_tpu.train.optim import (is_frozen_path, is_masker_path,
+                                     make_sgd, param_group_labels)
+
+
+def _params():
+    return {
+        "t2t_stem": {
+            "attn1": {
+                "w": jnp.ones((4, 8), jnp.float32),
+                "kqv": {"kernel": jnp.ones((8, 24), jnp.float32),
+                        "bias": jnp.zeros((24,), jnp.float32)},
+            }
+        },
+        "block_0": {
+            "token_policy": {"kernel": jnp.ones((8, 2), jnp.float32)},
+            "fc1": {"kernel": jnp.ones((8, 16), jnp.float32)},
+        },
+    }
+
+
+def test_group_labels_split_maskers():
+    labels = param_group_labels(_params())
+    assert labels["block_0"]["token_policy"]["kernel"] == "masker"
+    assert labels["block_0"]["fc1"]["kernel"] == "backbone"
+    assert labels["t2t_stem"]["attn1"]["w"] == "backbone"
+
+
+def test_frozen_performer_features_not_decayed():
+    """The T2T performer's fixed random-feature matrix 'w' must not move
+    under weight decay (its grad is stop_gradient-zeroed, but decay is
+    gradient-independent — r4 fix). Trainable weights DO decay."""
+    params = _params()
+    opt = make_sgd(params, weight_decay=0.1, momentum=0.0, nesterov=False)
+    state = opt.init(params)
+    state.hyperparams["learning_rate"] = 1.0
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = opt.update(zeros, state, params)
+    np.testing.assert_array_equal(
+        np.asarray(updates["t2t_stem"]["attn1"]["w"]), 0.0)
+    # trainable leaf: update = -lr * wd * p = -0.1
+    np.testing.assert_allclose(
+        np.asarray(updates["t2t_stem"]["attn1"]["kqv"]["kernel"]), -0.1,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updates["block_0"]["token_policy"]["kernel"]), -0.1,
+        rtol=1e-6)
+
+
+def test_is_frozen_path_only_matches_w_leaves():
+    paths = []
+    jax.tree_util.tree_map_with_path(
+        lambda p, _: paths.append((tuple(str(getattr(k, "key", k))
+                                         for k in p), is_frozen_path(p))),
+        _params())
+    frozen = [p for p, f in paths if f]
+    assert frozen == [("t2t_stem", "attn1", "w")]

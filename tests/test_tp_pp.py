@@ -328,3 +328,25 @@ def test_fsdp_respects_tp_base_layout():
     assert specs["block_0"]["proj"]["kernel"] == P("model", "data")
     # small leaves replicated even with a free dim
     assert specs["block_0"]["norm1"]["scale"] == P()
+
+
+def test_fsdp_accepts_namedsharding_base_specs():
+    """fsdp_specs composes with the NamedSharding form of
+    tensor_parallel_specs(mesh=...) — base leaves are unwrapped to their
+    PartitionSpec (r4 fix: previously TypeError, NamedSharding is not
+    iterable)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from laudnet_tpu.parallel import fsdp_specs
+
+    _, variables, _ = _tiny_vit_and_params()
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "model")
+    )
+    tp = tensor_parallel_specs(variables["params"], VIT_TP_RULES,
+                               mesh=mesh)
+    specs = fsdp_specs(variables["params"], mesh=mesh, min_size=1024,
+                       base_specs=tp)
+    # qkv kernel (64, 192): TP took dim 1, FSDP adds 'data' on dim 0
+    assert specs["block_0"]["qkv"]["kernel"].spec == P("data", "model")
+    assert specs["block_0"]["norm1"]["scale"].spec == P()
