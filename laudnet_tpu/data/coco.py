@@ -79,12 +79,16 @@ def rasterize_polygons(polys: Sequence[Sequence[float]], h: int,
                        w: int) -> np.ndarray:
     """Even-odd scanline fill of COCO polygon lists ([x0,y0,x1,y1,...])
     onto an (h, w) grid. Pixel centers (y + 0.5) are tested, which matches
-    pycocotools' rasterization to within boundary-pixel differences."""
+    pycocotools' rasterization to within boundary-pixel differences.
+    Polygon parts are UNIONed (pycocotools merges an annotation's parts);
+    even-odd applies only within one polygon — XOR-ing parts into a shared
+    buffer would punch false holes where parts overlap."""
     mask = np.zeros((h, w), np.uint8)
     for poly in polys:
         pts = np.asarray(poly, np.float64).reshape(-1, 2)
         if len(pts) < 3:
             continue
+        pbuf = np.zeros((h, w), np.uint8)
         x0s, y0s = pts[:, 0], pts[:, 1]
         x1s, y1s = np.roll(x0s, -1), np.roll(y0s, -1)
         for row in range(max(0, int(np.floor(y0s.min()))),
@@ -101,7 +105,8 @@ def rasterize_polygons(polys: Sequence[Sequence[float]], h: int,
                 lo = max(0, int(np.ceil(a - 0.5)))
                 hi = min(w, int(np.ceil(b - 0.5)))
                 if hi > lo:
-                    mask[row, lo:hi] ^= 1
+                    pbuf[row, lo:hi] ^= 1
+        mask |= pbuf
     return mask
 
 
@@ -239,9 +244,14 @@ def coco_detection_batches(
     ``image_size``: int (square) or ``(h, w)``. The final partial batch is
     wrapped around (repeating leading examples) so every batch has the same
     shape — static-shape XLA's drop-nothing alternative to a ragged tail.
-    Sharding slices ``order[shard_index::shard_count]`` for multi-host
-    loading (`DistributedSampler` analog).
+    Sharding pads the order to a shard_count multiple then slices
+    ``order[shard_index::shard_count]`` (`DistributedSampler` analog) —
+    every shard MUST see the same batch count, or the host with the extra
+    batch enters a collective the others never join (SPMD deadlock; see
+    `data/loader.py::_pad_order_for_shards`).
     """
+    from laudnet_tpu.data.loader import _pad_order_for_shards
+
     target = ((image_size, image_size) if isinstance(image_size, int)
               else tuple(image_size))
     n = len(dataset)
@@ -250,7 +260,8 @@ def coco_detection_batches(
     rng = np.random.default_rng(seed)
     for _ in range(epochs):
         order = rng.permutation(n) if shuffle else np.arange(n)
-        order = order[shard_index::shard_count]
+        order = _pad_order_for_shards(order, shard_count)[
+            shard_index::shard_count]
         for start in range(0, len(order), batch_size):
             idx = order[start:start + batch_size]
             if len(idx) < batch_size:  # wrap the tail (tile tiny epochs)

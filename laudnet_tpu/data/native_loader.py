@@ -53,10 +53,14 @@ def build_native_lib(force: bool = False) -> Optional[str]:
 
 
 def _load_lib():
-    global _lib
+    global _lib, _build_error
     with _lock:
         if _lib is not None:
             return _lib
+        if _build_error is not None:
+            # cache the failure: retrying means re-running a multi-second
+            # failing g++ compile under _lock on EVERY batch
+            return None
         path = build_native_lib()
         if path is None:
             return None
@@ -226,18 +230,26 @@ class NativeDataLoader:
                         continue
                 return False
 
-            for b in range(n_batches):
-                chunk = order[b * self.batch_size:(b + 1) * self.batch_size]
-                if len(chunk) == 0 or stop.is_set():
-                    break
-                paths = [self.dataset.samples[i][0] for i in chunk]
-                labels = np.asarray(
-                    [self.dataset.samples[i][1] for i in chunk], np.int32)
-                seeds = (self.seed + epoch) * 1_000_003 + chunk
-                if not put((self.transform.load(paths, seeds.tolist()),
-                            labels)):
-                    return
-            put(None)
+            try:
+                for b in range(n_batches):
+                    chunk = order[b * self.batch_size:
+                                  (b + 1) * self.batch_size]
+                    if len(chunk) == 0 or stop.is_set():
+                        break
+                    paths = [self.dataset.samples[i][0] for i in chunk]
+                    labels = np.asarray(
+                        [self.dataset.samples[i][1] for i in chunk],
+                        np.int32)
+                    seeds = (self.seed + epoch) * 1_000_003 + chunk
+                    if not put((self.transform.load(paths, seeds.tolist()),
+                                labels)):
+                        return
+                put(None)
+            except BaseException as e:  # noqa: BLE001 — surface to the
+                # consumer: a dead producer with no sentinel would leave
+                # the train loop blocked on q.get() forever (e.g. a
+                # corrupt JPEG whose PIL fallback raises)
+                put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -246,6 +258,8 @@ class NativeDataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -195,7 +195,7 @@ def main(argv=None):
                                     seed=args.seed + 1)
             return
         for b in synthetic_coco_batches(
-            args.batch_size, ih, num_classes,
+            args.batch_size, (ih, iw), num_classes,
             steps=args.eval_steps, seed=args.seed + 1,
             with_masks=with_masks,
         ):

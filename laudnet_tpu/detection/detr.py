@@ -517,8 +517,7 @@ def _set_prediction_terms(cls_logits, pred_cxcywh, gt_cxcywh, gt_labels,
     weights = weights.at[bidx, match].set(
         jnp.where(gt_valid > 0, 1.0, no_object_weight)
     )
-    logp_all = jax.nn.log_softmax(cls_logits, -1)
-    ce = -jnp.take_along_axis(logp_all, target_cls[..., None], -1)[..., 0]
+    ce = -jnp.take_along_axis(logp, target_cls[..., None], -1)[..., 0]
     loss_cls = (ce * weights).sum() / jnp.maximum(weights.sum(), 1.0)
 
     n_pos = jnp.maximum(gt_valid.sum(), 1.0)
@@ -533,14 +532,14 @@ def _set_prediction_terms(cls_logits, pred_cxcywh, gt_cxcywh, gt_labels,
 
 
 def detr_loss(outputs, gt_boxes_xyxy, gt_labels, gt_valid, *,
-              num_classes: int, image_size: float, gt_masks=None,
+              num_classes: int, image_size, gt_masks=None,
               sparsity_target: float = 0.5, lambda_sparse: float = 1.0,
               cls_weight: float = 1.0, l1_weight: float = 5.0,
               giou_weight: float = 2.0, no_object_weight: float = 0.1,
               enc_aux_weight: float = 1.0):
     """DETR set-prediction loss + the LAUD loss_sparse injection
     (`base_detr.py:123-132`). GT boxes arrive xyxy in pixels; normalized
-    internally. When the model emits DDQ encoder proposals
+    internally (``image_size``: square size or ``(h, w)``). When the model emits DDQ encoder proposals
     (``enc_cls_logits``/``enc_boxes_cxcywh``), the same set loss trains
     them as an auxiliary branch (DDQ's interm supervision analog).
     Returns (total, metrics)."""
@@ -548,7 +547,7 @@ def detr_loss(outputs, gt_boxes_xyxy, gt_labels, gt_valid, *,
     pred_cxcywh = outputs["boxes_cxcywh"]
     b = cls_logits.shape[0]
 
-    gt_norm = gt_boxes_xyxy / image_size
+    gt_norm = gt_boxes_xyxy / _xyxy_scale(image_size)
     gt_cxcywh = jnp.stack(
         [
             (gt_norm[..., 0] + gt_norm[..., 2]) / 2,
@@ -608,13 +607,26 @@ def detr_loss(outputs, gt_boxes_xyxy, gt_labels, gt_valid, *,
     return total + lambda_sparse * l_sparse, metrics
 
 
-def detr_detect(outputs, image_size: float, score_threshold: float = 0.05,
+def _xyxy_scale(image_size):
+    """(x0, y0, x1, y1) pixel scale from a square size or an ``(h, w)``
+    pair — DETR boxes are normalized per-dimension, so rectangular
+    inputs must scale x by W and y by H (mmdet normalizes by
+    `img_shape`'s factor per coordinate, not one scalar)."""
+    if isinstance(image_size, (tuple, list)):
+        h, w = float(image_size[0]), float(image_size[1])
+    else:
+        h = w = float(image_size)
+    return jnp.asarray([w, h, w, h], jnp.float32)
+
+
+def detr_detect(outputs, image_size, score_threshold: float = 0.05,
                 max_detections: int = 100):
-    """Per-image detections from DETR outputs (softmax, drop no-object)."""
+    """Per-image detections from DETR outputs (softmax, drop no-object).
+    ``image_size``: square pixel size or ``(h, w)``."""
     probs = jax.nn.softmax(outputs["cls_logits"], -1)[..., :-1]
     scores = probs.max(-1)
     classes = probs.argmax(-1)
-    boxes = cxcywh_to_xyxy(outputs["boxes_cxcywh"]) * image_size
+    boxes = cxcywh_to_xyxy(outputs["boxes_cxcywh"]) * _xyxy_scale(image_size)
     k = min(max_detections, scores.shape[1])
 
     def per_image(s, c, bx):

@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from laudnet_tpu.detection.detr import detr_loss
-from laudnet_tpu.detection.train import box_iou, retinanet_loss
+from laudnet_tpu.detection.train import retinanet_loss
 from laudnet_tpu.detection.two_stage_train import faster_rcnn_loss
 
 
@@ -148,7 +148,8 @@ def make_detector_train_step(model, optimizer, cfg: DetTrainConfig,
                 total, metrics = detr_loss(
                     out, gt_boxes, gt_labels, gt_valid,
                     num_classes=cfg.num_classes,
-                    image_size=float(images.shape[1]),
+                    image_size=(float(images.shape[1]),
+                                float(images.shape[2])),
                     gt_masks=gt_masks,
                     sparsity_target=cfg.sparsity_target,
                     lambda_sparse=cfg.lambda_sparse,
@@ -195,27 +196,29 @@ def make_detector_train_step(model, optimizer, cfg: DetTrainConfig,
 
 # --- synthetic COCO (trainability smoke data) ------------------------------
 
-def synthetic_coco_batches(batch_size: int, image_size: int, num_classes: int,
+def synthetic_coco_batches(batch_size: int, image_size, num_classes: int,
                            steps: int, max_gt: int = 4, seed: int = 0,
                            with_masks: bool = False):
     """Learnable synthetic detection data: each image contains 1..max_gt
     axis-aligned bright rectangles on noise; the rectangle's dominant color
-    channel is its class (num_classes <= 3 recommended for smoke tests)."""
+    channel is its class (num_classes <= 3 recommended for smoke tests).
+    ``image_size``: square pixel size or an ``(ih, iw)`` pair."""
     rng = np.random.default_rng(seed)
+    ih, iw = ((image_size, image_size) if isinstance(image_size, int)
+              else image_size)
     for _ in range(steps):
-        imgs = rng.normal(0, 0.1, (batch_size, image_size, image_size, 3))
+        imgs = rng.normal(0, 0.1, (batch_size, ih, iw, 3))
         boxes = np.zeros((batch_size, max_gt, 4), np.float32)
         labels = np.zeros((batch_size, max_gt), np.int32)
         valid = np.zeros((batch_size, max_gt), np.float32)
-        masks = np.zeros((batch_size, max_gt, image_size, image_size),
-                         np.float32)
+        masks = np.zeros((batch_size, max_gt, ih, iw), np.float32)
         for b in range(batch_size):
             n = rng.integers(1, max_gt + 1)
             for m in range(n):
-                w = rng.integers(image_size // 4, image_size // 2)
-                h = rng.integers(image_size // 4, image_size // 2)
-                x0 = rng.integers(0, image_size - w)
-                y0 = rng.integers(0, image_size - h)
+                w = rng.integers(iw // 4, iw // 2)
+                h = rng.integers(ih // 4, ih // 2)
+                x0 = rng.integers(0, iw - w)
+                y0 = rng.integers(0, ih - h)
                 c = int(rng.integers(0, min(num_classes, 3)))
                 imgs[b, y0:y0 + h, x0:x0 + w, c] += 2.0
                 boxes[b, m] = (x0, y0, x0 + w, y0 + h)
@@ -467,7 +470,7 @@ def train_detector(model, cfg: DetTrainConfig, *, kind: str = "faster_rcnn",
     if data_fn is None:
         def data_fn(steps):
             return synthetic_coco_batches(
-                batch_size, ih, cfg.num_classes, steps, seed=seed,
+                batch_size, (ih, iw), cfg.num_classes, steps, seed=seed,
                 with_masks=cfg.with_masks,
             )
 
@@ -541,13 +544,14 @@ def evaluate_detector(model, params, batch_stats, batches, *,
             from laudnet_tpu.detection.detr import detr_detect
 
             det = jax.device_get(detr_detect(
-                out, float(images.shape[1]),
+                out, (float(images.shape[1]), float(images.shape[2])),
                 score_threshold=score_threshold))
         else:
             from laudnet_tpu.detection.retinanet import RetinaNet
 
             det = jax.device_get(RetinaNet.detect(
-                out, images.shape[1], score_threshold=score_threshold))
+                out, (images.shape[1], images.shape[2]),
+                score_threshold=score_threshold))
         add = jax.device_get(out["additional"])
         bsz = images.shape[0]
         img_h, img_w = images.shape[1], images.shape[2]

@@ -279,9 +279,15 @@ class ServingEngine:
                         build_layer_skip_resnet,
                     )
 
-                    ls = jax.jit(build_layer_skip_resnet(
-                        self.variables, self.model.layers))
-                    self._fwd = lambda x: ls(jnp.asarray(x))[0]
+                    # _jit, not a bare jax.jit: with a mesh attached the
+                    # global batch is mesh.size and the shard_map hands
+                    # each device its own (1, H, W, 3) shard — the
+                    # builder's batch-1 gating contract holds per device
+                    # (a bare jit would gate every image on image 0's
+                    # skip decisions)
+                    ls = build_layer_skip_resnet(
+                        self.variables, self.model.layers)
+                    self._fwd = self._jit(lambda x: ls(x)[0])
                     self.plan.served = "layerskip"
                 elif self.plan.mode == "spatial-capacity" and s3_img:
                     # fixed patch budgets covering the calibration

@@ -28,6 +28,15 @@ def initialize_distributed(coordinator_address: str | None = None,
     multi-host slice call this once before any device use, then every host
     runs the same program and the data loader shards by
     ``(jax.process_index(), jax.process_count())``."""
+    if coordinator_address and not num_processes:
+        # a coordinator without a process count must not silently degrade
+        # to N independent single-process trainings (each would see
+        # process_count()==1, train on the full dataset, and clobber the
+        # shared checkpoints/logs)
+        raise ValueError(
+            "initialize_distributed: coordinator_address given but "
+            "num_processes is unset — pass --dist_num_processes (and a "
+            "per-host process_id)")
     if num_processes and num_processes > 1:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)

@@ -263,13 +263,28 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
             per_block = [_MASKED_BLOCK_MODE[m]
                          for m, d in zip(stage_modes, depths)
                          for _ in range(d)]
-            masked = lat(per_block)
+            rep_m = tpu_predict_network(p, model_name, per_block, rates,
+                                        grans)
+            masked = rep_m.latency
             ranking = {"dense": dense, "dense-masked": masked}
+            # int8 dense-masked serving is paradigm-independent (W8A8
+            # convs, per-input gating fully dynamic), so the mixed-mode
+            # plan ranks it exactly like the uniform branch below —
+            # allow_int8 must not be dropped here (static export stays
+            # channel-paradigm-only, matching the uniform gate)
+            ov = masked - max(rep_m.compute_latency, rep_m.memory_latency)
+            ranking["dense-masked-int8"] = (
+                max(rep_m.compute_latency / _S8_CONV_MULT,
+                    rep_m.memory_latency) + ov
+            )
+            mode = "dense-masked"
+            if allow_int8 and ranking["dense-masked-int8"] < masked:
+                mode = "dense-masked-int8"
+            chosen = ranking[mode]
             return ExecutionPlan(
-                kind="resnet", mode="dense-masked",
-                predicted_latency=masked, dense_latency=dense,
-                predicted_speedup=dense / masked, ranking=ranking,
-                exact=True,
+                kind="resnet", mode=mode, predicted_latency=chosen,
+                dense_latency=dense, predicted_speedup=dense / chosen,
+                ranking=ranking, exact=mode == "dense-masked",
             )
     # dense-masked = static body + masker heads, whatever the paradigm:
     # the 0/1 mask multiplies fuse for free, only the gating heads add

@@ -48,9 +48,22 @@ class CheckpointManager:
             ),
         )
         self._mgr.wait_until_finished()
-        if metadata is not None:
+        # every process must enter the orbax save (it barriers), but the
+        # sidecar JSONs are plain writes: on multi-host shared storage
+        # only process 0 writes them, or N concurrent 'w' opens can
+        # interleave and leave invalid JSON for a later restore()
+        primary = jax.process_index() == 0
+        if metadata is not None and primary:
             with open(os.path.join(self.directory, f"meta_{step}.json"), "w") as f:
                 json.dump(metadata, f)
+            # GC meta sidecars whose checkpoints the rolling manager
+            # deleted (all_steps() is the post-GC survivor set)
+            live = set(self._mgr.all_steps())
+            for name in os.listdir(self.directory):
+                if name.startswith("meta_") and name.endswith(".json"):
+                    s = name[len("meta_"):-len(".json")]
+                    if s.isdigit() and int(s) not in live:
+                        os.unlink(os.path.join(self.directory, name))
         if is_best:
             # a separate max_to_keep=1 manager, so the best weights survive
             # the rolling GC of the main manager (the model_best.pth.tar
@@ -60,8 +73,10 @@ class CheckpointManager:
                 args=ocp.args.Composite(state=ocp.args.StandardSave(state)),
             )
             self._best().wait_until_finished()
-            with open(os.path.join(self.directory, "best.json"), "w") as f:
-                json.dump({"step": step, **(metadata or {})}, f)
+            if primary:
+                with open(os.path.join(self.directory, "best.json"),
+                          "w") as f:
+                    json.dump({"step": step, **(metadata or {})}, f)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

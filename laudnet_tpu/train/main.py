@@ -160,6 +160,24 @@ def _density_rows(s):
     ])
 
 
+def _pad_val_batch(images, labels, full_bs: int):
+    """Wrap-pad a final partial val batch (drop_last=False tail) up to the
+    full local batch size so the data-axis sharding divides evenly, and
+    return a 0/1 validity mask — the eval step weights its stats by it,
+    keeping top1/top5/act_rate exact over real rows only. Without this, a
+    val set not divisible by (local_bs x hosts) dies in put_global_batch
+    (shard_shape rejects uneven batches) after a full training epoch."""
+    n = len(labels)
+    weights = np.ones((full_bs,), np.float32)
+    if n == full_bs:
+        return images, labels, weights
+    reps = -(-full_bs // n)  # ceil
+    images = np.concatenate([np.asarray(images)] * reps)[:full_bs]
+    labels = np.concatenate([np.asarray(labels)] * reps)[:full_bs]
+    weights[n:] = 0.0
+    return images, labels, weights
+
+
 def main(argv=None):
     from laudnet_tpu import models
     from laudnet_tpu.data import (
@@ -456,17 +474,23 @@ def main(argv=None):
                                    seed=10_000 + proc_id * 7919)
         )
         for images, labels in val_batches:
+            bsz = len(labels)  # valid rows, before tail padding
+            images, labels, w = _pad_val_batch(images, labels, local_bs)
             s = jax.device_get(eval_step(
                 params, bstats,
                 put_global_batch(images, batch_sh),
                 put_global_batch(labels, batch_sh),
+                put_global_batch(w, batch_sh),
             ))
-            bsz = len(labels)
             top1 += float(s["top1"]) * bsz
             top5 += float(s["top5"]) * bsz
             act += float(s["act_rate"]) * bsz
             gflops += float(s["flops"]) / 1e9 * bsz
             n_val += bsz
+        if n_val == 0:
+            raise RuntimeError(
+                f"empty validation set under {args.data_url!r} — nothing "
+                "to evaluate")
         log(f"evaluate: top1 {top1 / n_val:.3f} top5 {top5 / n_val:.3f} "
             f"act_rate {act / n_val:.3f} GFLOPs {gflops / n_val:.3f}")
         return top1 / n_val
@@ -538,12 +562,14 @@ def main(argv=None):
         )
         density_rows = None
         for images, labels in val_batches:
-            images = put_global_batch(images, batch_sh)
-            labels = put_global_batch(labels, batch_sh)
-            s = jax.device_get(
-                eval_step(state.params, state.batch_stats, images, labels)
-            )
-            bsz = len(labels)
+            bsz = len(labels)  # valid rows, before tail padding
+            images, labels, w = _pad_val_batch(images, labels, local_bs)
+            s = jax.device_get(eval_step(
+                state.params, state.batch_stats,
+                put_global_batch(images, batch_sh),
+                put_global_batch(labels, batch_sh),
+                put_global_batch(w, batch_sh),
+            ))
             val_top1 += float(s["top1"]) * bsz
             val_top5 += float(s["top5"]) * bsz
             act += float(s["act_rate"]) * bsz
@@ -554,7 +580,11 @@ def main(argv=None):
             rows = _density_rows(s) * bsz
             density_rows = rows if density_rows is None else (
                 density_rows + rows)
-        density_rows = density_rows / max(n_val, 1)
+        if n_val == 0:
+            raise RuntimeError(
+                f"empty validation set under {args.data_url!r} — check "
+                "that val/ contains class directories with images")
+        density_rows = density_rows / n_val
         val_top1, val_top5 = val_top1 / n_val, val_top5 / n_val
         act, gflops = act / n_val, gflops / n_val
         log(f"epoch {epoch}: val top1 {val_top1:.3f} top5 {val_top5:.3f} "
@@ -582,8 +612,11 @@ def main(argv=None):
                                        "best_result.txt"), "w") as f:
                     f.write(f"{best_top1:.6f}\t{act:.6f}\t{gflops:.6f}")
         # orbax coordinates across processes (barrier inside save) — every
-        # process must participate, not just the writer
-        ckpt.save(int(state.step), jax.device_get(state),
+        # process must participate, not just the writer. Save the sharded
+        # state directly: a device_get here would crash on multi-host
+        # (leaves span non-addressable devices under --fsdp) and defeats
+        # ZeRO-3 by gathering the full state onto every host.
+        ckpt.save(int(state.step), state,
                   metadata={"epoch": epoch, "val_top1": val_top1},
                   is_best=is_best)
     ckpt.close()

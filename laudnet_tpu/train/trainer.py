@@ -218,12 +218,19 @@ def make_eval_step(model, cfg: TrainConfig) -> Callable:
     """Eval forward at the final temperature (deterministic masks,
     reference `train/main.py:607-757`)."""
 
-    def eval_step(params, batch_stats, images, labels):
+    def eval_step(params, batch_stats, images, labels, weights=None):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images, cfg.t_last, training=False,
         )
-        top1, top5 = topk_accuracy(out.logits, labels, topk=(1, 5))
+        # ``weights``: 0/1 valid mask for a wrap-padded final val batch
+        # (padding keeps the batch divisible by the device count; the
+        # mask keeps top1/top5 exact). act_rate/flops/densities are
+        # per-BLOCK batch-mean stats, not per-image — they stay plain
+        # means; the pad rows are wrapped copies of real images, so the
+        # diagnostic stats remain representative.
+        top1, top5 = topk_accuracy(out.logits, labels, topk=(1, 5),
+                                   weights=weights)
         stats = {
             "top1": top1,
             "top5": top5,

@@ -27,19 +27,28 @@ class AverageMeter:
         return f"{self.name} {self.val:{self.fmt[1:]}} ({self.avg:{self.fmt[1:]}})"
 
 
-def topk_accuracy(logits, labels, topk=(1,)):
+def topk_accuracy(logits, labels, topk=(1,), weights=None):
     """Top-k accuracy in percent, per the reference's `accuracy()`.
 
     When k exceeds the class count (smoke runs with --num_classes < 5),
     the entry degrades to top-C accuracy (trivially 100%) rather than
-    erroring — the log column is only meaningful when C >= k."""
+    erroring — the log column is only meaningful when C >= k.
+
+    ``weights``: optional per-example weights (e.g. a 0/1 valid mask for
+    a wrap-padded final eval batch) — weighted mean instead of mean."""
     import jax
 
     maxk = min(max(topk), logits.shape[-1])  # k may exceed tiny class counts
     _, pred = jax.lax.top_k(logits, maxk)
     correct = pred == labels[:, None]
+
+    def agg(hit):
+        if weights is None:
+            return jnp.mean(hit)
+        return (hit * weights).sum() / jnp.maximum(weights.sum(), 1.0)
+
     return tuple(
-        100.0 * jnp.mean(jnp.any(correct[:, :min(k, maxk)], axis=1)
-                         .astype(jnp.float32))
+        100.0 * agg(jnp.any(correct[:, :min(k, maxk)], axis=1)
+                    .astype(jnp.float32))
         for k in topk
     )

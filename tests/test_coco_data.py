@@ -187,11 +187,18 @@ def test_polygon_rasterization():
     # triangle: half the bounding box
     t = rasterize_polygons([[0, 0, 10, 0, 0, 10]], 10, 10)
     assert abs(int(t.sum()) - 50) <= 10
-    # a hole via even-odd: outer ring + inner ring
-    ring = rasterize_polygons(
+    # polygon PARTS are unioned (pycocotools merges an annotation's RLEs
+    # with intersect=False): an inner square on top of an outer square
+    # stays solid — COCO encodes holes via RLE, not even-odd nesting
+    union = rasterize_polygons(
         [[0, 0, 12, 0, 12, 12, 0, 12], [4, 4, 8, 4, 8, 8, 4, 8]], 12, 12
     )
-    assert ring[6, 6] == 0 and ring[1, 1] == 1
+    assert union[6, 6] == 1 and union[1, 1] == 1
+    # two disjoint parts both land
+    two = rasterize_polygons(
+        [[0, 0, 4, 0, 4, 4, 0, 4], [8, 8, 12, 8, 12, 12, 8, 12]], 14, 14
+    )
+    assert two[2, 2] == 1 and two[10, 10] == 1 and two[6, 6] == 0
 
 
 def test_open_coco_layouts(mini_coco):

@@ -244,3 +244,50 @@ def test_ddq_distinct_queries():
     gn = float(sum(jnp.abs(l).sum() for l in
                    jax.tree_util.tree_leaves(g["enc_cls"])))
     assert gn > 0
+
+
+def test_detr_rect_per_axis_normalization():
+    """Rectangular inputs normalize x by W and y by H (r4 fix — a single
+    scalar scale left right-half x-targets > 1.0, unreachable for the
+    sigmoid-bounded box head, and detect could never place a box past
+    x = H on a W > H image)."""
+    # detect: cxcywh (0.5, 0.5, 1, 1) covers the full (h=32, w=64) image
+    out = {
+        "cls_logits": jnp.zeros((1, 1, 4)),
+        "boxes_cxcywh": jnp.asarray([[[0.5, 0.5, 1.0, 1.0]]]),
+    }
+    det = detr_detect(out, (32.0, 64.0), score_threshold=0.0)
+    np.testing.assert_allclose(np.asarray(det["boxes"][0, 0]),
+                               [0.0, 0.0, 64.0, 32.0], atol=1e-5)
+
+    # loss: a full-image GT box on the same (32, 64) image is exactly a
+    # (0.5, 0.5, 1, 1) prediction -> zero matched L1 and gIoU terms
+    o = {
+        "cls_logits": jnp.zeros((1, 2, 4)),
+        "boxes_cxcywh": jnp.asarray(
+            [[[0.5, 0.5, 1.0, 1.0], [0.1, 0.1, 0.05, 0.05]]]),
+        "additional": {"flops": jnp.asarray(0.5),
+                       "dense_flops": jnp.asarray(1.0)},
+    }
+    boxes = jnp.asarray([[[0.0, 0.0, 64.0, 32.0]]])
+    labels = jnp.zeros((1, 1), jnp.int32)
+    valid = jnp.ones((1, 1), jnp.float32)
+    _, metrics = detr_loss(o, boxes, labels, valid, num_classes=3,
+                           image_size=(32.0, 64.0))
+    assert float(metrics["loss_l1"]) < 1e-6, float(metrics["loss_l1"])
+    assert float(metrics["loss_giou"]) < 1e-5
+
+
+def test_detr_trains_on_rectangular_images():
+    """train_detector(kind='detr') with image_size=(ih, iw): the default
+    synthetic data generates (ih, iw) batches (r4 fix — it was square
+    ih x ih, mismatching the (ih, iw) init sample) and the set loss
+    normalizes per-axis, so the step runs and stays finite."""
+    from laudnet_tpu.detection.runner import DetTrainConfig, train_detector
+
+    m = tiny_detr()
+    cfg = DetTrainConfig(num_classes=3, epochs=1, steps_per_epoch=2,
+                         warmup_steps=1, lambda_sparse=0.1)
+    _, _, hist = train_detector(m, cfg, kind="detr", image_size=(32, 64),
+                                batch_size=2, log=lambda *a: None)
+    assert np.isfinite(hist[-1]["loss"])

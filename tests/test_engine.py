@@ -416,3 +416,69 @@ def test_plan_vit_snapped_mode():
     ks = sorted({int(c * 197) for c in snapped.token_capacity if c < 1.0},
                 reverse=True)
     assert ks == [128, 96]
+
+
+def test_plan_mixed_stage_modes_respects_allow_int8():
+    """The mixed per-stage branch ranks the paradigm-independent
+    dense-masked-int8 path and honors allow_int8 (r4 fix: its early
+    return silently dropped the opt-in, so a channel+layer model never
+    got the int8 serving the uniform plan chooses)."""
+    modes = ("channel", "channel", "layer", "layer")
+    base = plan_resnet_serving("resnet101", dyn_mode=modes)
+    assert "dense-masked-int8" in base.ranking
+    assert base.mode == "dense-masked" and base.exact
+
+    q = plan_resnet_serving("resnet101", dyn_mode=modes, allow_int8=True)
+    assert q.mode == "dense-masked-int8" and not q.exact
+    # same calibrated mild win as the uniform branch
+    ratio = q.ranking["dense-masked"] / q.ranking["dense-masked-int8"]
+    assert 1.0 < ratio < 1.2, ratio
+
+
+def test_layerskip_mesh_gates_per_image(monkeypatch):
+    """With a mesh attached, the layerskip serving path shard_maps over
+    the data axis so each device gates on ITS OWN image (r4 fix: a bare
+    jit applied image 0's skip decisions to the whole batch)."""
+    from jax.sharding import Mesh
+
+    from laudnet_tpu.infer.layerskip import build_layer_skip_resnet
+    from laudnet_tpu.models import LAUDResNet
+    from laudnet_tpu.sim import plan as plan_mod
+
+    m = LAUDResNet(layers=(3, 4, 23, 3), num_classes=10, input_size=64,
+                   dyn_mode=("layer",) * 4)
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)) * 2, jnp.float32)
+    v = jax.jit(lambda: m.init({"params": jax.random.PRNGKey(1)},
+                               x0, 1.0, training=False))()
+    # fixture sanity: find a second image taking a DIFFERENT number of
+    # blocks, otherwise batch-0 leakage would be invisible
+    ls = jax.jit(build_layer_skip_resnet(v, m.layers))
+    n0 = int(ls(x0)[1])
+    x1 = None
+    for scale in (0.1, 0.5, 1.0, 4.0, 8.0):
+        cand = jnp.asarray(rng.standard_normal((1, 64, 64, 3)) * scale,
+                           jnp.float32)
+        if int(ls(cand)[1]) != n0:
+            x1 = cand
+            break
+    assert x1 is not None, "no divergent fixture image found"
+    x = jnp.concatenate([x0, x1], axis=0)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    engine = ServingEngine(m, v, batch_size=1, mesh=mesh)
+
+    def fake_plan(name, **kw):
+        from laudnet_tpu.sim.plan import ExecutionPlan
+        return ExecutionPlan(
+            kind="resnet", mode="layerskip", predicted_latency=1.0,
+            dense_latency=2.0, predicted_speedup=2.0,
+            ranking={"dense-masked": 2.0, "layerskip": 1.0}, exact=True,
+        )
+
+    monkeypatch.setattr(plan_mod, "plan_resnet_serving", fake_plan)
+    plan = engine.calibrate([x[:1]])
+    assert plan.served == "layerskip"
+    ref = m.apply(v, x, 0.1, training=False).logits
+    np.testing.assert_allclose(np.asarray(engine(x)), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

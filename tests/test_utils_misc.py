@@ -83,3 +83,29 @@ def test_topk_accuracy_values():
     # k beyond class count degrades to top-C (documented)
     (top5,) = topk_accuracy(logits, labels, topk=(5,))
     assert float(top5) == pytest.approx(100.0)
+
+
+def test_topk_accuracy_weighted_ignores_pad_rows():
+    # rows 2,3 are wrap-pad copies (weight 0): accuracy must equal the
+    # 2-row unweighted value even though the pad rows are all-correct
+    logits = jnp.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1],
+                          [0.0, 9.0, 0.0], [0.0, 9.0, 0.0]])
+    labels = jnp.asarray([1, 2, 1, 1])
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    top1, top2 = topk_accuracy(logits, labels, topk=(1, 2), weights=w)
+    assert float(top1) == pytest.approx(50.0)
+    assert float(top2) == pytest.approx(50.0)
+
+
+def test_pad_val_batch_wraps_and_masks():
+    from laudnet_tpu.train.main import _pad_val_batch
+
+    images = np.arange(3 * 2).reshape(3, 2).astype(np.float32)
+    labels = np.asarray([7, 8, 9], np.int32)
+    pi, pl, w = _pad_val_batch(images, labels, 8)
+    assert pi.shape == (8, 2) and pl.shape == (8,) and w.shape == (8,)
+    assert w.tolist() == [1, 1, 1, 0, 0, 0, 0, 0]
+    np.testing.assert_array_equal(pl[3:6], labels)  # wrapped copies
+    # full batch passes through untouched
+    fi, fl, fw = _pad_val_batch(images, labels, 3)
+    assert fi is images and fl is labels and fw.sum() == 3
