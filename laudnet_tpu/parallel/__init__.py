@@ -11,6 +11,7 @@ from laudnet_tpu.parallel.pp import pipeline_apply, stack_layer_params
 from laudnet_tpu.parallel.tp import (
     RESNET_TP_RULES,
     VIT_TP_RULES,
+    sequence_parallel_constraint,
     shard_params,
     tensor_parallel_specs,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "stack_layer_params",
     "tensor_parallel_specs",
     "shard_params",
+    "sequence_parallel_constraint",
     "VIT_TP_RULES",
     "RESNET_TP_RULES",
     "fsdp_specs",

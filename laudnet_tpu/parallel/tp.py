@@ -107,3 +107,35 @@ def shard_params(params, mesh: Mesh, rules=VIT_TP_RULES,
     """Place ``params`` on ``mesh`` with the tensor-parallel layout."""
     shardings = tensor_parallel_specs(params, rules, axis=axis, mesh=mesh)
     return jax.device_put(params, shardings)
+
+
+def sequence_parallel_constraint(x, mesh: Mesh, *, axis: str = "model",
+                                 batch_axis: str = "data",
+                                 token_axis: int = 1):
+    """Megatron sequence parallelism (SP), the GSPMD way.
+
+    Between the TP matmul pairs (column-parallel ``qkv``/``fc1`` x
+    row-parallel ``proj``/``fc2``) the activations only pass through
+    elementwise + LayerNorm work; under plain TP they sit fully
+    replicated over the ``model`` axis there — tp_size copies of every
+    activation, and every shard repeats the same VPU work. Constraining
+    the TOKEN dim onto the ``model`` axis in those regions makes GSPMD
+    emit the Megatron-SP collective pair instead — reduce-scatter out of
+    the row-parallel matmul, all-gather back into the next
+    column-parallel one — for identical math with 1/tp_size activation
+    memory and LayerNorm work per device.
+
+    Call inside ``jit`` on the block boundary / pre-LN activations
+    ``(batch, tokens, features)``. Dims the axis does not divide still
+    work (GSPMD handles ragged shards). No-op when ``mesh`` lacks the
+    axis or it has size 1.
+    """
+    if axis not in mesh.shape or mesh.shape[axis] == 1:
+        return x
+    spec = [None] * x.ndim
+    if batch_axis in mesh.shape:
+        spec[0] = batch_axis
+    spec[token_axis] = axis
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec))
+    )

@@ -350,3 +350,59 @@ def test_fsdp_accepts_namedsharding_base_specs():
     # qkv kernel (64, 192): TP took dim 1, FSDP adds 'data' on dim 0
     assert specs["block_0"]["qkv"]["kernel"].spec == P("data", "model")
     assert specs["block_0"]["norm1"]["scale"].spec == P()
+
+
+def test_sequence_parallel_matches_and_shards_tokens():
+    """Megatron-SP via sequence_parallel_constraint: constraining the
+    token dim between TP blocks (a) leaves the math bit-identical to the
+    unconstrained TP forward and (b) actually materializes the
+    activation sequence-sharded over the model axis."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from laudnet_tpu.parallel import sequence_parallel_constraint
+
+    _, variables, x = _tiny_vit_and_params()
+    params = variables["params"]
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "model")
+    )
+    n_tokens = (32 // 16) ** 2 + 1  # 5 tokens — 2-way axis shards ragged
+    block = LAUDViTBlock(dim=TINY["dim"], num_heads=TINY["num_heads"],
+                         book_len=n_tokens)
+    tokens = jnp.asarray(
+        np.random.default_rng(5).standard_normal((8, n_tokens, TINY["dim"])),
+        jnp.float32,
+    )
+    mask0 = jnp.ones(tokens.shape[:2], tokens.dtype)
+    params_tp = shard_params(params, mesh, VIT_TP_RULES)
+    tokens_sh = jax.device_put(tokens, NamedSharding(mesh, P("data")))
+
+    def chain(p, y, sp: bool):
+        m = mask0
+        for i in range(TINY["depth"]):
+            if sp:  # SP region: LN + residual work runs token-sharded
+                y = sequence_parallel_constraint(y, mesh)
+            y, m, _ = block.apply({"params": p[f"block_{i}"]}, y, m, 0.1,
+                                  training=False)
+        return y
+
+    ref = jax.jit(lambda p, y: chain(p, y, False))(params_tp, tokens_sh)
+    got = jax.jit(lambda p, y: chain(p, y, True))(params_tp, tokens_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # the constrained activation itself must land sequence-sharded (an
+    # axis-divisible token count; GSPMD normalizes ragged splits back to
+    # replicated-over-model, which the parity check above covers)
+    tok8 = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(6).standard_normal((8, 8, TINY["dim"])),
+            jnp.float32,
+        ),
+        NamedSharding(mesh, P("data")),
+    )
+    sp_act = jax.jit(
+        lambda y: sequence_parallel_constraint(y + 1.0, mesh)
+    )(tok8)
+    assert sp_act.sharding.spec == P("data", "model")
+    assert {s.data.shape[1] for s in sp_act.addressable_shards} == {4}
