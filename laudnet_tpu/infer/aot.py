@@ -52,16 +52,19 @@ def save_serving_artifact(path: str, model, variables,
         return model.apply(variables, x, temperature, training=False).logits
 
     blob = export_serving_fn(serve, batch_shape, dtype, platforms)
+    # user metadata may override the built-in keys (a dict(**kwargs)
+    # merge would TypeError on e.g. metadata={'model': ...} AFTER the
+    # expensive export, leaving a blob with no sidecar)
+    meta = {
+        "batch_shape": list(batch_shape),
+        "dtype": jnp.dtype(dtype).name,
+        "temperature": temperature,
+        "model": type(model).__name__,
+        **(metadata or {}),
+    }
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     with open(path + ".stablehlo", "wb") as f:
         f.write(blob)
-    meta = dict(
-        batch_shape=list(batch_shape),
-        dtype=jnp.dtype(dtype).name,
-        temperature=temperature,
-        model=type(model).__name__,
-        **(metadata or {}),
-    )
     with open(path + ".json", "w") as f:
         json.dump(meta, f, indent=1)
     return path + ".stablehlo"
@@ -74,4 +77,4 @@ def load_serving_artifact(path: str) -> Callable:
         path = path + ".stablehlo"
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
-    return lambda x: exported.call(x)
+    return exported.call

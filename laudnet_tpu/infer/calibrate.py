@@ -44,6 +44,9 @@ def calibrate_token_capacity(apply_fn: Callable, batches: Iterable,
                 f"{keep.shape}"
             )
         per_image.append(keep)
+    if not per_image:
+        raise ValueError("no calibration batches — the iterable was empty "
+                         "(an already-consumed generator?)")
     dens = np.concatenate(per_image, axis=1)  # (depth, n_images)
     caps = np.quantile(dens, quantile, axis=1) + margin
     return tuple(float(min(c, 1.0)) for c in caps)
@@ -68,6 +71,9 @@ def calibrate_channel_masks(mask_fn: Callable, batches: Iterable,
         else:
             sums = [s + m.sum(axis=0) for s, m in zip(sums, masks)]
         counts += masks[0].shape[0]
+    if sums is None:
+        raise ValueError("no calibration batches — the iterable was empty "
+                         "(an already-consumed generator?)")
     out = []
     for s in sums:
         keep = (s / counts >= keep_threshold).astype(np.float32)
@@ -105,6 +111,9 @@ def calibration_fidelity(mask_fn: Callable, static_masks, batches: Iterable):
                 np.where(on > 0, covered / np.maximum(on, 1), 1.0).sum()
             )
         n += masks[0].shape[0]
+    if n == 0:
+        raise ValueError("no calibration batches — the iterable was empty "
+                         "(an already-consumed generator?)")
     return {
         "agreement": tuple(float(a / n) for a in agree_sum),
         "coverage": tuple(float(c / n) for c in cover_sum),
@@ -174,6 +183,9 @@ def calibrate_patch_capacity(apply_fn: Callable, batches: Iterable,
             per_stage = [[] for _ in out.spatial_s3_img]
         for i, s in enumerate(out.spatial_s3_img):
             per_stage[i].append(np.asarray(s))
+    if per_stage is None:
+        raise ValueError("no calibration batches — the iterable was empty "
+                         "(an already-consumed generator?)")
     caps = []
     for chunks in per_stage:
         dens = np.concatenate(chunks, axis=1)  # (blocks, n_images)

@@ -132,7 +132,15 @@ def export_pruned_resnet(variables, block_masks: Sequence[np.ndarray],
     ):
         p, s = params[scope], stats[scope]
         w = p["conv1"]["kernel"].shape[-1]
-        ch_mask = np.repeat(np.asarray(mask).astype(bool), gran)[:w]
+        if len(mask) * gran != w:
+            # an undersized mask would silently slice trailing channels
+            # out of conv1..conv3 while also excluding them from the
+            # const1/const2 bias folding — wrong logits, no error
+            raise ValueError(
+                f"{scope}: mask has {len(mask)} groups x granularity "
+                f"{gran} = {len(mask) * gran} channels, conv width is {w} "
+                "— calibrate with the model's channel_dyn_granularity")
+        ch_mask = np.repeat(np.asarray(mask).astype(bool), gran)
         kept = np.where(ch_mask)[0]
         dropped = np.where(~ch_mask)[0]
         assert kept.size > 0, f"{scope}: empty mask"
@@ -256,7 +264,6 @@ def calibrate_export_act_scales(variables, block_masks, batches, *,
     for the static-scale int8 export. Returns a list ordered like the
     export's conv sites; pass it as ``act_scales`` (typically with a
     small ``margin``; values above the baked scale saturate at eval)."""
-    import numpy as np
 
     fwd = jax.jit(export_pruned_resnet(
         variables, block_masks, record_act_scales=True, **export_kwargs))

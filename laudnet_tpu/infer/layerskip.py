@@ -21,12 +21,8 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _conv(x, kernel, stride=1, padding=0):
-    pad = [(padding, padding), (padding, padding)]
-    return lax.conv_general_dilated(
-        x, kernel, (stride, stride), pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+# one shared NHWC/HWIO conv wrapper for the infer/ engines
+from laudnet_tpu.infer.export_pruned import _conv
 
 
 def _bn(x, v, eps=1e-5):
@@ -75,6 +71,13 @@ def build_layer_skip_resnet(variables, layers: Sequence[int] = (3, 4, 23, 3)):
         return out, keep.astype(jnp.int32)
 
     def forward(x):
+        if x.shape[0] != 1:
+            # the gate reads image 0's masker logits; at B>1 every other
+            # image would silently inherit its skip decisions
+            raise ValueError(
+                f"layer-skip engine is batch-1 (got batch {x.shape[0]}); "
+                "shard_map per-device batches of 1, or use the masked "
+                "graph")
         h = _conv(x, params["conv1"]["kernel"], stride=2, padding=3)
         h = jnp.maximum(_bn(h, {**params["bn1"], **stats["bn1"]}), 0.0)
         h = lax.reduce_window(
@@ -131,6 +134,11 @@ def build_layer_skip_vit(variables, *, depth: int, dim: int,
     sm_scale = dh**-0.5
 
     def forward(x):
+        if x.shape[0] != 1:
+            raise ValueError(
+                f"layer-skip engine is batch-1 (got batch {x.shape[0]}); "
+                "shard_map per-device batches of 1, or use the masked "
+                "graph")
         p = params
         b = x.shape[0]
         x, n = _patchify(p, x, dim, patch_size)

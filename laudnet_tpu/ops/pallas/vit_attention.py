@@ -220,7 +220,6 @@ def _fused_fwd_strips(qkv, key_mask, head_mask, num_heads: int,
     while b % bb:
         bb -= 1
     grid = (b // bb, n_pairs)
-    lanes_per_pair = pair_w // 128  # 1 for dh=64
 
     def strip(section):
         return pl.BlockSpec(

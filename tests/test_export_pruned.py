@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from laudnet_tpu.infer import export_pruned_resnet
 from laudnet_tpu.models import laud_resnet
@@ -202,3 +203,43 @@ def test_make_channel_mask_fn_captures_block_masks_in_order():
     np.testing.assert_allclose(
         np.asarray([m.mean() for m in masks]), want, atol=1e-6
     )
+
+
+def test_export_rejects_mask_granularity_mismatch():
+    """A mask whose groups x granularity != conv width must raise, not
+    silently drop trailing channels from the slicing AND the bias
+    folding (r4 review finding)."""
+    layers = (1, 1, 1, 1)
+    model = laud_resnet.LAUDResNet(
+        layers=layers, num_classes=10, input_size=64,
+        dyn_mode=("channel",) * 4, channel_dyn_granularity=(2, 2, 2, 2),
+        channel_masker=("MLP",) * 4, channel_masker_layers=(1, 1, 1, 1),
+    )
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x, 1.0,
+                           training=False)
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    masks = [np.ones(4, np.float32)] * 4  # widths are 64/128/256/512 / 2
+    with pytest.raises(ValueError, match="granularity"):
+        export_pruned_resnet(variables, masks, layers=layers,
+                             channel_dyn_granularity=(2, 2, 2, 2),
+                             input_size=64)
+
+
+def test_calibrators_reject_empty_batches():
+    from laudnet_tpu.infer.calibrate import (
+        calibrate_channel_masks,
+        calibrate_patch_capacity,
+        calibrate_token_capacity,
+        calibration_fidelity,
+    )
+
+    for fn in (lambda: calibrate_token_capacity(lambda x: x, []),
+               lambda: calibrate_channel_masks(lambda x: x, []),
+               lambda: calibration_fidelity(lambda x: x, [], []),
+               lambda: calibrate_patch_capacity(lambda x: x, [])):
+        with pytest.raises(ValueError, match="no calibration batches"):
+            fn()

@@ -80,3 +80,21 @@ def test_layer_skip_vit_matches_model():
     assert int(n_run) == 2  # 4 branches, 2 forced closed
     np.testing.assert_allclose(np.asarray(logits), np.asarray(out.logits),
                                atol=2e-5)
+
+
+def test_layerskip_rejects_multi_image_batches():
+    """The gate reads image 0's logits; B>1 must raise the documented
+    batch-1 contract error instead of silently gating the whole batch on
+    image 0 (r4 review finding)."""
+    import pytest
+
+    model = laud_resnet.LAUDResNet(
+        layers=(1, 1, 1, 1), num_classes=10, input_size=64,
+        dyn_mode=("layer",) * 4,
+    )
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, 1.0,
+                           training=False)
+    fwd = build_layer_skip_resnet(variables, (1, 1, 1, 1))
+    with pytest.raises(ValueError, match="batch-1"):
+        fwd(x)
