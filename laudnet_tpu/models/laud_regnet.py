@@ -109,6 +109,7 @@ class SqueezeExcitation(nn.Module):
 
     squeeze_channels: int
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # AMP compute dtype (None = exact f32 promotion)
 
     @nn.compact
     def __call__(self, x):
@@ -120,12 +121,12 @@ class SqueezeExcitation(nn.Module):
         s = nn.Conv(self.squeeze_channels, (1, 1), use_bias=True, name="fc1",
                     kernel_init=he_normal_fan_out(),
                     bias_init=torch_linear_bias_init(c),
-                    param_dtype=self.param_dtype)(s)
+                    dtype=self.dtype, param_dtype=self.param_dtype)(s)
         s = nn.relu(s)
         s = nn.Conv(c, (1, 1), use_bias=True, name="fc2",
                     kernel_init=he_normal_fan_out(),
                     bias_init=torch_linear_bias_init(self.squeeze_channels),
-                    param_dtype=self.param_dtype)(s)
+                    dtype=self.dtype, param_dtype=self.param_dtype)(s)
         return x * jax.nn.sigmoid(s)
 
 
@@ -148,6 +149,9 @@ class LAUDRegNetBlock(nn.Module):
     channel_masker_layers: int = 2
     reduction: int = 16
     param_dtype: Any = jnp.float32
+    # AMP compute dtype; gating heads stay f32 (`models/maskers.py`) so
+    # mask decisions match the f32 path in expectation. None = exact f32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, temperature, *, training: bool):
@@ -160,7 +164,7 @@ class LAUDRegNetBlock(nn.Module):
 
         bn = lambda name: nn.BatchNorm(
             use_running_average=not training, momentum=0.9, epsilon=1e-5,
-            name=name, param_dtype=self.param_dtype,
+            name=name, dtype=self.dtype, param_dtype=self.param_dtype,
         )
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         one = f32(1.0)
@@ -217,7 +221,7 @@ class LAUDRegNetBlock(nn.Module):
         # --- transform -------------------------------------------------
         out = nn.Conv(w_b, (1, 1), use_bias=False,
                       kernel_init=he_normal_fan_out(), name="a_conv",
-                      param_dtype=self.param_dtype)(x)
+                      dtype=self.dtype, param_dtype=self.param_dtype)(x)
         if dyn in ("channel", "both"):
             out = masking.apply_channel_mask(out, channel_mask)
         out = nn.relu(bn("a_bn")(out))
@@ -227,7 +231,7 @@ class LAUDRegNetBlock(nn.Module):
         out = nn.Conv(w_b, (3, 3), strides=self.stride, padding=1,
                       feature_group_count=groups, use_bias=False,
                       kernel_init=he_normal_fan_out(), name="b_conv",
-                      param_dtype=self.param_dtype)(out)
+                      dtype=self.dtype, param_dtype=self.param_dtype)(out)
         if dyn in ("channel", "both"):
             out = masking.apply_channel_mask(out, channel_mask)
         out = nn.relu(bn("b_bn")(out))
@@ -236,14 +240,14 @@ class LAUDRegNetBlock(nn.Module):
 
         se_flops = 0
         if self.se_ratio:
-            out = SqueezeExcitation(width_se, name="se",
+            out = SqueezeExcitation(width_se, name="se", dtype=self.dtype,
                                     param_dtype=self.param_dtype)(out)
             se_flops = se_fpp  # counted dense, outside flops_perc
             # (reference quirk, `laud_regnet.py:190-195`)
 
         out = nn.Conv(self.width_out, (1, 1), use_bias=False,
                       kernel_init=he_normal_fan_out(), name="c_conv",
-                      param_dtype=self.param_dtype)(out)
+                      dtype=self.dtype, param_dtype=self.param_dtype)(out)
         out = bn("c_bn")(out)
         if dyn in ("spatial", "both"):
             out = masking.apply_spatial_mask(out, spatial_mask3)
@@ -255,7 +259,7 @@ class LAUDRegNetBlock(nn.Module):
             identity = nn.Conv(self.width_out, (1, 1), strides=self.stride,
                                use_bias=False,
                                kernel_init=he_normal_fan_out(),
-                               name="proj_conv",
+                               name="proj_conv", dtype=self.dtype,
                                param_dtype=self.param_dtype)(x)
             identity = bn("proj_bn")(identity)
             ds = width_in * self.width_out * out_hw
@@ -291,6 +295,7 @@ class LAUDRegNet(nn.Module):
     channel_masker_layers: Sequence[int] = (1, 1, 1, 1)
     reduction_ratio: Sequence[int] = (16, 16, 16, 16)
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # AMP compute dtype (see LAUDRegNetBlock.dtype)
 
     @nn.compact
     def __call__(self, x, temperature, *, training: bool = False):
@@ -298,9 +303,10 @@ class LAUDRegNet(nn.Module):
         c_in = x.shape[-1]
         x = nn.Conv(self.stem_width, (3, 3), strides=2, padding=1,
                     use_bias=False, kernel_init=he_normal_fan_out(),
-                    name="stem_conv", param_dtype=self.param_dtype)(x)
+                    name="stem_conv", dtype=self.dtype,
+                    param_dtype=self.param_dtype)(x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                         epsilon=1e-5, name="stem_bn",
+                         epsilon=1e-5, name="stem_bn", dtype=self.dtype,
                          param_dtype=self.param_dtype)(x)
         x = nn.relu(x)
         flops = jnp.asarray(
@@ -329,6 +335,7 @@ class LAUDRegNet(nn.Module):
                     channel_masker_layers=self.channel_masker_layers[s],
                     reduction=self.reduction_ratio[s],
                     name=f"stage{s + 1}_{b}",
+                    dtype=self.dtype,
                     param_dtype=self.param_dtype,
                 )(x, temperature, training=training)
                 stats_s3.append(st.spatial_s3)
@@ -350,6 +357,7 @@ class LAUDRegNet(nn.Module):
             self.num_classes, name="fc",
             kernel_init=jax.nn.initializers.normal(0.01),
             bias_init=jax.nn.initializers.zeros,
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
         flops += x.shape[-1] * self.num_classes

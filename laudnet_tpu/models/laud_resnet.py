@@ -121,6 +121,13 @@ class LAUDBottleneck(nn.Module):
     # gates before int8 deployment.
     conv_impl: str = "dense"
     param_dtype: Any = jnp.float32
+    # AMP compute dtype (None = promote inputs/params, the exact f32
+    # default). bf16 runs every conv/BN/dense in bfloat16 while params
+    # (and BN stats) stay f32 master copies; the gating heads force f32
+    # internally (`models/maskers.py`) so mask decisions are unchanged
+    # in expectation. The reference cannot do this (it pins
+    # use_amp=False, `train/main.py:138`); on TPU bf16 is native MXU.
+    dtype: Any = None
 
     def _sparse_eligible(self, training: bool) -> bool:
         """Sparse gather/scatter path: eval-only, spatial mode, stride-1,
@@ -246,15 +253,16 @@ class LAUDBottleneck(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             name=name,
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
         conv1 = Conv(
             width, (1, 1), use_bias=False, kernel_init=he_normal_fan_out(),
-            name="conv1", param_dtype=self.param_dtype,
+            name="conv1", dtype=self.dtype, param_dtype=self.param_dtype,
         )
         conv3 = Conv(
             out_planes, (1, 1), use_bias=False, kernel_init=he_normal_fan_out(),
-            name="conv3", param_dtype=self.param_dtype,
+            name="conv3", dtype=self.dtype, param_dtype=self.param_dtype,
         )
 
         # FLOPs bookkeeping (reference `laud_resnet.py:120-141`); spatial
@@ -283,7 +291,7 @@ class LAUDBottleneck(nn.Module):
             identity = Conv(
                 out_planes, (1, 1), strides=self.stride, use_bias=False,
                 kernel_init=he_normal_fan_out(), name="downsample_conv",
-                param_dtype=self.param_dtype,
+                dtype=self.dtype, param_dtype=self.param_dtype,
             )(x)
             identity = bn("downsample_bn")(identity)
             dense_flops += inplanes * out_planes * out_hw
@@ -315,7 +323,7 @@ class LAUDBottleneck(nn.Module):
                 width, (3, 3), padding="VALID",
                 feature_group_count=self.group_width, use_bias=False,
                 kernel_init=he_normal_fan_out(), name="conv2",
-                param_dtype=self.param_dtype,
+                dtype=self.dtype, param_dtype=self.param_dtype,
             )(gflat)
             gflat = nn.relu(bn("bn2")(gflat))
             gflat = conv3(gflat)
@@ -333,7 +341,7 @@ class LAUDBottleneck(nn.Module):
                 kernel_dilation=self.dilation,
                 feature_group_count=self.group_width, use_bias=False,
                 kernel_init=he_normal_fan_out(), name="conv2",
-                param_dtype=self.param_dtype,
+                dtype=self.dtype, param_dtype=self.param_dtype,
             )(out)
             if self.dyn_mode in ("channel", "both"):
                 out = masking.apply_channel_mask(out, channel_mask)
@@ -385,6 +393,8 @@ class LAUDResNet(nn.Module):
     # fully dynamic. 'int8_qat' fake-quantizes in training (QAT).
     conv_impl: str = "dense"
     param_dtype: Any = jnp.float32
+    # AMP compute dtype (see LAUDBottleneck.dtype); None = exact f32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, temperature, *, training: bool = False):
@@ -407,6 +417,7 @@ class LAUDResNet(nn.Module):
             use_bias=False,
             kernel_init=he_normal_fan_out(),
             name="conv1",
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
         x = nn.BatchNorm(
@@ -414,6 +425,7 @@ class LAUDResNet(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             name="bn1",
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
         x = nn.relu(x)
@@ -464,6 +476,7 @@ class LAUDResNet(nn.Module):
                     patch_capacity=self.patch_capacity[s],
                     conv_impl=self.conv_impl,
                     name=f"layer{s + 1}_{b}",
+                    dtype=self.dtype,
                     param_dtype=self.param_dtype,
                 )(x, temperature, training=training)
                 inplanes = planes * EXPANSION
@@ -487,6 +500,7 @@ class LAUDResNet(nn.Module):
             name="fc",
             kernel_init=torch_linear_kernel_init(),
             bias_init=torch_linear_bias_init(x.shape[-1]),
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
         flops += x.shape[-1] * self.num_classes

@@ -88,6 +88,11 @@ class LAUDViTBlock(nn.Module):
     # take (odd heads: T2T's 7). Training always runs dense math.
     linear_impl: str = "dense"
     param_dtype: Any = jnp.float32
+    # AMP compute dtype for the body matmuls/norms (None = exact f32).
+    # Policy heads always promote to f32 (their params stay f32 and no
+    # dtype is passed), so gate decisions are f32 under AMP; softmax in
+    # the unfused attention path is explicitly f32 either way.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, token_mask, temperature, *, training: bool):
@@ -193,10 +198,12 @@ class LAUDViTBlock(nn.Module):
                 f, name=name, fake=fake, param_dtype=self.param_dtype)
         else:
             mk_dense = lambda f, name: nn.Dense(
-                f, name=name, param_dtype=self.param_dtype)
+                f, name=name, dtype=self.dtype,
+                param_dtype=self.param_dtype)
 
         # --- attention branch -------------------------------------------
-        y = nn.LayerNorm(name="norm1", param_dtype=self.param_dtype)(x)
+        y = nn.LayerNorm(name="norm1", dtype=self.dtype,
+                         param_dtype=self.param_dtype)(x)
         qkv = mk_dense(3 * d, "qkv")(y)
         scale = dh**-0.5
         if self.attn_impl == "fused":
@@ -216,28 +223,41 @@ class LAUDViTBlock(nn.Module):
             q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, L, dh)
 
             attn = (q @ k.transpose(0, 1, 3, 2)) * scale  # (B, H, L, L)
-            # exclude skipped tokens as keys
-            neg = jnp.asarray(-1e9, attn.dtype)
-            attn = attn + (1.0 - token_mask[:, None, None, :]) * neg
-            attn = jax.nn.softmax(attn, axis=-1)
+            # exclude skipped tokens as keys; f32 scores/softmax always
+            # (no-op at f32; under AMP this is the standard stable path
+            # and matches the fused kernel's in-VMEM f32 softmax).
+            # stop_gradient: the additive mask is a structural "remove
+            # key" op — without it, dL/d(gate) picks up a term scaled by
+            # the arbitrary -1e9 constant (~1e13 policy grads at init,
+            # measured) and the gate heads explode within a few steps.
+            # Gate gradients flow through the multiplicative out/MLP
+            # masking below, which is the ST estimator's intended path.
+            attn = attn.astype(jnp.float32)
+            attn = attn + jax.lax.stop_gradient(
+                (1.0 - token_mask.astype(jnp.float32))[:, None, None, :]
+                * -1e9)
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
             out = attn @ v  # (B, H, L, dh)
             if head_mask is not None:
-                out = out * head_mask[:, :, None, None]
+                out = out * head_mask.astype(out.dtype)[:, :, None, None]
             out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
         out = mk_dense(d, "proj")(out)
-        out = out * token_mask[:, :, None]  # skipped tokens don't update
+        # gates are f32; cast at application so the residual stream keeps
+        # the compute dtype (no-op at f32)
+        out = out * token_mask.astype(out.dtype)[:, :, None]
         if attn_gate is not None:
-            out = out * attn_gate[:, None, None]
+            out = out * attn_gate.astype(out.dtype)[:, None, None]
         x = x + out
 
         # --- MLP branch ----------------------------------------------------
-        y = nn.LayerNorm(name="norm2", param_dtype=self.param_dtype)(x)
+        y = nn.LayerNorm(name="norm2", dtype=self.dtype,
+                         param_dtype=self.param_dtype)(x)
         y = mk_dense(hidden, "fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = mk_dense(d, "fc2")(y)
-        y = y * token_mask[:, :, None]
+        y = y * token_mask.astype(y.dtype)[:, :, None]
         if mlp_gate is not None:
-            y = y * mlp_gate[:, None, None]
+            y = y * mlp_gate.astype(y.dtype)[:, None, None]
         x = x + y
 
         # --- FLOPs bookkeeping (simulator cost model) ----------------------
@@ -310,6 +330,7 @@ class LAUDViT(nn.Module):
     # under the serving path's int8 numerics.
     linear_impl: str = "dense"
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # AMP compute dtype (see LAUDViTBlock.dtype)
 
     @nn.compact
     def __call__(self, x, temperature, *, training: bool = False):
@@ -324,6 +345,7 @@ class LAUDViT(nn.Module):
         else:
             x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
                         strides=self.patch_size, name="patch_embed",
+                        dtype=self.dtype,
                         param_dtype=self.param_dtype)(x)
             n = x.shape[1] * x.shape[2]
             x = x.reshape(b, n, self.dim)
@@ -342,8 +364,12 @@ class LAUDViT(nn.Module):
             (1, n + 1, self.dim), self.param_dtype,
         )
         x = x + pos
+        if self.dtype is not None:
+            # cls/pos params are f32 masters; re-enter the compute dtype
+            # so the residual stream stays AMP-typed
+            x = x.astype(self.dtype)
 
-        token_mask = jnp.ones((b, n + 1), x.dtype)
+        token_mask = jnp.ones((b, n + 1), jnp.float32)
         select = self.token_capacity is not None and not training
         stats_all = []
         cur_len = n + 1
@@ -363,13 +389,16 @@ class LAUDViT(nn.Module):
                 head_skip=self.head_skip, layer_skip=self.layer_skip,
                 capacity=cap, book_len=n + 1, attn_impl=self.attn_impl,
                 linear_impl=self.linear_impl,
-                name=f"block_{i}", param_dtype=self.param_dtype,
+                name=f"block_{i}", dtype=self.dtype,
+                param_dtype=self.param_dtype,
             )(x, token_mask, temperature, training=training)
             stats_all.append(st)
             flops += st.sparse_flops
 
-        x = nn.LayerNorm(name="norm", param_dtype=self.param_dtype)(x)
+        x = nn.LayerNorm(name="norm", dtype=self.dtype,
+                         param_dtype=self.param_dtype)(x)
         logits = nn.Dense(self.num_classes, name="head",
+                          dtype=self.dtype,
                           param_dtype=self.param_dtype)(x[:, 0])
         flops += self.dim * self.num_classes
 

@@ -78,6 +78,11 @@ class SpatialMasker(nn.Module):
 
     @nn.compact
     def __call__(self, x, temperature, *, training: bool):
+        # Gating heads always run f32 regardless of the network's AMP
+        # compute dtype: the decisions are hard compares of near-tied
+        # logits, and the head is a negligible fraction of block FLOPs.
+        # No-op on the default f32 path (parity-exact).
+        x = x.astype(jnp.float32)
         g = self.mask_channel_group
         in_ch = x.shape[-1]
         ms = self.mask_size
@@ -123,6 +128,7 @@ class ChannelMaskerMLP(nn.Module):
     @nn.compact
     def __call__(self, x, temperature, *, training: bool):
         assert self.layers in (1, 2)
+        x = x.astype(jnp.float32)  # f32 gating under AMP (see SpatialMasker)
         g = self.channel_dyn_group
         b, h, w, c = x.shape
         flops = c * h * w
@@ -177,6 +183,7 @@ class ChannelMaskerConvLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x, temperature, *, training: bool):
+        x = x.astype(jnp.float32)  # f32 gating under AMP (see SpatialMasker)
         g = self.channel_dyn_group
         in_ch = x.shape[-1]
         red = in_ch // self.reduction

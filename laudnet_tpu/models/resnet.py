@@ -29,6 +29,7 @@ class Bottleneck(nn.Module):
     group_width: int = 1
     dilation: int = 1
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # AMP compute dtype (None = exact f32 promotion)
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
@@ -39,23 +40,24 @@ class Bottleneck(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             name=name,
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
         out = nn.Conv(
             width, (1, 1), use_bias=False, kernel_init=he_normal_fan_out(),
-            name="conv1", param_dtype=self.param_dtype,
+            name="conv1", dtype=self.dtype, param_dtype=self.param_dtype,
         )(x)
         out = nn.relu(bn("bn1")(out))
         out = nn.Conv(
             width, (3, 3), strides=self.stride, padding=self.dilation,
             kernel_dilation=self.dilation, feature_group_count=self.group_width,
             use_bias=False, kernel_init=he_normal_fan_out(), name="conv2",
-            param_dtype=self.param_dtype,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )(out)
         out = nn.relu(bn("bn2")(out))
         out = nn.Conv(
             out_planes, (1, 1), use_bias=False, kernel_init=he_normal_fan_out(),
-            name="conv3", param_dtype=self.param_dtype,
+            name="conv3", dtype=self.dtype, param_dtype=self.param_dtype,
         )(out)
         out = bn("bn3")(out)
 
@@ -64,7 +66,7 @@ class Bottleneck(nn.Module):
             identity = nn.Conv(
                 out_planes, (1, 1), strides=self.stride, use_bias=False,
                 kernel_init=he_normal_fan_out(), name="downsample_conv",
-                param_dtype=self.param_dtype,
+                dtype=self.dtype, param_dtype=self.param_dtype,
             )(x)
             identity = bn("downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -78,19 +80,22 @@ class BasicBlock(nn.Module):
     has_downsample: bool = False
     param_dtype: Any = jnp.float32
     expansion: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
         bn = lambda name: nn.BatchNorm(
             use_running_average=not training, momentum=0.9, epsilon=1e-5,
-            name=name, param_dtype=self.param_dtype,
+            name=name, dtype=self.dtype, param_dtype=self.param_dtype,
         )
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
                       use_bias=False, kernel_init=he_normal_fan_out(),
-                      name="conv1", param_dtype=self.param_dtype)(x)
+                      name="conv1", dtype=self.dtype,
+                      param_dtype=self.param_dtype)(x)
         out = nn.relu(bn("bn1")(out))
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                       kernel_init=he_normal_fan_out(), name="conv2",
+                      dtype=self.dtype,
                       param_dtype=self.param_dtype)(out)
         out = bn("bn2")(out)
         identity = x
@@ -99,6 +104,7 @@ class BasicBlock(nn.Module):
                                use_bias=False,
                                kernel_init=he_normal_fan_out(),
                                name="downsample_conv",
+                               dtype=self.dtype,
                                param_dtype=self.param_dtype)(x)
             identity = bn("downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -111,6 +117,7 @@ class ResNet(nn.Module):
     group_width: int = 1
     block: str = "bottleneck"  # 'bottleneck' | 'basic'
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # AMP compute dtype (None = exact f32 promotion)
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
@@ -118,11 +125,11 @@ class ResNet(nn.Module):
         x = nn.Conv(
             stem_width, (7, 7), strides=2, padding=3, use_bias=False,
             kernel_init=he_normal_fan_out(), name="conv1",
-            param_dtype=self.param_dtype,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )(x)
         x = nn.BatchNorm(
             use_running_average=not training, momentum=0.9, epsilon=1e-5,
-            name="bn1", param_dtype=self.param_dtype,
+            name="bn1", dtype=self.dtype, param_dtype=self.param_dtype,
         )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -141,12 +148,14 @@ class ResNet(nn.Module):
                         planes=planes, stride=stride, has_downsample=has_ds,
                         group_width=self.group_width,
                         name=f"layer{s + 1}_{b}",
+                        dtype=self.dtype,
                         param_dtype=self.param_dtype,
                     )(x, training=training)
                 else:
                     x = BasicBlock(
                         planes=planes, stride=stride, has_downsample=has_ds,
                         name=f"layer{s + 1}_{b}",
+                        dtype=self.dtype,
                         param_dtype=self.param_dtype,
                     )(x, training=training)
                 inplanes = planes * expansion
@@ -156,6 +165,7 @@ class ResNet(nn.Module):
             self.num_classes, name="fc",
             kernel_init=torch_linear_kernel_init(),
             bias_init=torch_linear_bias_init(x.shape[-1]),
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
 

@@ -39,9 +39,10 @@ strip-kernel geometries (even heads on aligned 128-lane pairs, plus odd
 head counts via the zero-padded fake head) the backward is itself a fused
 Pallas kernel (`_fused_bwd_strips`): each grid step recomputes its pair's
 softmax in VMEM (flash-style recompute — nothing but qkv is saved from
-the forward) and emits dq/dk/dv strips, the key-mask gradient, and the
-head-gate gradient without ever materializing a score-shaped tensor in
-HBM. Geometries that fall to the whole-block forward keep the unfused
+the forward) and emits dq/dk/dv strips and the head-gate gradient
+without ever materializing a score-shaped tensor in HBM. The additive
+key mask is stop-gradiented (structural removal, not a differentiable
+gate; see `reference_vit_attention`), so dkey_mask is zeros. Geometries that fall to the whole-block forward keep the unfused
 reference-graph backward.
 """
 
@@ -295,7 +296,13 @@ def reference_vit_attention(qkv, key_mask, head_mask, num_heads: int,
     q, k, v = x[0], x[1], x[2]  # (B, H, L, dh)
     s = (q.astype(jnp.float32) @ k.astype(jnp.float32).transpose(0, 1, 3, 2)
          ) * sm_scale
-    s = s + (1.0 - key_mask.astype(jnp.float32))[:, None, None, :] * NEG
+    # stop_gradient: the additive key mask is structural removal, not a
+    # differentiable gate — without it d(key_mask) carries a term scaled
+    # by the arbitrary NEG constant (~1e13 at init) that explodes the
+    # token-policy heads. Gate gradients flow through the model's
+    # multiplicative output masking instead (`models/laud_vit.py`).
+    s = s + jax.lax.stop_gradient(
+        (1.0 - key_mask.astype(jnp.float32))[:, None, None, :] * NEG)
     p = jax.nn.softmax(s, axis=-1)
     o = p @ v.astype(jnp.float32)
     if head_mask is not None:
@@ -335,9 +342,11 @@ def _fused_bwd_strips(qkv, key_mask, head_mask, g, num_heads: int,
         dv = p^T (dout*gate)          dp = (dout*gate) v^T
         ds = p * (dp - rowsum(dp*p))
         dq = ds k * scale             dk = ds^T q * scale
-        dneg = sum_rows ds            dgate = sum_rows (o_pre * dout)
+        dgate = sum_rows (o_pre * dout)
 
-    all VMEM-resident — the (L, L)-shaped s/p/dp/ds tensors never touch
+    The additive key mask is stop-gradiented (see
+    ``reference_vit_attention``), so no d(key_mask) is produced — the
+    returned dkey_mask is zeros. All intermediates VMEM-resident — the (L, L)-shaped s/p/dp/ds tensors never touch
     HBM (the unfused backward materializes each of them, twice the
     forward's traffic). Returns (dqkv, dkey_mask, dhead_mask)."""
     b, l, d3 = qkv.shape
@@ -385,8 +394,7 @@ def _fused_bwd_strips(qkv, key_mask, head_mask, g, num_heads: int,
 
     def kernel(q_ref, k_ref, v_ref, g_ref, mask_ref, *rest):
         hmask_ref = rest[0] if gated else None
-        dq_ref, dk_ref, dv_ref, dneg_ref = rest[-5:-1] if gated \
-            else rest[-4:]
+        dq_ref, dk_ref, dv_ref = rest[-4:-1] if gated else rest[-3:]
         dg_ref = rest[-1] if gated else None
         q2, k2, v2, do2 = q_ref[:], k_ref[:], v_ref[:], g_ref[:]
         cdt = q2.dtype
@@ -400,7 +408,6 @@ def _fused_bwd_strips(qkv, key_mask, head_mask, g, num_heads: int,
         else:
             do_eff = do2
         dq = dk = dv = None
-        dneg = None
         dg = None
         for msk in (m_lo, m_hi):
             s = jax.lax.dot_general(
@@ -431,8 +438,6 @@ def _fused_bwd_strips(qkv, key_mask, head_mask, g, num_heads: int,
             dq = dqh if dq is None else dq + dqh
             dk = dkh if dk is None else dk + dkh
             dv = dvh if dv is None else dv + dvh
-            dn = ds.sum(axis=1, keepdims=True)           # (bb,1,Lk)
-            dneg = dn if dneg is None else dneg + dn
             if gated:
                 o_pre = jax.lax.dot_general(
                     pc, v2 * msk, dimension_numbers=pv_nums,
@@ -444,21 +449,13 @@ def _fused_bwd_strips(qkv, key_mask, head_mask, g, num_heads: int,
         dq_ref[:] = dq.astype(dq_ref.dtype)
         dk_ref[:] = dk.astype(dk_ref.dtype)
         dv_ref[:] = dv.astype(dv_ref.dtype)
-        dneg_ref[:] = dneg.astype(jnp.float32).reshape(1, bb, 1, l)
         if gated:
             dg_ref[:] = dg.astype(jnp.float32)
 
     strip_out = pl.BlockSpec((bb, l, pair_w), lambda i, hp: (i, 0, hp),
                              memory_space=pltpu.VMEM)
-    # dneg is (n_pairs, b, 1, l) so the per-step block's LAST TWO dims
-    # (1, l) are full array dims — Mosaic's (8, 128)-divisibility rule
-    # only exempts full dims, and a (bb, 1, l) block over (b, n_pairs, l)
-    # would put a partial n_pairs slice in the sublane position
-    out_specs = [strip_out, strip_out, strip_out,
-                 pl.BlockSpec((1, bb, 1, l), lambda i, hp: (hp, i, 0, 0),
-                              memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((b, l, d), qkv.dtype)] * 3 + [
-        jax.ShapeDtypeStruct((n_pairs, b, 1, l), jnp.float32)]
+    out_specs = [strip_out, strip_out, strip_out]
+    out_shape = [jax.ShapeDtypeStruct((b, l, d), qkv.dtype)] * 3
     if gated:
         out_specs.append(pl.BlockSpec((bb, 1, pair_w),
                                       lambda i, hp: (i, 0, hp),
@@ -473,14 +470,14 @@ def _fused_bwd_strips(qkv, key_mask, head_mask, g, num_heads: int,
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
-    dqs, dks, dvs, dneg_part = outs[:4]
+    dqs, dks, dvs = outs[:3]
     dqkv = jnp.concatenate([dqs, dks, dvs], axis=-1)
-    # neg = (1 - mask) * NEG  =>  d mask = -NEG * sum_pairs dneg
-    dmask = (-NEG) * dneg_part.sum(axis=0).reshape(b, l)
-    dmask = dmask.astype(key_mask.dtype)
+    # additive key mask is stop-gradiented (structural removal, not a
+    # differentiable gate) — zero cotangent, matching the reference vjp
+    dmask = jnp.zeros_like(key_mask)
     dhead = None
     if gated:
-        dhead = outs[4].reshape(b, num_heads, dh).sum(-1).astype(
+        dhead = outs[3].reshape(b, num_heads, dh).sum(-1).astype(
             head_mask.dtype)
     return dqkv, dmask, dhead
 

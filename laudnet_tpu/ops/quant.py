@@ -152,10 +152,16 @@ class QuantConv:
                 kernel_dilation=1, feature_group_count: int = 1,
                 use_bias: bool = False, kernel_init=None, name=None,
                 fake: bool = False,
-                param_dtype=jnp.float32):
+                param_dtype=jnp.float32, dtype=None):
         import flax.linen as nn
 
         assert not use_bias, "LAUD convs are bias-free (BN follows)"
+        # ``dtype`` (the AMP compute dtype) is accepted for drop-in
+        # signature parity with nn.Conv and ignored: int8 paths define
+        # their own compute types (s8 operands, s32 accumulation, f32
+        # dequant) and the fake-quant path must see the serving
+        # numerics, not a bf16 re-rounding of them.
+        del dtype
 
         class _QuantConv(nn.Module):
             features: int

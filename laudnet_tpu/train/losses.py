@@ -156,6 +156,11 @@ def kd_loss(student_logits, teacher_logits, temperature):
 def total_train_loss(student_logits, teacher_logits, labels, loss_flops, *,
                      lambda_act, alpha_kd, t_kd, label_smooth=0.0):
     """``lambda_act * loss_flops + CE + alpha_kd * KD`` (`train/main.py:579`)."""
+    # Losses always reduce in f32: under AMP the model emits bf16 logits,
+    # and softmax/log-softmax in bf16 loses the gradient's low bits.
+    # No-op on the default f32 path.
+    student_logits = student_logits.astype(jnp.float32)
+    teacher_logits = teacher_logits.astype(jnp.float32)
     if label_smooth:
         ce = cross_entropy_label_smooth(student_logits, labels, label_smooth)
     else:

@@ -135,6 +135,13 @@ def parse_args(argv=None):
                    help="shard params + optimizer state over the data "
                         "axis (ZeRO-3 analog, parallel/fsdp.py) instead "
                         "of replicating them per device")
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 mixed-precision training: body convs/matmuls/"
+                        "norms compute in bfloat16 (native MXU dtype) with "
+                        "f32 master params; gating heads, softmax, losses "
+                        "and BN statistics stay f32. The reference pins "
+                        "use_amp=False (`train/main.py:138`); on TPU bf16 "
+                        "needs no loss scaling (f32-range exponent)")
     return p.parse_args(argv)
 
 
@@ -227,6 +234,9 @@ def main(argv=None):
 
     family = arch_family(args.arch)
     model_ctor = getattr(models, args.arch)
+    # AMP: student AND teacher compute in bf16 (KD targets shift ~1e-2 in
+    # logit space; losses reduce in f32 — `train/losses.py`)
+    amp_dtype = jnp.bfloat16 if args.amp else None
     if family == "vit" and args.conv_impl != "dense":
         raise SystemExit("--conv_impl applies to LAUD-ResNets; for ViT "
                          "QAT use --vit_linear int8_qat")
@@ -242,6 +252,7 @@ def main(argv=None):
             layer_skip="layer" in skips,
             attn_impl=args.vit_attn,
             linear_impl=args.vit_linear,
+            dtype=amp_dtype,
         )
         # dense teacher of the same geometry (all gates off); the reference
         # defers ViT training to AdaViT — this is the native equivalent
@@ -249,6 +260,7 @@ def main(argv=None):
             num_classes=args.num_classes,
             token_skip=False, head_skip=False, layer_skip=False,
             attn_impl=args.vit_attn,
+            dtype=amp_dtype,
         )
     else:
         stage_kwargs = dict(
@@ -264,6 +276,7 @@ def main(argv=None):
             channel_masker=_stage_list(args.channel_masker),
             channel_masker_layers=_stage_list(args.channel_masker_layers, int),
             reduction_ratio=_stage_list(args.masker_reduction, int),
+            dtype=amp_dtype,
         )
         if family == "resnet":
             stage_kwargs["conv_impl"] = args.conv_impl
@@ -276,12 +289,14 @@ def main(argv=None):
 
             key = args.arch[len("lad_regnet_"):]
             teacher = regnet_static(key, num_classes=args.num_classes,
-                                    input_size=args.input_size)
+                                    input_size=args.input_size,
+                                    dtype=amp_dtype)
         else:
             layers = ((3, 4, 6, 3) if args.arch == "uni_resnet50"
                       else (3, 4, 23, 3))
             teacher = models.ResNet(layers=layers,
-                                    num_classes=args.num_classes)
+                                    num_classes=args.num_classes,
+                                    dtype=amp_dtype)
 
     # data
     if args.data_url:
