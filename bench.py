@@ -678,19 +678,19 @@ def main_train():
     step = jax.jit(make_train_step(model, teacher, teacher_vars, optimizer,
                                    cfg))
 
-    def timed(state):
+    def timed(step_fn, state):
         import time as _t
 
-        state, m = step(state, x, y, jr.PRNGKey(2))
+        state, m = step_fn(state, x, y, jr.PRNGKey(2))
         float(m["loss"])  # fence
         t0 = _t.perf_counter()
         iters = 10
         for i in range(iters):
-            state, m = step(state, x, y, jr.fold_in(jr.PRNGKey(3), i))
+            state, m = step_fn(state, x, y, jr.fold_in(jr.PRNGKey(3), i))
         float(m["loss"])  # fence (donated state chains the dependency)
         return batch * iters / (_t.perf_counter() - t0)
 
-    laud_ips = timed(state)
+    laud_ips = timed(step, state)
 
     # dense baseline: plain ResNet-50, CE-only SGD step (what vanilla
     # training costs on the same chip/batch)
@@ -735,6 +735,32 @@ def main_train():
         return batch * iters / (_t.perf_counter() - t0)
 
     dense_ips = timed_dense(dstate)
+    import sys
+
+    extra = {}
+    if "--amp" in sys.argv:
+        # bf16 AMP (train/main.py --amp): same LAUD step with bf16 body
+        # compute, f32 masters + f32 gating heads. The reference pins
+        # use_amp=False; this is the TPU-native training dtype.
+        amp_model = uni_resnet50(
+            dyn_mode=("spatial",) * 4, mask_spatial_granularity=(4, 4, 2, 1),
+            channel_masker=("MLP",) * 4, channel_masker_layers=(1, 1, 1, 1),
+            dtype=jnp.bfloat16,
+        )
+        amp_teacher = ResNet(layers=(3, 4, 6, 3), dtype=jnp.bfloat16)
+        amp_tv = jax.jit(lambda: amp_teacher.init(
+            {"params": jr.PRNGKey(1)}, x, training=False))()
+        amp_vars = jax.jit(lambda: amp_model.init(
+            {"params": jr.PRNGKey(0)}, x, 1.0, training=False))()
+        amp_opt = optim.make_sgd(amp_vars["params"])
+        amp_state = create_train_state(amp_model, amp_opt, x,
+                                       rng=jr.PRNGKey(0),
+                                       variables=amp_vars)
+        amp_step = jax.jit(make_train_step(amp_model, amp_teacher, amp_tv,
+                                           amp_opt, cfg))
+        amp_ips = timed(amp_step, amp_state)
+        extra = {"amp_img_s": round(amp_ips, 1),
+                 "amp_vs_f32": round(amp_ips / laud_ips, 4)}
     print(json.dumps({
         "metric": ("train images/sec/chip LAUD-ResNet50 spatial-4421 full "
                    "step (KD + sparsity + SGD) vs plain ResNet-50 CE step, "
@@ -743,6 +769,7 @@ def main_train():
         "unit": "img/s",
         "vs_baseline": round(laud_ips / dense_ips, 4),
         "dense_ce_img_s": round(dense_ips, 1),
+        **extra,
     }))
 
 
