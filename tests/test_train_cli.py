@@ -95,3 +95,21 @@ def test_train_main_fsdp_smoke(tmp_path):
     assert np.isfinite(best)
     log = (tmp_path / "train.log").read_text()
     assert "FSDP" in log
+
+
+def test_train_main_amp_fsdp_smoke(tmp_path):
+    """--amp composes with --fsdp: bf16 body compute over f32 master
+    params that are themselves sharded over the data axis (the ZeRO-3
+    path keeps masters f32; only the in-graph compute is bf16)."""
+    from laudnet_tpu.train.main import main
+
+    best = main([
+        "--arch", "uni_resnet50",
+        "--dyn_mode", "spatial-spatial-spatial-spatial",
+        "--mask_spatial_granularity", "4-4-2-1",
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+        "--input_size", "32", "--num_classes", "10",
+        "--train_url", str(tmp_path), "--print_freq", "1",
+        "--amp", "--fsdp",
+    ])
+    assert np.isfinite(best)
