@@ -844,6 +844,34 @@ def main_train_vit():
         return (optax.apply_updates(params, updates), opt_state), loss
 
     dense_ips = timed(dense_step, dstate, x, y)
+    import sys
+
+    extra = {}
+    if "--amp" in sys.argv:
+        # Proper AMP (train/main.py --amp): f32 master params + bf16 body
+        # compute via the model dtype, vs this bench's default crude
+        # bf16-everything cast. Measures what keeping f32 masters (the
+        # numerically safe production recipe) costs.
+        amp_model = laud_deit_small(attn_impl="fused", dtype=jnp.bfloat16)
+        amp_teacher = laud_deit_small(token_skip=False, head_skip=False,
+                                      layer_skip=False, attn_impl="fused",
+                                      dtype=jnp.bfloat16)
+        amp_tv = jax.jit(lambda: amp_teacher.init(
+            {"params": jr.PRNGKey(1)}, x.astype(jnp.float32), 1.0,
+            training=False))()
+        amp_mv = jax.jit(lambda: amp_model.init(
+            {"params": jr.PRNGKey(0)}, x.astype(jnp.float32), 1.0,
+            training=False))()
+        amp_opt = optim.make_sgd(amp_mv["params"])
+        amp_state = create_train_state(amp_model, amp_opt, x,
+                                       rng=jr.PRNGKey(0), variables=amp_mv)
+        amp_step = jax.jit(make_train_step(amp_model, amp_teacher, amp_tv,
+                                           amp_opt, cfg))
+        amp_ips = timed(
+            lambda st, xx, yy: amp_step(st, xx, yy, jr.PRNGKey(2)),
+            amp_state, x, y)
+        extra = {"amp_f32_masters_img_s": round(amp_ips, 1),
+                 "amp_vs_bf16_cast": round(amp_ips / laud_ips, 4)}
     print(json.dumps({
         "metric": ("train images/sec/chip LAUD-DeiT-S full step (token/"
                    "head/layer gates + KD + sparsity + SGD, fused attn) "
@@ -852,6 +880,7 @@ def main_train_vit():
         "unit": "img/s",
         "vs_baseline": round(laud_ips / dense_ips, 4),
         "dense_ce_img_s": round(dense_ips, 1),
+        **extra,
     }))
 
 
