@@ -50,6 +50,9 @@ class LAUDDetBackbone(nn.Module):
     channel_masker_layers: Sequence[int] = (2, 2, 2, 2)
     reduction_ratio: Sequence[int] = (16, 16, 16, 16)
     param_dtype: Any = jnp.float32
+    # AMP compute dtype: bf16 body compute with f32 gating heads
+    # (`models/maskers.py`); None = exact f32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
@@ -58,9 +61,9 @@ class LAUDDetBackbone(nn.Module):
         bn_training = training and not self.norm_eval
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     kernel_init=he_normal_fan_out(), name="conv1",
-                    param_dtype=self.param_dtype)(x)
+                    dtype=self.dtype, param_dtype=self.param_dtype)(x)
         x = nn.BatchNorm(use_running_average=not bn_training, momentum=0.9,
-                         epsilon=1e-5, name="bn1",
+                         epsilon=1e-5, name="bn1", dtype=self.dtype,
                          param_dtype=self.param_dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -111,6 +114,7 @@ class LAUDDetBackbone(nn.Module):
                         reduction=self.reduction_ratio[s],
                         bn_eval=self.norm_eval,
                         name=name,
+                        dtype=self.dtype,
                         param_dtype=self.param_dtype,
                     )(x, self.temperature, training=stage_training)
                     channel_s.append(st.channel_s)
@@ -153,7 +157,8 @@ class LAUDDetBackbone(nn.Module):
         inplanes = x.shape[-1]
         in_hw = x.shape[1] * x.shape[2]
         out = Bottleneck(planes=planes, stride=stride, has_downsample=has_ds,
-                         name=name, param_dtype=self.param_dtype)(
+                         name=name, dtype=self.dtype,
+                         param_dtype=self.param_dtype)(
             x, training=training
         )
         out_hw = out.shape[1] * out.shape[2]

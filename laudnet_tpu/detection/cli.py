@@ -67,6 +67,10 @@ def _parser():
                                 "(overrides the config's init_from)")
             q.add_argument("--no_init", action="store_true",
                            help="skip the config's init_from checkpoint")
+            q.add_argument("--amp", action="store_true",
+                           help="bf16 mixed-precision detection training "
+                                "(CNN detectors: bf16 towers, f32 masters "
+                                "+ f32 gating/predictors; DETR stays f32)")
         else:
             q.add_argument("--eval_steps", type=int, default=5)
             q.add_argument("--score_threshold", type=float, default=0.05)
@@ -78,6 +82,8 @@ def _build(args):
     model_cfg = dict(cfg["model"])
     if args.num_classes is not None:
         model_cfg["num_classes"] = args.num_classes
+    if getattr(args, "amp", False):
+        model_cfg["amp"] = True
     model, kind = build_detector(model_cfg)
     train_cfg = dict(cfg.get("train_cfg", {}))
     return model, kind, model_cfg, train_cfg
@@ -136,6 +142,18 @@ def main(argv=None):
                 print(f"init_from {init_from!r} not found — training from "
                       "scratch (pass --init_from or --no_init to silence)")
                 init_from = None
+        if init_from is None:
+            # the LAUD detection recipe fine-tunes from ImageNet weights
+            # with norm_eval=True (BN frozen on the checkpoint's running
+            # stats, `lad_mmdet_resnet.py:753-762`); from a RANDOM init
+            # those frozen stats don't match the activations, deep
+            # backbones explode within a step or two, and the loss goes
+            # NaN — at full depth this smoke mode is a compile check,
+            # not a training run.
+            print("warning: training a norm_eval backbone from random "
+                  "init — expect divergence at full depth; pass "
+                  "--init_from with an ImageNet LAUD checkpoint for a "
+                  "real run")
         dcfg = DetTrainConfig(
             num_classes=num_classes,
             base_lr=args.base_lr,

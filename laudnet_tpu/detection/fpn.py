@@ -15,13 +15,14 @@ class FPN(nn.Module):
     out_channels: int = 256
     num_extra_levels: int = 2  # P6, P7
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # AMP compute dtype (None = exact f32 promotion)
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
         n = len(features)
         laterals = [
             nn.Conv(self.out_channels, (1, 1), name=f"lateral_{i}",
-                    param_dtype=self.param_dtype)(f)
+                    dtype=self.dtype, param_dtype=self.param_dtype)(f)
             for i, f in enumerate(features)
         ]
         for i in range(n - 1, 0, -1):
@@ -30,13 +31,14 @@ class FPN(nn.Module):
             laterals[i - 1] = laterals[i - 1] + up
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=1, name=f"smooth_{i}",
-                    param_dtype=self.param_dtype)(l)
+                    dtype=self.dtype, param_dtype=self.param_dtype)(l)
             for i, l in enumerate(laterals)
         ]
         extra = features[-1]
         for j in range(self.num_extra_levels):
             extra = nn.Conv(self.out_channels, (3, 3), strides=2, padding=1,
-                            name=f"extra_{j}", param_dtype=self.param_dtype)(
+                            name=f"extra_{j}", dtype=self.dtype,
+                            param_dtype=self.param_dtype)(
                 extra if j == 0 else nn.relu(extra)
             )
             outs.append(extra)

@@ -103,6 +103,7 @@ class RetinaNetHead(nn.Module):
     num_convs: int = 4
     channels: int = 256
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # AMP compute dtype
 
     @nn.compact
     def __call__(self, features):
@@ -111,15 +112,18 @@ class RetinaNetHead(nn.Module):
         cls_outs, box_outs = [], []
         cls_tower = [
             nn.Conv(self.channels, (3, 3), padding=1, name=f"cls_conv_{i}",
-                    param_dtype=self.param_dtype)
+                    dtype=self.dtype, param_dtype=self.param_dtype)
             for i in range(self.num_convs)
         ]
         box_tower = [
             nn.Conv(self.channels, (3, 3), padding=1, name=f"box_conv_{i}",
-                    param_dtype=self.param_dtype)
+                    dtype=self.dtype, param_dtype=self.param_dtype)
             for i in range(self.num_convs)
         ]
-        # focal-loss prior: start with ~1% positive probability
+        # focal-loss prior: start with ~1% positive probability.
+        # The final predictors take no compute dtype: under AMP their
+        # bf16 inputs promote against f32 params, so logits/deltas leave
+        # the head in f32 and the decode/loss math downstream stays f32.
         cls_pred = nn.Conv(
             self.num_anchors * self.num_classes, (3, 3), padding=1,
             name="cls_pred",
@@ -155,6 +159,7 @@ class RetinaNet(nn.Module):
     sparsity_target: float = 0.5
     temperature: float = 0.1
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # AMP compute dtype (backbone/FPN/head towers)
 
     @nn.compact
     def __call__(self, images, *, training: bool = False):
@@ -165,11 +170,14 @@ class RetinaNet(nn.Module):
             temperature=self.temperature,
             sparsity_target=self.sparsity_target,
             name="backbone",
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(images, training=training)
-        pyramid = FPN(name="neck", param_dtype=self.param_dtype)(feats)
+        pyramid = FPN(name="neck", dtype=self.dtype,
+                      param_dtype=self.param_dtype)(feats)
         cls_logits, box_deltas = RetinaNetHead(
             num_classes=self.num_classes, name="bbox_head",
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(pyramid)
         level_shapes = [(p.shape[1], p.shape[2]) for p in pyramid]

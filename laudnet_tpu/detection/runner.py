@@ -52,6 +52,18 @@ def build_detector(model_cfg: dict):
     for k in ("dyn_mode", "backbone_layers", "out_indices"):
         if k in cfg:
             cfg[k] = tuple(cfg[k])
+    if cfg.pop("amp", False):
+        # bf16 mixed precision (train/main.py --amp semantics): backbone/
+        # FPN/head towers compute bf16 over f32 masters; gating heads and
+        # final predictors (obj/reg/cls/mask logits) exit f32 so proposal
+        # decode, matching and losses are unchanged. CNN detectors only —
+        # the DETR family keeps f32 (its Hungarian cost matrix is
+        # tie-sensitive).
+        if kind == "detr":
+            raise ValueError("amp=True is not supported for the DETR "
+                             "family (f32 Hungarian matching); remove it "
+                             "from the config")
+        cfg["dtype"] = jnp.bfloat16
     return klass(**cfg), kind
 
 

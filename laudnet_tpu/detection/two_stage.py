@@ -97,11 +97,12 @@ class RPNHead(nn.Module):
     num_anchors: int = 3
     channels: int = 256
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # AMP compute dtype (tower only; obj/reg exit f32)
 
     @nn.compact
     def __call__(self, pyramid):
         conv = nn.Conv(self.channels, (3, 3), padding=1, name="conv",
-                       param_dtype=self.param_dtype)
+                       dtype=self.dtype, param_dtype=self.param_dtype)
         obj = nn.Conv(self.num_anchors, (1, 1), name="obj",
                       param_dtype=self.param_dtype)
         reg = nn.Conv(self.num_anchors * 4, (1, 1), name="reg",
@@ -119,13 +120,14 @@ class BoxHead(nn.Module):
     num_classes: int = 80
     hidden: int = 1024
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # AMP compute dtype (fc tower; cls/reg exit f32)
 
     @nn.compact
     def __call__(self, rois):  # (N, 7, 7, C)
         x = rois.reshape(rois.shape[0], -1)
-        x = nn.relu(nn.Dense(self.hidden, name="fc1",
+        x = nn.relu(nn.Dense(self.hidden, name="fc1", dtype=self.dtype,
                              param_dtype=self.param_dtype)(x))
-        x = nn.relu(nn.Dense(self.hidden, name="fc2",
+        x = nn.relu(nn.Dense(self.hidden, name="fc2", dtype=self.dtype,
                              param_dtype=self.param_dtype)(x))
         cls = nn.Dense(self.num_classes + 1, name="cls",
                        param_dtype=self.param_dtype)(x)
@@ -137,16 +139,18 @@ class MaskHead(nn.Module):
     num_classes: int = 80
     channels: int = 256
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # AMP compute dtype (convs; pred exits f32)
 
     @nn.compact
     def __call__(self, rois):  # (N, 14, 14, C)
         x = rois
         for i in range(4):
             x = nn.relu(nn.Conv(self.channels, (3, 3), padding=1,
-                                name=f"conv_{i}",
+                                name=f"conv_{i}", dtype=self.dtype,
                                 param_dtype=self.param_dtype)(x))
         x = nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
-                             name="deconv", param_dtype=self.param_dtype)(x)
+                             name="deconv", dtype=self.dtype,
+                             param_dtype=self.param_dtype)(x)
         x = nn.relu(x)
         return nn.Conv(self.num_classes, (1, 1), name="pred",
                        param_dtype=self.param_dtype)(x)  # (N, 28, 28, K)
@@ -163,6 +167,10 @@ class FasterRCNN(nn.Module):
     num_proposals: int = 256
     with_masks: bool = False
     param_dtype: Any = jnp.float32
+    # AMP compute dtype: backbone/FPN/head towers in bf16, gating heads
+    # and every final predictor (obj/reg/cls/mask logits) exit f32, so
+    # proposal decode, matching and losses run f32 unchanged.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, images, *, training: bool = False, gt_boxes=None,
@@ -178,13 +186,14 @@ class FasterRCNN(nn.Module):
             dyn_mode=self.dyn_mode,
             temperature=self.temperature,
             sparsity_target=self.sparsity_target,
-            name="backbone", param_dtype=self.param_dtype,
+            name="backbone", dtype=self.dtype,
+            param_dtype=self.param_dtype,
         )(images, training=training)
-        pyramid = FPN(num_extra_levels=1, name="neck",
+        pyramid = FPN(num_extra_levels=1, name="neck", dtype=self.dtype,
                       param_dtype=self.param_dtype)(feats)  # P2..P6
         strides = [4, 8, 16, 32, 64]
 
-        obj, reg = RPNHead(name="rpn_head",
+        obj, reg = RPNHead(name="rpn_head", dtype=self.dtype,
                            param_dtype=self.param_dtype)(pyramid)
         level_shapes = [(p.shape[1], p.shape[2]) for p in pyramid]
         anchors = make_anchors(level_shapes, strides,
@@ -226,6 +235,7 @@ class FasterRCNN(nn.Module):
         )  # (B, P, 7, 7, C)
         b, p_ = rois.shape[:2]
         cls, reg2 = BoxHead(num_classes=self.num_classes, name="box_head",
+                            dtype=self.dtype,
                             param_dtype=self.param_dtype)(
             rois.reshape(b * p_, 7, 7, rois.shape[-1])
         )
@@ -261,6 +271,7 @@ class FasterRCNN(nn.Module):
                 lambda f, bx: roi_align([x for x in f], bx, strides[:4], 14)
             )([p for p in pyramid[:4]], mask_boxes)
             masks = MaskHead(num_classes=self.num_classes, name="mask_head",
+                             dtype=self.dtype,
                              param_dtype=self.param_dtype)(
                 mask_rois.reshape(b * p_, 14, 14, mask_rois.shape[-1])
             )

@@ -263,3 +263,44 @@ def test_forced_assignment_ignores_padded_gt():
         jnp.asarray(box_iou(anchors, gt_boxes[:1]))[:, 0]))
     assert float(pos[iou_best]) == 1.0
     assert float(cls_t[iou_best, 2]) == 1.0  # not overwritten by padding
+
+
+def test_detection_amp_train_step():
+    """amp=True (bf16 towers, f32 masters + f32 predictors): one jitted
+    train step gives finite losses, f32 params, and f32 logits (the final
+    predictors take no compute dtype, so decode/loss math is unchanged)."""
+    from laudnet_tpu.detection.runner import build_detector
+
+    model, kind = build_detector(dict(
+        type="FasterRCNN", num_classes=3, backbone_layers=(1, 1, 1, 1),
+        dyn_mode=("channel",) * 4, num_proposals=16, sparsity_target=0.5,
+        amp=True,
+    ))
+    assert kind == "faster_rcnn" and model.dtype == jnp.bfloat16
+    cfg = DetTrainConfig(num_classes=3, steps_per_epoch=2, epochs=1,
+                         warmup_steps=1, base_lr=0.01, lr_mult=0.2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    boxes, labels, valid = gt_batch()
+
+    v = model.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+    params, bs = v["params"], v.get("batch_stats", {})
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(params))
+    out = model.apply({"params": params, "batch_stats": bs}, x,
+                      training=False)
+    assert out["cls_logits"].dtype == jnp.float32
+
+    opt = make_detection_sgd(params, lr_mult=0.2)
+    state = (jnp.zeros((), jnp.int32), params, bs, opt.init(params))
+    step = jax.jit(make_detector_train_step(model, opt, cfg, kind))
+    state, metrics = step(state, x, boxes, labels, valid)
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(state[1]))
+
+
+def test_detection_amp_rejects_detr():
+    from laudnet_tpu.detection.runner import build_detector
+
+    with pytest.raises(ValueError, match="DETR"):
+        build_detector(dict(type="DETRDetector", num_classes=3, amp=True))
