@@ -135,6 +135,15 @@ def parse_args(argv=None):
                    help="shard params + optimizer state over the data "
                         "axis (ZeRO-3 analog, parallel/fsdp.py) instead "
                         "of replicating them per device")
+    p.add_argument("--optimizer", default="SGD",
+                   choices=["SGD", "RMSprop"],
+                   help="the reference's --optimizer switch "
+                        "(utils/optimizer.py); RMSprop uses alpha=0.9 + "
+                        "momentum, torch semantics")
+    p.add_argument("--no_decay_biases", action="store_true",
+                   help="the reference's weigh_decay_apply_on_all=False: "
+                        "weight decay only on rank>1 kernels (biases/BN "
+                        "exempt)")
     p.add_argument("--amp", action="store_true",
                    help="bf16 mixed-precision training: body convs/matmuls/"
                         "norms compute in bfloat16 (native MXU dtype) with "
@@ -427,12 +436,23 @@ def main(argv=None):
     # reference's get_optim_policies convention (`laud_resnet.py:399-400`;
     # its per-iter scheduler has an inverted branch that is dead for every
     # shipped arch name — SURVEY.md §2.2 scheduler quirk)
-    optimizer = optim.make_sgd(
-        variables["params"],
-        momentum=recipe.momentum, nesterov=recipe.nesterov,
-        weight_decay=recipe.weight_decay,
-        backbone_lr_mult=args.lr_mult, masker_lr_mult=1.0,
-    )
+    if args.optimizer == "RMSprop":
+        optimizer = optim.make_rmsprop(
+            variables["params"],
+            momentum=recipe.momentum, weight_decay=recipe.weight_decay,
+            backbone_lr_mult=args.lr_mult, masker_lr_mult=1.0,
+        )
+        if args.no_decay_biases:
+            raise SystemExit("--no_decay_biases is SGD-only (the reference "
+                             "applies get_parameters grouping only there)")
+    else:
+        optimizer = optim.make_sgd(
+            variables["params"],
+            momentum=recipe.momentum, nesterov=recipe.nesterov,
+            weight_decay=recipe.weight_decay,
+            backbone_lr_mult=args.lr_mult, masker_lr_mult=1.0,
+            decay_weights_only=args.no_decay_biases,
+        )
     state = create_train_state(model, optimizer, sample, rng=rng,
                                variables=variables)
     state_sh = repl

@@ -39,10 +39,13 @@ def is_frozen_path(path) -> bool:
 
 
 def make_sgd(params, *, momentum=0.9, nesterov=True, weight_decay=5e-5,
-             backbone_lr_mult=1.0, masker_lr_mult=1.0):
+             backbone_lr_mult=1.0, masker_lr_mult=1.0,
+             decay_weights_only=False):
     """SGD + nesterov + decoupled-into-gradient weight decay (torch-style:
     ``g += wd * p`` before momentum), with per-group LR multipliers.
     Fixed leaves (`is_frozen_path`) are masked out of the decay.
+    ``decay_weights_only`` is the reference's
+    ``weigh_decay_apply_on_all=False`` mode (biases/BN exempt from decay).
 
     The returned optimizer expects the LR via ``optax.inject_hyperparams`` —
     update the ``learning_rate`` hyperparam each step, or wrap in a schedule.
@@ -51,6 +54,56 @@ def make_sgd(params, *, momentum=0.9, nesterov=True, weight_decay=5e-5,
 
     # Callable mask: multi_transform hands each group a masked sub-tree,
     # so the mask must be computed from whatever tree the transform sees.
+    if decay_weights_only:
+        decay_mask = weights_only_decay_mask
+    else:
+        def decay_mask(tree):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: not is_frozen_path(path), tree
+            )
+
+    def group(mult):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=decay_mask),
+            optax.trace(decay=momentum, nesterov=nesterov),
+            optax.scale(mult),
+        )
+
+    grouped = optax.multi_transform(
+        {"backbone": group(backbone_lr_mult), "masker": group(masker_lr_mult)},
+        labels,
+    )
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(grouped, optax.scale(-learning_rate))
+    )(learning_rate=0.0)
+
+
+def weights_only_decay_mask(tree):
+    """The reference's ``weigh_decay_apply_on_all=False`` grouping
+    (`utils/optimizer.py::get_parameters`): decay only leaves whose name
+    contains 'weight'/'kernel' AND have rank > 1 — biases, BN scales and
+    1-D params get weight_decay 0."""
+    def keep(path, leaf):
+        if is_frozen_path(path):
+            return False
+        name = str(path[-1]) if path else ""
+        return (("kernel" in name or "weight" in name)
+                and getattr(leaf, "ndim", 0) > 1)
+
+    return jax.tree_util.tree_map_with_path(keep, tree)
+
+
+def make_rmsprop(params, *, alpha=0.9, momentum=0.9, weight_decay=5e-5,
+                 eps=1e-8, backbone_lr_mult=1.0, masker_lr_mult=1.0):
+    """torch-style RMSprop (the reference's ``--optimizer RMSprop``,
+    `utils/optimizer.py:18-22`: ``alpha=0.9`` smoothing, heavy-ball
+    momentum, weight decay folded into the gradient), with the same
+    backbone/masker LR groups as :func:`make_sgd`. torch's RMSprop keeps
+    the raw (uncentered) second moment and applies momentum AFTER the
+    rescale — optax.scale_by_rms(decay=alpha) + trace matches that order.
+    """
+    labels = param_group_labels(params)
+
     def decay_mask(tree):
         return jax.tree_util.tree_map_with_path(
             lambda path, _: not is_frozen_path(path), tree
@@ -59,7 +112,8 @@ def make_sgd(params, *, momentum=0.9, nesterov=True, weight_decay=5e-5,
     def group(mult):
         return optax.chain(
             optax.add_decayed_weights(weight_decay, mask=decay_mask),
-            optax.trace(decay=momentum, nesterov=nesterov),
+            optax.scale_by_rms(decay=alpha, eps=eps),
+            optax.trace(decay=momentum, nesterov=False),
             optax.scale(mult),
         )
 

@@ -60,3 +60,61 @@ def test_is_frozen_path_only_matches_w_leaves():
         _params())
     frozen = [p for p, f in paths if f]
     assert frozen == [("t2t_stem", "attn1", "w")]
+
+
+def test_rmsprop_matches_torch_semantics():
+    """make_rmsprop reproduces torch.optim.RMSprop(alpha=0.9, momentum,
+    weight_decay) stepwise on a toy param (the reference's --optimizer
+    RMSprop, utils/optimizer.py:18-22)."""
+    import numpy as np
+    import torch
+
+    from laudnet_tpu.train.optim import make_rmsprop
+
+    w0 = np.array([[1.0, -2.0], [0.5, 3.0]], np.float32)
+    g_seq = [np.array([[0.1, -0.2], [0.3, 0.05]], np.float32),
+             np.array([[-0.4, 0.1], [0.2, -0.1]], np.float32)]
+    lr, wd, mom = 0.01, 0.05, 0.9
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.RMSprop([tw], lr=lr, alpha=0.9, momentum=mom,
+                               weight_decay=wd, eps=1e-8)
+    for g in g_seq:
+        tw.grad = torch.tensor(g)
+        topt.step()
+
+    params = {"layer1_0": {"conv1": {"kernel": jnp.asarray(w0)}}}
+    opt = make_rmsprop(params, momentum=mom, weight_decay=wd)
+    state = opt.init(params)
+    state.hyperparams["learning_rate"] = lr
+    p = params
+    for g in g_seq:
+        grads = {"layer1_0": {"conv1": {"kernel": jnp.asarray(g)}}}
+        updates, state = opt.update(grads, state, p)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+    np.testing.assert_allclose(
+        np.asarray(p["layer1_0"]["conv1"]["kernel"]),
+        tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_weights_only_decay_mask():
+    """decay_weights_only: rank>1 kernels decay; biases/scales do not
+    (reference get_parameters grouping)."""
+    import numpy as np
+
+    from laudnet_tpu.train.optim import make_sgd
+
+    params = {"layer1_0": {
+        "conv1": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+    }}
+    opt = make_sgd(params, momentum=0.0, nesterov=False, weight_decay=0.1,
+                   decay_weights_only=True)
+    state = opt.init(params)
+    state.hyperparams["learning_rate"] = 1.0
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = opt.update(zero, state, params)
+    # kernel decays by wd * p * lr; bias update is exactly zero
+    np.testing.assert_allclose(
+        np.asarray(updates["layer1_0"]["conv1"]["kernel"]), -0.1)
+    np.testing.assert_allclose(
+        np.asarray(updates["layer1_0"]["conv1"]["bias"]), 0.0)
