@@ -42,11 +42,23 @@ def initialize_distributed(coordinator_address: str | None = None,
                                    process_id)
 
 
-def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
-    """1-D data mesh over the first ``n_devices`` devices (default: all)."""
+def make_mesh(n_devices: int | None = None, axis_name: str = "data",
+              model_parallel: int = 1) -> Mesh:
+    """Data mesh over the first ``n_devices`` devices (default: all).
+
+    ``model_parallel > 1`` returns a 2-D ``(data, model)`` mesh instead —
+    the inner (fastest-varying, ICI-adjacent) axis carries the
+    tensor-parallel group (`parallel/tp.py`)."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    if model_parallel > 1:
+        if len(devices) % model_parallel:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by "
+                f"model_parallel={model_parallel}")
+        grid = np.asarray(devices).reshape(-1, model_parallel)
+        return Mesh(grid, (axis_name, "model"))
     return Mesh(np.asarray(devices), (axis_name,))
 
 

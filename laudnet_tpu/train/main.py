@@ -131,6 +131,13 @@ def parse_args(argv=None):
                         "jax.distributed.initialize")
     p.add_argument("--dist_num_processes", type=int, default=None)
     p.add_argument("--dist_process_id", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel group size (Megatron layout, "
+                        "parallel/tp.py): ViT archs shard qkv/fc1 "
+                        "column-wise and proj/fc2 row-wise; ResNets "
+                        "shard conv2/conv3/fc. Composes with --fsdp "
+                        "(which then shards the data axis). No reference "
+                        "analog (DDP only)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer state over the data "
                         "axis (ZeRO-3 analog, parallel/fsdp.py) instead "
@@ -389,7 +396,13 @@ def main(argv=None):
         full_flops=full_flops,
     )
 
-    mesh = make_mesh()
+    if args.tp > 1 and family == "regnet":
+        raise SystemExit("--tp supports ViT and ResNet archs (no Megatron "
+                         "rules for the RegNet block layout yet)")
+    if jax.device_count() % args.tp:
+        raise SystemExit(f"--tp {args.tp} must divide the device count "
+                         f"({jax.device_count()})")
+    mesh = make_mesh(model_parallel=args.tp)
     batch_sh, repl = data_parallel_shardings(mesh)
     rng = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((local_bs, args.input_size, args.input_size, 3),
@@ -456,14 +469,31 @@ def main(argv=None):
     state = create_train_state(model, optimizer, sample, rng=rng,
                                variables=variables)
     state_sh = repl
+    tp_specs = None
+    if args.tp > 1:
+        # Megatron tensor parallelism, GSPMD-executed: the TP rules match
+        # on trailing param names, so one pass over the WHOLE TrainState
+        # also shards the momentum buffers (same inner tree) while step/
+        # batch_stats/maskers stay replicated (parallel/tp.py).
+        from laudnet_tpu.parallel import (
+            RESNET_TP_RULES, VIT_TP_RULES, tensor_parallel_specs,
+        )
+
+        rules = VIT_TP_RULES if family == "vit" else RESNET_TP_RULES
+        tp_specs = tensor_parallel_specs(state, rules, mesh=mesh)
+        state_sh = tp_specs
+        log(f"TP: Megatron {family} layout over model axis "
+            f"(tp={args.tp}, dp={jax.device_count() // args.tp})")
     if args.fsdp:
         # ZeRO-3 analog: every large leaf of the TrainState (params AND
         # the momentum buffers, which share their shapes) splits its
         # largest dim over the data axis; GSPMD all-gathers weights at
-        # use and reduce-scatters gradients (parallel/fsdp.py).
+        # use and reduce-scatters gradients (parallel/fsdp.py). With
+        # --tp, FSDP takes the largest dim the TP layout left free.
         from laudnet_tpu.parallel import fsdp_specs
 
-        state_sh = fsdp_specs(state, mesh=mesh, axis="data")
+        state_sh = fsdp_specs(state, mesh=mesh, axis="data",
+                              base_specs=tp_specs)
         log("FSDP: params + optimizer state sharded over the data axis")
     state = jax.device_put(state, state_sh)
     teacher_vars = jax.device_put(teacher_vars, repl)

@@ -113,3 +113,56 @@ def test_train_main_amp_fsdp_smoke(tmp_path):
         "--amp", "--fsdp",
     ])
     assert np.isfinite(best)
+
+
+def test_train_main_tp_smoke(tmp_path):
+    """--tp 2: Megatron tensor parallelism from the CLI entry point (dp4 x
+    tp2 on the 8-device test mesh), composed with --amp."""
+    from laudnet_tpu.train.main import main
+
+    best = main([
+        "--arch", "laud_deit_tiny",
+        "--tp", "2", "--amp",
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+        "--input_size", "32", "--num_classes", "10",
+        "--train_url", str(tmp_path), "--print_freq", "1",
+    ])
+    assert np.isfinite(best)
+    log = (tmp_path / "train.log").read_text()
+    assert "TP: Megatron vit layout" in log
+
+
+def test_tensor_parallel_specs_cover_optimizer_state():
+    """The TP rules match trailing param names, so one pass over the whole
+    TrainState shards the momentum buffers identically to their params
+    while step/batch_stats stay replicated."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from laudnet_tpu.models.laud_vit import LAUDViT
+    from laudnet_tpu.parallel import VIT_TP_RULES, tensor_parallel_specs
+    from laudnet_tpu.train import optim
+    from laudnet_tpu.train.trainer import create_train_state
+
+    model = LAUDViT(depth=1, dim=64, num_heads=4, patch_size=16,
+                    num_classes=8)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, 1.0,
+                           training=False)
+    opt = optim.make_sgd(variables["params"])
+    state = create_train_state(model, opt, x, rng=jax.random.PRNGKey(0),
+                               variables=variables)
+    import numpy as np_
+    mesh = Mesh(np_.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    specs = tensor_parallel_specs(state, VIT_TP_RULES, mesh=mesh)
+    # params.qkv column-parallel
+    assert specs.params["block_0"]["qkv"]["kernel"].spec == P(None, "model")
+    # the matching momentum buffer gets the SAME layout
+    flat = jax.tree_util.tree_leaves_with_path(specs.opt_state)
+    qkv_momenta = [s for path, s in flat
+                   if "qkv" in jax.tree_util.keystr(path)
+                   and "kernel" in jax.tree_util.keystr(path)]
+    assert qkv_momenta and all(s.spec == P(None, "model")
+                               for s in qkv_momenta)
+    assert specs.step.spec == P()
