@@ -399,6 +399,11 @@ def main(argv=None):
     if args.tp > 1 and family == "regnet":
         raise SystemExit("--tp supports ViT and ResNet archs (no Megatron "
                          "rules for the RegNet block layout yet)")
+    if args.tp > 1 and args.vit_attn == "fused":
+        raise SystemExit("--tp shards attention heads over the model axis; "
+                         "the fused Pallas kernel is not partition-aware — "
+                         "use --vit_attn reference under TP (XLA still "
+                         "fuses the per-shard matmuls)")
     if jax.device_count() % args.tp:
         raise SystemExit(f"--tp {args.tp} must divide the device count "
                          f"({jax.device_count()})")

@@ -319,3 +319,33 @@ def test_performer_random_features_published_init():
     m = w.shape[0]
     assert w.shape == (32, 64)
     np.testing.assert_allclose(w @ w.T, m * np.eye(m), atol=1e-4)
+
+
+def test_token_policy_gradients_bounded_at_init():
+    """Regression: the additive -1e9 attention key mask must NOT leak a
+    gradient into the token gates (it once contributed
+    dL/d(gate) ~ 1e9 * sum dL/d(score) — ~1e13 policy grads at init and
+    NaN within a few steps). Gate grads flow only through the
+    multiplicative output masking and must stay O(1) at init."""
+    import numpy as np
+
+    model = LAUDViT(depth=2, dim=64, num_heads=4, mlp_ratio=2.0,
+                    patch_size=8, num_classes=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, 1.0,
+                           training=False)
+
+    def loss(params):
+        out = model.apply({"params": params}, x, jnp.float32(5.0),
+                          training=True,
+                          rngs={"gumbel": jax.random.PRNGKey(7)})
+        return (out.logits.astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss)(variables["params"])
+    gmax = max(
+        float(jnp.abs(v).max())
+        for p, v in jax.tree_util.tree_leaves_with_path(g)
+        if "policy" in jax.tree_util.keystr(p)
+    )
+    assert gmax < 1e3, f"policy grads exploded again: {gmax:.3e}"
