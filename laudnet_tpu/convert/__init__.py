@@ -8,6 +8,10 @@ from laudnet_tpu.convert.torch_loader import (
     convert_regnet_state_dict,
     merge_variables,
 )
+from laudnet_tpu.convert.torch_export import (
+    export_resnet_state_dict,
+    save_pth_tar,
+)
 from laudnet_tpu.convert.vit_loader import convert_vit_state_dict
 
 __all__ = [
@@ -17,4 +21,6 @@ __all__ = [
     "convert_detection_backbone_state_dict",
     "merge_variables",
     "load_pth_tar",
+    "export_resnet_state_dict",
+    "save_pth_tar",
 ]

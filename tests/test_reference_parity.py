@@ -293,3 +293,58 @@ def test_full_depth_r101_parity(cfg):
         np.asarray(got.flops_perc), ref_fp.numpy(), rtol=1e-4, atol=1e-5
     )
     np.testing.assert_allclose(float(got.flops), float(ref_flops), rtol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_PATH), reason="no reference mount")
+@pytest.mark.parametrize("cfg", CONFIGS, ids=[c["id"] for c in CONFIGS])
+def test_export_roundtrip_loads_into_reference(cfg, tmp_path):
+    """The REVERSE converter: export our flax variables to a torch
+    .pth.tar, load it into the actual reference model with strict=True,
+    and assert logit parity — the 'switch back' path for reference users
+    (`convert/torch_export.py`)."""
+    from laudnet_tpu.convert import load_pth_tar, save_pth_tar
+    from laudnet_tpu.convert.torch_export import export_resnet_state_dict
+
+    ref, ours, variables = build_pair(cfg)
+    # export OUR (converted) variables and load them back into a FRESH
+    # reference model instance
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_resnet_state_dict(variables).items()}
+    torch.manual_seed(7)  # different init than build_pair's
+    ref2 = ref_laud.ResNet(
+        ref_laud.Bottleneck, [1, 1, 1, 1], num_classes=10, input_size=64,
+        spatial_mask_channel_group=[1, 1, 1, 1],
+        mask_spatial_granularity=cfg["mask_spatial_granularity"],
+        channel_dyn_granularity=cfg["channel_dyn_granularity"],
+        dyn_mode=cfg["dyn_mode"],
+        channel_masker=cfg["channel_masker"],
+        channel_masker_layers=cfg["channel_masker_layers"],
+        lr_mult=1.0,
+    )
+    missing, unexpected = ref2.load_state_dict(sd, strict=True), None
+    ref2.eval()
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref2(torch.from_numpy(x), temperature=0.1)
+    ref_logits = ref_out[0].numpy()
+
+    our_out = ours.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                         0.1, training=False)
+    np.testing.assert_allclose(np.asarray(our_out.logits), ref_logits,
+                               rtol=2e-4, atol=2e-4)
+
+    # and the file format roundtrips through our own loader too
+    path = str(tmp_path / "export.pth.tar")
+    save_pth_tar(variables, path, epoch=3)
+    re_imported = convert_resnet_state_dict(
+        load_pth_tar(path),
+        channel_masker_layers=cfg["channel_masker_layers"][0])
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b_tree = re_imported["params"]
+    for kp, leaf in flat_a:
+        node = flat_b_tree
+        for k in kp:
+            node = node[k.key]
+        np.testing.assert_array_equal(np.asarray(leaf), node)
