@@ -18,6 +18,15 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
+    """Rolling checkpoint manager over ``directory``.
+
+    Multi-host note: ``directory`` must be SHARED storage (NFS/GCS-fuse)
+    visible to every process — orbax already requires this for the array
+    shards, and the JSON sidecars (``meta_<step>.json``, ``best.json``)
+    are written by process 0 only, so per-host private directories would
+    leave workers without metadata on restore (and the meta GC would
+    never run there)."""
+
     def __init__(self, directory: str, max_to_keep: int = 2):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)

@@ -1,6 +1,6 @@
 """Training losses: sparsity criteria, label-smoothed CE, KD.
 
-All six sparsity-criterion variants of the reference
+All seven sparsity-criterion variants of the reference
 (`imagenet_classification/utils/sparsity_loss_unify.py`) as pure jittable
 functions. The bound annealing is identical: over the first 33% of epochs the
 upper/lower bounds close cosinely onto the target
@@ -112,8 +112,9 @@ def sparsity_cs_v2(epoch, channel_s_stages, spatial_s_stages, flops_perc,
 def sparsity_channel_bounds(epoch, channel_s, flops_perc, flops, *, target,
                             num_epochs, full_flops, channel_loss_factor=1.0,
                             channel_upper_start=1.0):
-    """`SparsityCriterion_channel_bounds` (+ `_v2` via
-    ``channel_upper_start=0.85``) — `sparsity_loss_unify.py:197-280`."""
+    """`SparsityCriterion_channel_bounds` (`sparsity_loss_unify.py:197-236`):
+    flops bounds + annealed bounds on the channel densities toward
+    sqrt(target), both mean-squared hinges, + network term."""
     upper, lower = _bounds(epoch, num_epochs, target)
     loss_blocks = _bound_penalty(flops_perc, upper, lower)
     ct = math.sqrt(target)
@@ -124,6 +125,20 @@ def sparsity_channel_bounds(epoch, channel_s, flops_perc, flops, *, target,
     loss_channel = _bound_penalty(channel_s, upper_c, lower_c)
     loss_net = (flops / full_flops - target) ** 2
     return channel_loss_factor * loss_channel + loss_blocks + loss_net
+
+
+def sparsity_channel_bounds_v2(epoch, channel_s, flops_perc, flops, *, target,
+                               num_epochs, full_flops,
+                               channel_loss_factor=1.0):
+    """`SparsityCriterion_channel_bounds_v2` (`sparsity_loss_unify.py:239-280`)
+    — the seventh criterion. Identical to `_channel_bounds` except the
+    channel UPPER bound starts at 0.85 instead of 1.0
+    (`sparsity_loss_unify.py:259`), i.e. even after the bounds fully relax
+    the channel density is still pushed below 85%."""
+    return sparsity_channel_bounds(
+        epoch, channel_s, flops_perc, flops, target=target,
+        num_epochs=num_epochs, full_flops=full_flops,
+        channel_loss_factor=channel_loss_factor, channel_upper_start=0.85)
 
 
 def cross_entropy(logits, labels):

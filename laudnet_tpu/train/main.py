@@ -407,6 +407,14 @@ def main(argv=None):
     if jax.device_count() % args.tp:
         raise SystemExit(f"--tp {args.tp} must divide the device count "
                          f"({jax.device_count()})")
+    data_axis = jax.device_count() // args.tp
+    if (local_bs * n_proc) % data_axis:
+        # catch this here with a readable message instead of the opaque
+        # GSPMD shard_shape error it becomes inside device_put
+        raise SystemExit(
+            f"global batch {local_bs * n_proc} (--batch_size {batch_size}) "
+            f"must be divisible by the data axis "
+            f"({jax.device_count()} devices / --tp {args.tp} = {data_axis})")
     mesh = make_mesh(model_parallel=args.tp)
     batch_sh, repl = data_parallel_shardings(mesh)
     rng = jax.random.PRNGKey(args.seed)
@@ -544,7 +552,6 @@ def main(argv=None):
                                    seed=10_000 + proc_id * 7919)
         )
         for images, labels in val_batches:
-            bsz = len(labels)  # valid rows, before tail padding
             images, labels, w = _pad_val_batch(images, labels, local_bs)
             s = jax.device_get(eval_step(
                 params, bstats,
@@ -552,6 +559,7 @@ def main(argv=None):
                 put_global_batch(labels, batch_sh),
                 put_global_batch(w, batch_sh),
             ))
+            bsz = float(s["n_valid"])  # global valid rows (advisor r4)
             top1 += float(s["top1"]) * bsz
             top5 += float(s["top5"]) * bsz
             act += float(s["act_rate"]) * bsz
@@ -632,7 +640,6 @@ def main(argv=None):
         )
         density_rows = None
         for images, labels in val_batches:
-            bsz = len(labels)  # valid rows, before tail padding
             images, labels, w = _pad_val_batch(images, labels, local_bs)
             s = jax.device_get(eval_step(
                 state.params, state.batch_stats,
@@ -640,6 +647,11 @@ def main(argv=None):
                 put_global_batch(labels, batch_sh),
                 put_global_batch(w, batch_sh),
             ))
+            # weight by the GLOBAL valid count returned from eval_step —
+            # the per-batch stats are global weighted means, so a
+            # host-local count would skew the aggregate when hosts have
+            # different final-batch tails (advisor r4)
+            bsz = float(s["n_valid"])
             val_top1 += float(s["top1"]) * bsz
             val_top5 += float(s["top5"]) * bsz
             act += float(s["act_rate"]) * bsz

@@ -34,8 +34,15 @@ def is_frozen_path(path) -> bool:
     """True for fixed (non-trainable) leaves: the T2T performer's random
     feature matrix ``w`` (`models/t2t.py` — stop_gradient zeroes its grad,
     but weight decay is gradient-independent and would shrink it every
-    step; torch keeps requires_grad=False params out of the optimizer)."""
-    return bool(path) and str(getattr(path[-1], "key", path[-1])) == "w"
+    step; torch keeps requires_grad=False params out of the optimizer).
+    The leaf name alone is too loose (any future param named 'w' would
+    silently stop decaying), so require the t2t stem scope in the path
+    (the performers live at ``t2t_stem/attn{1,2}/w``)."""
+    if not path or str(getattr(path[-1], "key", path[-1])) != "w":
+        return False
+    return any(
+        "t2t" in str(getattr(k, "key", k)).lower() for k in path[:-1]
+    )
 
 
 def make_sgd(params, *, momentum=0.9, nesterov=True, weight_decay=5e-5,
@@ -101,6 +108,10 @@ def make_rmsprop(params, *, alpha=0.9, momentum=0.9, weight_decay=5e-5,
     backbone/masker LR groups as :func:`make_sgd`. torch's RMSprop keeps
     the raw (uncentered) second moment and applies momentum AFTER the
     rescale — optax.scale_by_rms(decay=alpha) + trace matches that order.
+    torch divides by ``sqrt(nu) + eps`` while optax defaults to
+    ``sqrt(nu + eps)`` (eps_in_sqrt=True); at tiny gradients (|g|~1e-5,
+    e.g. masker heads early in training) those differ by >10x in step
+    size, so eps_in_sqrt=False is required for parity.
     """
     labels = param_group_labels(params)
 
@@ -112,7 +123,7 @@ def make_rmsprop(params, *, alpha=0.9, momentum=0.9, weight_decay=5e-5,
     def group(mult):
         return optax.chain(
             optax.add_decayed_weights(weight_decay, mask=decay_mask),
-            optax.scale_by_rms(decay=alpha, eps=eps),
+            optax.scale_by_rms(decay=alpha, eps=eps, eps_in_sqrt=False),
             optax.trace(decay=momentum, nesterov=False),
             optax.scale(mult),
         )

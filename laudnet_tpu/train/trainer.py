@@ -79,7 +79,7 @@ def teacher_logits_fn(teacher_model, teacher_variables, images):
 
 
 def compute_sparsity_loss(cfg: TrainConfig, epoch, out):
-    """Dispatch over the six reference criteria
+    """Dispatch over the seven reference criteria
     (`utils/sparsity_loss_unify.py`; trainer default = 'bounds').
 
     The 'bounds' criterion only consumes ``flops_perc``/``flops``, so it
@@ -108,12 +108,14 @@ def compute_sparsity_loss(cfg: TrainConfig, epoch, out):
         return losses.sparsity_cs_v2(
             epoch, out.channel_s, out.spatial_s3, out.flops_perc, out.flops,
             dyn_mode=cfg.dyn_mode, **common)
-    if name in ("channel_bounds", "channel_bounds_v2"):
+    if name == "channel_bounds":
         ch = jnp.concatenate(out.channel_s)
         return losses.sparsity_channel_bounds(
-            epoch, ch, out.flops_perc, out.flops,
-            channel_upper_start=0.85 if name.endswith("v2") else 1.0,
-            **common)
+            epoch, ch, out.flops_perc, out.flops, **common)
+    if name == "channel_bounds_v2":
+        ch = jnp.concatenate(out.channel_s)
+        return losses.sparsity_channel_bounds_v2(
+            epoch, ch, out.flops_perc, out.flops, **common)
     raise ValueError(f"unknown sparsity criterion {name}")
 
 
@@ -231,9 +233,17 @@ def make_eval_step(model, cfg: TrainConfig) -> Callable:
         # diagnostic stats remain representative.
         top1, top5 = topk_accuracy(out.logits, labels, topk=(1, 5),
                                    weights=weights)
+        # n_valid is the GLOBAL valid-row count (weights is sharded over
+        # the batch axis, so the sum spans all hosts). Callers must weight
+        # the per-batch means by this — weighting by a host-local count
+        # skews the aggregate whenever hosts have different final-batch
+        # tails (advisor r4).
+        n_valid = (jnp.float32(labels.shape[0]) if weights is None
+                   else weights.sum().astype(jnp.float32))
         stats = {
             "top1": top1,
             "top5": top5,
+            "n_valid": n_valid,
             "act_rate": out.flops_perc.mean(),
             "flops": out.flops,
         }

@@ -93,3 +93,36 @@ def test_sparsity_bounds_matches_reference_oracle():
             float(epoch), jnp.asarray([0.9, 0.1, 0.55]), jnp.asarray(2.2),
             target=0.5, num_epochs=100, full_flops=4.0))
         assert abs(want - got) < 1e-6, epoch
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_sparsity_channel_bounds_matches_reference_oracle(v2):
+    """Exact agreement with SparsityCriterion_channel_bounds{,_v2}
+    (`sparsity_loss_unify.py:197-280`) — the two criteria differ only in
+    the channel upper bound's start (1.0 vs 0.85)."""
+    import importlib.util
+    import os
+
+    path = "/root/reference/imagenet_classification/utils/sparsity_loss_unify.py"
+    if not os.path.exists(path):
+        pytest.skip("reference not mounted")
+    spec = importlib.util.spec_from_file_location("ref_sl2", path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    cls = (ref.SparsityCriterion_channel_bounds_v2 if v2
+           else ref.SparsityCriterion_channel_bounds)
+    ours = (losses.sparsity_channel_bounds_v2 if v2
+            else losses.sparsity_channel_bounds)
+    crit = cls(flops_perc_target=0.5, num_epochs=100, full_flops=4.0,
+               channel_loss_factor=1.3)
+    ch = [0.95, 0.6, 0.3]
+    fp = [0.9, 0.1, 0.55]
+    for epoch in (0, 5, 20, 33, 80):
+        want = float(crit(epoch, torch.tensor(ch), torch.tensor(fp),
+                          torch.tensor(2.2)))
+        got = float(ours(
+            float(epoch), jnp.asarray(ch), jnp.asarray(fp), jnp.asarray(2.2),
+            target=0.5, num_epochs=100, full_flops=4.0,
+            channel_loss_factor=1.3))
+        assert abs(want - got) < 1e-6, (v2, epoch)

@@ -20,6 +20,8 @@ def _params():
         "block_0": {
             "token_policy": {"kernel": jnp.ones((8, 2), jnp.float32)},
             "fc1": {"kernel": jnp.ones((8, 16), jnp.float32)},
+            # a non-performer leaf named 'w' must NOT be treated as frozen
+            "w": jnp.ones((4,), jnp.float32),
         },
     }
 
@@ -72,29 +74,39 @@ def test_rmsprop_matches_torch_semantics():
     from laudnet_tpu.train.optim import make_rmsprop
 
     w0 = np.array([[1.0, -2.0], [0.5, 3.0]], np.float32)
-    g_seq = [np.array([[0.1, -0.2], [0.3, 0.05]], np.float32),
-             np.array([[-0.4, 0.1], [0.2, -0.1]], np.float32)]
-    lr, wd, mom = 0.01, 0.05, 0.9
+    # Second case is O(1e-5) gradients with wd=0: torch divides by
+    # sqrt(nu)+eps while optax's default eps_in_sqrt=True divides by
+    # sqrt(nu+eps) — at |g|~1e-5 those differ by >10x in step size, so
+    # the tiny-gradient case exercises the eps_in_sqrt=False fix.
+    cases = [
+        (0.05, [np.array([[0.1, -0.2], [0.3, 0.05]], np.float32),
+                np.array([[-0.4, 0.1], [0.2, -0.1]], np.float32)]),
+        (0.0, [np.array([[1e-5, -2e-5], [3e-5, -1e-5]], np.float32),
+               np.array([[-1e-5, 1e-5], [2e-5, 2e-5]], np.float32)]),
+    ]
+    lr, mom = 0.01, 0.9
 
-    tw = torch.nn.Parameter(torch.tensor(w0))
-    topt = torch.optim.RMSprop([tw], lr=lr, alpha=0.9, momentum=mom,
-                               weight_decay=wd, eps=1e-8)
-    for g in g_seq:
-        tw.grad = torch.tensor(g)
-        topt.step()
+    for wd, g_seq in cases:
+        tw = torch.nn.Parameter(torch.tensor(w0))
+        topt = torch.optim.RMSprop([tw], lr=lr, alpha=0.9, momentum=mom,
+                                   weight_decay=wd, eps=1e-8)
+        for g in g_seq:
+            tw.grad = torch.tensor(g)
+            topt.step()
 
-    params = {"layer1_0": {"conv1": {"kernel": jnp.asarray(w0)}}}
-    opt = make_rmsprop(params, momentum=mom, weight_decay=wd)
-    state = opt.init(params)
-    state.hyperparams["learning_rate"] = lr
-    p = params
-    for g in g_seq:
-        grads = {"layer1_0": {"conv1": {"kernel": jnp.asarray(g)}}}
-        updates, state = opt.update(grads, state, p)
-        p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
-    np.testing.assert_allclose(
-        np.asarray(p["layer1_0"]["conv1"]["kernel"]),
-        tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+        params = {"layer1_0": {"conv1": {"kernel": jnp.asarray(w0)}}}
+        opt = make_rmsprop(params, momentum=mom, weight_decay=wd)
+        state = opt.init(params)
+        state.hyperparams["learning_rate"] = lr
+        p = params
+        for g in g_seq:
+            grads = {"layer1_0": {"conv1": {"kernel": jnp.asarray(g)}}}
+            updates, state = opt.update(grads, state, p)
+            p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+        np.testing.assert_allclose(
+            np.asarray(p["layer1_0"]["conv1"]["kernel"]),
+            tw.detach().numpy(), rtol=1e-5, atol=1e-7,
+            err_msg=f"wd={wd}")
 
 
 def test_weights_only_decay_mask():
