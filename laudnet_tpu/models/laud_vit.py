@@ -82,6 +82,12 @@ class LAUDViTBlock(nn.Module):
     # 'fused' = the qkv-direct Pallas kernel
     # (`ops/pallas/vit_attention.py`) — same semantics, one VMEM pass.
     attn_impl: str = "reference"
+    # Tensor-parallel mesh: when set (a jax.sharding.Mesh with a >1
+    # 'model' axis) and attn_impl == 'fused', attention runs the
+    # partition-aware shard_map path (`parallel/tp.py::
+    # tp_fused_vit_attention`) — each shard executes the Pallas kernel
+    # on its local heads. Requires num_heads % tp == 0.
+    tp_mesh: Any = None
     # 'dense' = bf16/f32 matmuls; 'int8' = W8A8 qkv/proj/fc1/fc2 at EVAL
     # (`ops/quant.py::QuantDense`, checkpoint-compatible params) — the
     # int8 serving path for geometries the fused block kernel cannot
@@ -207,17 +213,29 @@ class LAUDViTBlock(nn.Module):
         qkv = mk_dense(3 * d, "qkv")(y)
         scale = dh**-0.5
         if self.attn_impl == "fused":
-            from laudnet_tpu.ops.pallas.vit_attention import (
-                fused_vit_attention,
-            )
+            tp = (self.tp_mesh.shape.get("model", 1)
+                  if self.tp_mesh is not None else 1)
+            interp = jax.default_backend() != "tpu"  # interpret off-TPU
+            if tp > 1:
+                from laudnet_tpu.parallel.tp import tp_fused_vit_attention
 
-            out = fused_vit_attention(
-                qkv, token_mask.astype(jnp.float32),
-                None if head_mask is None
-                else head_mask.astype(jnp.float32),
-                h, scale, 8,
-                jax.default_backend() != "tpu",  # interpret off-TPU (tests)
-            )
+                out = tp_fused_vit_attention(
+                    qkv, token_mask.astype(jnp.float32),
+                    None if head_mask is None
+                    else head_mask.astype(jnp.float32),
+                    h, scale, self.tp_mesh, block_b=8, interpret=interp,
+                )
+            else:
+                from laudnet_tpu.ops.pallas.vit_attention import (
+                    fused_vit_attention,
+                )
+
+                out = fused_vit_attention(
+                    qkv, token_mask.astype(jnp.float32),
+                    None if head_mask is None
+                    else head_mask.astype(jnp.float32),
+                    h, scale, 8, interp,
+                )
         else:
             qkv = qkv.reshape(b, l, 3, h, dh).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, L, dh)
@@ -329,6 +347,9 @@ class LAUDViT(nn.Module):
     # TRAINING (straight-through gradients) so fine-tuning optimizes
     # under the serving path's int8 numerics.
     linear_impl: str = "dense"
+    # Tensor-parallel mesh for the fused attention path (see
+    # LAUDViTBlock.tp_mesh); propagated to every block.
+    tp_mesh: Any = None
     param_dtype: Any = jnp.float32
     dtype: Any = None  # AMP compute dtype (see LAUDViTBlock.dtype)
 
@@ -388,7 +409,7 @@ class LAUDViT(nn.Module):
                 mlp_ratio=self.mlp_ratio, token_skip=self.token_skip,
                 head_skip=self.head_skip, layer_skip=self.layer_skip,
                 capacity=cap, book_len=n + 1, attn_impl=self.attn_impl,
-                linear_impl=self.linear_impl,
+                linear_impl=self.linear_impl, tp_mesh=self.tp_mesh,
                 name=f"block_{i}", dtype=self.dtype,
                 param_dtype=self.param_dtype,
             )(x, token_mask, temperature, training=training)

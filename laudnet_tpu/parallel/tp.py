@@ -109,6 +109,71 @@ def shard_params(params, mesh: Mesh, rules=VIT_TP_RULES,
     return jax.device_put(params, shardings)
 
 
+def tp_fused_vit_attention(qkv, key_mask, head_mask, num_heads: int,
+                           sm_scale: float, mesh: Mesh, *,
+                           model_axis: str = "model",
+                           batch_axis: str = "data",
+                           block_b: int = 8, interpret: bool = False):
+    """Partition-aware fused Pallas attention: each model-axis shard runs
+    :func:`~laudnet_tpu.ops.pallas.vit_attention.fused_vit_attention` on its
+    LOCAL heads via ``shard_map``.
+
+    Heads are the natural shard unit of the Megatron layout (column-parallel
+    qkv ⇒ every shard owns complete heads), but the packed ``(B, L, 3*D)``
+    qkv activation interleaves the three sections, so a contiguous lane
+    split would hand shard 0 "all of q + half of k". Reshaping to
+    ``(B, L, 3, H, dh)`` exposes the head dim as a real array axis; sharding
+    THAT over the model axis gives each device ``(B_loc, L, 3, H/tp, dh)``
+    — exactly its heads' q/k/v — which repacks (a free, layout-preserving
+    reshape) into the kernel's local ``(B_loc, L, 3*D/tp)`` input. The
+    merged output lands feature-sharded ``(B, L, D/tp per shard)``, which is
+    precisely what the row-parallel ``proj`` consumes: GSPMD keeps the
+    partial-sum + single all-reduce structure of the unfused TP graph.
+
+    The kernel's ``custom_vjp`` differentiates through ``shard_map``, so the
+    fused Pallas backward also runs per-shard on local heads.
+
+    Requires ``num_heads % tp == 0`` (callers fall back to the reference
+    graph otherwise — e.g. T2T's 7 heads on tp=2). An ODD local head count
+    (DeiT-S: 6 heads / tp=2 = 3) takes the kernel's zero-padded fake-head
+    path per shard.
+    """
+    from laudnet_tpu.parallel.pp import shard_map
+
+    tp = mesh.shape.get(model_axis, 1)
+    if num_heads % tp:
+        raise ValueError(
+            f"tp_fused_vit_attention: num_heads={num_heads} not divisible "
+            f"by the {model_axis!r} axis ({tp}) — fall back to the "
+            "reference attention graph for this geometry")
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    h_loc = num_heads // tp
+    bspec = batch_axis if batch_axis in mesh.shape else None
+    qkv5 = qkv.reshape(b, l, 3, num_heads, dh)
+    gated = head_mask is not None
+
+    def local_attn(qkv5_loc, km, *rest):
+        from laudnet_tpu.ops.pallas.vit_attention import fused_vit_attention
+
+        hm = rest[0] if gated else None
+        bb, ll = qkv5_loc.shape[0], qkv5_loc.shape[1]
+        packed = qkv5_loc.reshape(bb, ll, 3 * h_loc * dh)
+        return fused_vit_attention(packed, km, hm, h_loc, sm_scale,
+                                   block_b, interpret)
+
+    in_specs = [P(bspec, None, None, model_axis, None), P(bspec, None)]
+    args = [qkv5, key_mask]
+    if gated:
+        in_specs.append(P(bspec, model_axis))
+        args.append(head_mask)
+    return shard_map(
+        local_attn, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=P(bspec, None, model_axis),
+    )(*args)
+
+
 def sequence_parallel_constraint(x, mesh: Mesh, *, axis: str = "model",
                                  batch_axis: str = "data",
                                  token_axis: int = 1):

@@ -399,11 +399,6 @@ def main(argv=None):
     if args.tp > 1 and family == "regnet":
         raise SystemExit("--tp supports ViT and ResNet archs (no Megatron "
                          "rules for the RegNet block layout yet)")
-    if args.tp > 1 and args.vit_attn == "fused":
-        raise SystemExit("--tp shards attention heads over the model axis; "
-                         "the fused Pallas kernel is not partition-aware — "
-                         "use --vit_attn reference under TP (XLA still "
-                         "fuses the per-shard matmuls)")
     if jax.device_count() % args.tp:
         raise SystemExit(f"--tp {args.tp} must divide the device count "
                          f"({jax.device_count()})")
@@ -416,6 +411,18 @@ def main(argv=None):
             f"must be divisible by the data axis "
             f"({jax.device_count()} devices / --tp {args.tp} = {data_axis})")
     mesh = make_mesh(model_parallel=args.tp)
+    if args.tp > 1 and family == "vit" and args.vit_attn == "fused":
+        # partition-aware fused attention: each model-axis shard runs the
+        # Pallas kernel on its local heads (parallel/tp.py)
+        if model.num_heads % args.tp == 0:
+            model = model.clone(tp_mesh=mesh)
+            teacher = teacher.clone(tp_mesh=mesh)
+        else:
+            log(f"--tp {args.tp} does not divide {model.num_heads} heads; "
+                "attention falls back to the reference graph under TP "
+                "(GSPMD still shards the matmuls)")
+            model = model.clone(attn_impl="reference")
+            teacher = teacher.clone(attn_impl="reference")
     batch_sh, repl = data_parallel_shardings(mesh)
     rng = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((local_bs, args.input_size, args.input_size, 3),
