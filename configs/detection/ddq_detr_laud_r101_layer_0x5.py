@@ -10,6 +10,8 @@ model = dict(
     sparsity_target=0.5,
     temperature=0.1,
     query_init="ddq",  # dense distinct queries (NMS-selected encoder proposals)
+    distinct_queries=True,  # per-decoder-layer duplicate suppression
+    dn_groups=2,            # denoising query groups (training)
 )
 train_cfg = dict(
     epochs=12,

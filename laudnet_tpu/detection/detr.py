@@ -195,12 +195,72 @@ class DeformableEncoderLayer(nn.Module):
         return x + y
 
 
+def nms_keep_mask(boxes_xyxy, scores, iou_threshold: float):
+    """Greedy NMS as a static-shape KEEP MASK (the TPU reduction of
+    `batched_nms` with one class, which is what DDQ's class-agnostic
+    distinct-query selection calls —
+    `mmdetection-3.3.0/mmdet/models/layers/transformer/ddq_detr_layers.py:65-68`).
+
+    `batched_nms` returns a dynamically-sized index list; under jit that
+    shape cannot exist, but DDQ only consumes the selection as a Q x Q
+    self-attention mask — so the static 0/1 keep vector over ALL queries
+    is exactly sufficient and loses nothing. The suppression itself is the
+    same exact sequential greedy sweep (a fori_loop over score order), not
+    the one-shot "any higher-scored overlap" approximation, so chains
+    (A suppresses B, B would have suppressed C -> C survives) match
+    torch's NMS bit-for-bit. Returns (Q,) bool in the ORIGINAL order.
+    """
+    n = boxes_xyxy.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes_xyxy[order]
+    area = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(
+        b[:, 3] - b[:, 1], 0)
+
+    def iou_with(i):
+        x1 = jnp.maximum(b[i, 0], b[:, 0])
+        y1 = jnp.maximum(b[i, 1], b[:, 1])
+        x2 = jnp.minimum(b[i, 2], b[:, 2])
+        y2 = jnp.minimum(b[i, 3], b[:, 3])
+        inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+        return inter / jnp.maximum(area[i] + area - inter, 1e-9)
+
+    def body(i, alive):
+        suppress = (iou_with(i) > iou_threshold) & alive[i]
+        suppress = suppress.at[i].set(False)
+        return alive & ~suppress
+
+    alive = jax.lax.fori_loop(0, n, body, jnp.ones((n,), bool))
+    return jnp.zeros((n,), bool).at[order].set(alive)
+
+
+def _inverse_sigmoid(x, eps: float = 1e-3):
+    """mmdet's inverse_sigmoid(eps=1e-3) — the box-refinement logit space
+    (`ddq_detr_layers.py:191`)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    x1 = jnp.clip(x, eps, None)
+    x2 = jnp.clip(1.0 - x, eps, None)
+    return jnp.log(x1 / x2)
+
+
 class DETRDetector(nn.Module):
     """Encoder/decoder set-prediction detector over LAUD features.
 
     Boxes are predicted as sigmoid (cx, cy, w, h) in [0,1] image-normalized
     coordinates (DETR convention). ``with_masks`` adds Mask2Former-style
     per-query masks (query embedding . pixel features on the finest level).
+
+    With ``query_init='ddq'`` the decoder is the DDQ decoder
+    (`mmdetection-3.3.0/mmdet/models/layers/transformer/ddq_detr_layers.py`):
+    per-layer box refinement in inverse-sigmoid space, per-layer
+    class/box branches, and — the defining mechanism — per-layer
+    DISTINCT-QUERY selection: after every layer but the last, a
+    class-agnostic greedy NMS over the refined boxes (static-shape keep
+    mask, see :func:`nms_keep_mask`) builds the next layer's
+    self-attention mask so duplicate queries can only interact with
+    distinct ones (`ddq_detr_layers.py:72-99`: cells where NEITHER
+    endpoint is kept are masked). ``dn_groups > 0`` additionally appends
+    denoising query groups at training time (noised GT boxes + label
+    embeddings, group-diagonal attention, direct known-assignment loss).
     """
 
     num_classes: int = 80
@@ -230,10 +290,16 @@ class DETRDetector(nn.Module):
     # proposals for the auxiliary set loss
     query_init: str = "learned"
     ddq_nms_iou: float = 0.8
+    # DDQ decoder extras (query_init='ddq'): per-layer distinct-query
+    # selection, and denoising groups (training; needs dn_gt + a 'dn' rng)
+    distinct_queries: bool = True
+    dn_groups: int = 0
+    dn_box_noise: float = 0.4
+    dn_label_noise: float = 0.5
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images, *, training: bool = False):
+    def __call__(self, images, *, training: bool = False, dn_gt=None):
         feats, additional, model_configs = LAUDDetBackbone(
             layers=self.backbone_layers,
             out_indices=tuple(self.out_indices),
@@ -393,6 +459,10 @@ class DETRDetector(nn.Module):
             return fg | empty
 
         use_masked_ca = (self.with_masks and self.masked_cross_attention)
+        if self.query_init == "ddq":
+            return self._ddq_decode(q, x, sel_box, images, training, dn_gt,
+                                    additional, model_configs, enc_aux,
+                                    query_masks if self.with_masks else None)
         for i in range(self.dec_layers):
             q = TransformerLayer(dim=self.dim, name=f"dec_self_{i}",
                                  param_dtype=self.param_dtype)(q)
@@ -422,6 +492,141 @@ class DETRDetector(nn.Module):
         if self.with_masks:
             # Mask2Former-style: per-query mask embedding . pixel features
             out["mask_logits"] = query_masks(q)
+        return out
+
+    def _ddq_decode(self, q, x, sel_box, images, training, dn_gt,
+                    additional, model_configs, enc_aux, query_masks):
+        """The DDQ decoder (`ddq_detr_layers.py:104-223`, TPU-static):
+        per-layer refinement + distinct-query self-attn masks + optional
+        denoising groups. Called from the compact ``__call__`` so submodule
+        creation stays in one trace."""
+        b = q.shape[0]
+        qn = self.num_queries
+        # references start at the NMS-selected encoder proposals, detached
+        # (the reference detaches every reference update,
+        # `ddq_detr_layers.py:194,210`)
+        ref = jax.lax.stop_gradient(sel_box)  # (B, Q, 4) cxcywh [0,1]
+
+        # --- denoising groups (CDN): noised GT queries, group-diagonal ---
+        n_dn = 0
+        dn_targets = None
+        if training and self.dn_groups > 0 and dn_gt is not None:
+            g = self.dn_groups
+            gt_xyxy = dn_gt["boxes_xyxy"] / _xyxy_scale(
+                (images.shape[1], images.shape[2]))
+            gt_cxcywh = jnp.stack([
+                (gt_xyxy[..., 0] + gt_xyxy[..., 2]) / 2,
+                (gt_xyxy[..., 1] + gt_xyxy[..., 3]) / 2,
+                jnp.maximum(gt_xyxy[..., 2] - gt_xyxy[..., 0], 1e-4),
+                jnp.maximum(gt_xyxy[..., 3] - gt_xyxy[..., 1], 1e-4),
+            ], -1)
+            m = gt_cxcywh.shape[1]
+            n_dn = g * m
+            k1, k2, k3, k4 = jax.random.split(self.make_rng("dn"), 4)
+            rep = jnp.tile(gt_cxcywh, (1, g, 1))           # (B, g*M, 4)
+            wh = rep[..., 2:4]
+            shift = (jax.random.uniform(k1, rep[..., :2].shape) * 2 - 1
+                     ) * wh * (self.dn_box_noise / 2)
+            scale = 1.0 + (jax.random.uniform(k2, wh.shape) * 2 - 1
+                           ) * self.dn_box_noise
+            dn_boxes = jnp.clip(
+                jnp.concatenate([rep[..., :2] + shift, wh * scale], -1),
+                1e-4, 1.0)
+            labels_rep = jnp.tile(dn_gt["labels"], (1, g))
+            flip = jax.random.uniform(k3, labels_rep.shape
+                                      ) < self.dn_label_noise
+            rand_lab = jax.random.randint(k4, labels_rep.shape, 0,
+                                          self.num_classes)
+            noisy_labels = jnp.where(flip, rand_lab, labels_rep)
+            q_dn = nn.Embed(self.num_classes + 1, self.dim,
+                            name="dn_label_embed",
+                            param_dtype=self.param_dtype)(noisy_labels)
+            q = jnp.concatenate([q, q_dn], axis=1)
+            ref = jnp.concatenate([ref, dn_boxes], axis=1)
+            # direct (known-assignment) supervision targets: the TRUE gt
+            dn_targets = {
+                "dn_gt_cxcywh": rep,
+                "dn_gt_labels": labels_rep,
+                "dn_valid": jnp.tile(dn_gt["valid"], (1, g)),
+            }
+
+        qt = qn + n_dn
+        # base attend-allowed mask: matchable block open; dn groups see
+        # themselves + the matchable part; the matchable part NEVER sees
+        # dn (GT leakage); groups never see each other
+        if n_dn:
+            gid = jnp.concatenate([
+                jnp.full((qn,), -1, jnp.int32),
+                jnp.repeat(jnp.arange(self.dn_groups, dtype=jnp.int32),
+                           n_dn // self.dn_groups),
+            ])
+            row, col = gid[:, None], gid[None, :]
+            base_allowed = jnp.broadcast_to(
+                (((row == -1) & (col == -1))
+                 | ((row >= 0) & ((col == -1) | (col == row))))[None],
+                (b, qt, qt))
+        else:
+            base_allowed = jnp.ones((b, qt, qt), bool)
+        allowed = base_allowed
+
+        aux_outputs = []
+        distinct_keep = []
+        cls_i = boxes_i = None
+        for i in range(self.dec_layers):
+            q = TransformerLayer(dim=self.dim, name=f"dec_self_{i}",
+                                 param_dtype=self.param_dtype)(
+                q, attn_mask=allowed)
+            q = TransformerLayer(dim=self.dim, name=f"dec_cross_{i}",
+                                 param_dtype=self.param_dtype)(q, x)
+            y = nn.LayerNorm(name=f"dec_norm_{i}",
+                             param_dtype=self.param_dtype)(q)
+            cls_i = nn.Dense(self.num_classes + 1, name=f"cls_head_l{i}",
+                             param_dtype=self.param_dtype)(y)
+            h = nn.relu(nn.Dense(self.dim, name=f"box_fc1_l{i}",
+                                 param_dtype=self.param_dtype)(y))
+            h = nn.relu(nn.Dense(self.dim, name=f"box_fc2_l{i}",
+                                 param_dtype=self.param_dtype)(h))
+            delta = nn.Dense(4, name=f"box_head_l{i}",
+                             kernel_init=jax.nn.initializers.zeros,
+                             param_dtype=self.param_dtype)(h)
+            boxes_i = jax.nn.sigmoid(delta + _inverse_sigmoid(ref))
+            if i < self.dec_layers - 1:
+                aux_outputs.append({"cls_logits": cls_i[:, :qn],
+                                    "boxes_cxcywh": boxes_i[:, :qn]})
+            ref = jax.lax.stop_gradient(boxes_i)
+            if self.distinct_queries and i < self.dec_layers - 1:
+                # class-agnostic confidence (the reference takes
+                # sigmoid().max(-1) of its sigmoid cls head; the softmax
+                # head's analog is 1 - p(no-object))
+                obj = 1.0 - jax.nn.softmax(
+                    cls_i[:, :qn].astype(jnp.float32), -1)[..., -1]
+                keep = jax.vmap(nms_keep_mask, in_axes=(0, 0, None))(
+                    cxcywh_to_xyxy(ref[:, :qn]), obj, self.ddq_nms_iou)
+                distinct_keep.append(keep)
+                # reference semantics: mask cells where NEITHER endpoint
+                # is a distinct query (`ddq_detr_layers.py:90-91`); the
+                # dis block is REBUILT each layer, dn structure preserved
+                dis = keep[:, :, None] | keep[:, None, :]
+                allowed = base_allowed.at[:, :qn, :qn].set(dis)
+
+        out = {
+            "cls_logits": cls_i[:, :qn],
+            "boxes_cxcywh": boxes_i[:, :qn],
+            "aux_outputs": tuple(aux_outputs),
+            "additional": additional,
+            "model_configs": model_configs,
+            **enc_aux,
+        }
+        if distinct_keep:
+            out["distinct_keep"] = jnp.stack(distinct_keep)  # (L-1, B, Q)
+        if n_dn:
+            out["dn_cls_logits"] = cls_i[:, qn:]
+            out["dn_boxes_cxcywh"] = boxes_i[:, qn:]
+            out.update(dn_targets)
+        if query_masks is not None:
+            out["mask_logits"] = query_masks(
+                nn.LayerNorm(name="dec_norm",
+                             param_dtype=self.param_dtype)(q[:, :qn]))
         return out
 
 
@@ -580,6 +785,45 @@ def detr_loss(outputs, gt_boxes_xyxy, gt_labels, gt_valid, *,
                + giou_weight * e_giou)
         metrics["loss_enc_aux"] = aux
         total = total + enc_aux_weight * aux
+
+    # per-decoder-layer auxiliary supervision (the DDQ decoder emits every
+    # intermediate layer's cls/boxes; each gets the same Hungarian set
+    # loss — the deformable-DETR aux scheme; the reference's
+    # DDQDetrAuxLoss additionally uses a topk-IoU assigner for its dense
+    # branch, which this Hungarian-everywhere reduction replaces)
+    if outputs.get("aux_outputs"):
+        aux_total = 0.0
+        for aux_out in outputs["aux_outputs"]:
+            a_cls, a_l1, a_giou, _ = _set_prediction_terms(
+                aux_out["cls_logits"], aux_out["boxes_cxcywh"],
+                gt_cxcywh, gt_labels, gt_valid, **term_kw)
+            aux_total = aux_total + (cls_weight * a_cls + l1_weight * a_l1
+                                     + giou_weight * a_giou)
+        metrics["loss_dec_aux"] = aux_total
+        total = total + aux_total
+
+    # denoising groups: direct known-assignment supervision (each dn query
+    # reconstructs its own GT; no matching)
+    if "dn_cls_logits" in outputs:
+        dn_cls = outputs["dn_cls_logits"]
+        dn_box = outputs["dn_boxes_cxcywh"]
+        dn_lab = outputs["dn_gt_labels"]
+        dn_tgt = outputs["dn_gt_cxcywh"]
+        dn_val = outputs["dn_valid"]
+        logp_dn = jax.nn.log_softmax(dn_cls, -1)
+        tgt_cls = jnp.where(dn_val > 0, dn_lab, num_classes)
+        ce_dn = -jnp.take_along_axis(logp_dn, tgt_cls[..., None], -1)[..., 0]
+        w_dn = jnp.where(dn_val > 0, 1.0, no_object_weight)
+        n_dn = jnp.maximum(dn_val.sum(), 1.0)
+        loss_dn = (cls_weight * (ce_dn * w_dn).sum()
+                   / jnp.maximum(w_dn.sum(), 1.0)
+                   + l1_weight * (jnp.abs(dn_box - dn_tgt).sum(-1)
+                                  * dn_val).sum() / n_dn
+                   + giou_weight * ((1 - generalized_iou(
+                       cxcywh_to_xyxy(dn_box), cxcywh_to_xyxy(dn_tgt)))
+                       * dn_val).sum() / n_dn)
+        metrics["loss_dn"] = loss_dn
+        total = total + loss_dn
 
     if gt_masks is not None and "mask_logits" in outputs:
         mlog = outputs["mask_logits"]  # (B, Q, h, w)

@@ -152,10 +152,18 @@ def make_detector_train_step(model, optimizer, cfg: DetTrainConfig,
         def loss_fn(p):
             variables = {"params": p, "batch_stats": batch_stats}
             if kind == "detr":
+                rngs = {"gumbel": jax.random.fold_in(gumbel_key, step)}
+                kw = {}
+                if getattr(model, "dn_groups", 0) > 0:
+                    # denoising groups: noised GT queries + a noise stream
+                    kw["dn_gt"] = {"boxes_xyxy": gt_boxes,
+                                   "labels": gt_labels,
+                                   "valid": gt_valid}
+                    rngs["dn"] = jax.random.fold_in(
+                        jax.random.PRNGKey(seed + 1), step)
                 out, mut = model.apply(
-                    variables, images, training=True,
-                    rngs={"gumbel": jax.random.fold_in(gumbel_key, step)},
-                    mutable=["batch_stats"],
+                    variables, images, training=True, rngs=rngs,
+                    mutable=["batch_stats"], **kw,
                 )
                 total, metrics = detr_loss(
                     out, gt_boxes, gt_labels, gt_valid,
@@ -443,9 +451,20 @@ def train_detector(model, cfg: DetTrainConfig, *, kind: str = "faster_rcnn",
     ih, iw = ((image_size, image_size) if isinstance(image_size, int)
               else image_size)
     sample = jnp.zeros((batch_size, ih, iw, 3), jnp.float32)
+    init_kw = {}
+    init_rngs = {"params": jax.random.PRNGKey(seed)}
+    if kind == "detr" and getattr(model, "dn_groups", 0) > 0:
+        # dn params (label embedding) only exist on the dn path: init a
+        # TRAINING forward with placeholder GT so they are created
+        init_kw = {"training": True,
+                   "dn_gt": {"boxes_xyxy": jnp.zeros((batch_size, 1, 4)),
+                             "labels": jnp.zeros((batch_size, 1), jnp.int32),
+                             "valid": jnp.zeros((batch_size, 1))}}
+        init_rngs["dn"] = jax.random.PRNGKey(seed + 1)
+        init_rngs["gumbel"] = jax.random.PRNGKey(seed + 2)
     variables = jax.jit(
-        lambda: model.init({"params": jax.random.PRNGKey(seed)}, sample,
-                           training=False)
+        lambda: model.init(init_rngs, sample,
+                           **(init_kw or {"training": False}))
     )()
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -246,6 +246,147 @@ def test_ddq_distinct_queries():
     assert gn > 0
 
 
+def _greedy_nms_ref(boxes, scores, thresh):
+    """Sequential greedy NMS, the torchvision/mmcv semantics (oracle)."""
+    order = np.argsort(-scores)
+    keep = np.zeros(len(scores), bool)
+    for i in order:
+        x1 = np.maximum(boxes[i, 0], boxes[keep, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[keep, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[keep, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[keep, 3])
+        inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+        area = lambda b: np.maximum(b[..., 2] - b[..., 0], 0) * np.maximum(
+            b[..., 3] - b[..., 1], 0)
+        iou = inter / np.maximum(area(boxes[i]) + area(boxes[keep]) - inter,
+                                 1e-9)
+        if not (iou > thresh).any():
+            keep[i] = True
+    return keep
+
+
+def test_nms_keep_mask_matches_greedy_oracle():
+    """nms_keep_mask is the EXACT sequential greedy NMS (torch batched_nms
+    semantics) as a static-shape keep mask — the TPU reduction of DDQ's
+    selection (`ddq_detr_layers.py:65-68`): suppression chains must match
+    (A kills B; C, which B would have killed, survives)."""
+    from laudnet_tpu.detection.detr import nms_keep_mask
+
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        n = 32
+        cx = rng.uniform(0.2, 0.8, n)
+        cy = rng.uniform(0.2, 0.8, n)
+        w = rng.uniform(0.05, 0.5, n)
+        h = rng.uniform(0.05, 0.5, n)
+        boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                         -1).astype(np.float32)
+        scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        want = _greedy_nms_ref(boxes, scores, 0.5)
+        got = np.asarray(nms_keep_mask(jnp.asarray(boxes),
+                                       jnp.asarray(scores), 0.5))
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+    # a deliberate chain: A(0.9) kills B(0.8); C(0.7) overlaps B but not A
+    boxes = np.asarray([[0.0, 0.0, 1.0, 1.0],
+                        [0.5, 0.0, 1.5, 1.0],
+                        [1.1, 0.0, 2.1, 1.0]], np.float32)
+    scores = np.asarray([0.9, 0.8, 0.7], np.float32)
+    got = np.asarray(nms_keep_mask(jnp.asarray(boxes),
+                                   jnp.asarray(scores), 0.3))
+    np.testing.assert_array_equal(got, [True, False, True])
+
+
+def test_ddq_distinct_query_selection_per_layer():
+    """The DDQ decoder applies per-layer distinct-query selection: the
+    distinct keep masks are emitted per intermediate layer, duplicates
+    genuinely get suppressed, and every intermediate layer is supervised
+    (loss_dec_aux)."""
+    m = tiny_detr(query_init="ddq", dec_layers=3, ddq_nms_iou=0.8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+    out = m.apply(v, x, training=False)
+    assert out["distinct_keep"].shape == (2, 2, 8)  # (L-1, B, Q)
+    keep = np.asarray(out["distinct_keep"])
+    assert keep.any(axis=-1).all()  # at least one distinct query per image
+    assert len(out["aux_outputs"]) == 2
+    assert out["aux_outputs"][0]["cls_logits"].shape == (2, 8, 4)
+
+    boxes, labels, valid = gt(b=2)
+    total, metrics = detr_loss(out, boxes, labels, valid, num_classes=3,
+                               image_size=64.0)
+    assert "loss_dec_aux" in metrics
+    assert np.isfinite(float(total))
+
+    # per-layer refinement heads receive gradients through the aux loss
+    def loss_fn(params):
+        o = m.apply({"params": params,
+                     "batch_stats": v.get("batch_stats", {})},
+                    x, training=True, rngs={"gumbel": jax.random.PRNGKey(2)})
+        t, _ = detr_loss(o, boxes, labels, valid, num_classes=3,
+                         image_size=64.0)
+        return t
+
+    g = jax.grad(loss_fn)(v["params"])
+    gn = float(sum(jnp.abs(l).sum() for l in
+                   jax.tree_util.tree_leaves(g["cls_head_l0"])))
+    assert gn > 0
+
+
+def test_ddq_denoising_groups():
+    """dn_groups > 0: noised GT queries train with known-assignment
+    supervision; the matchable block's outputs are unaffected in eval
+    (dn only exists in training forwards)."""
+    m = tiny_detr(query_init="ddq", dec_layers=2, dn_groups=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    boxes, labels, valid = gt()
+    dn_gt = {"boxes_xyxy": boxes, "labels": labels, "valid": valid}
+    # dn params only exist on the dn (training) path — init through it
+    v = m.init({"params": jax.random.PRNGKey(1),
+                "gumbel": jax.random.PRNGKey(4),
+                "dn": jax.random.PRNGKey(5)},
+               x, training=True, dn_gt=dn_gt)
+    out = m.apply(v, x, training=True, dn_gt=dn_gt,
+                  rngs={"gumbel": jax.random.PRNGKey(2),
+                        "dn": jax.random.PRNGKey(3)})
+    assert out["dn_cls_logits"].shape == (1, 4, 4)  # 2 groups x 2 gt
+    assert out["dn_boxes_cxcywh"].shape == (1, 4, 4)
+    assert out["cls_logits"].shape == (1, 8, 4)  # matchable slice intact
+    total, metrics = detr_loss(out, boxes, labels, valid, num_classes=3,
+                               image_size=64.0)
+    assert "loss_dn" in metrics
+    assert np.isfinite(float(total))
+
+    def loss_fn(params):
+        o = m.apply({"params": params,
+                     "batch_stats": v.get("batch_stats", {})},
+                    x, training=True, dn_gt=dn_gt,
+                    rngs={"gumbel": jax.random.PRNGKey(2),
+                          "dn": jax.random.PRNGKey(3)})
+        t, _ = detr_loss(o, boxes, labels, valid, num_classes=3,
+                         image_size=64.0)
+        return t
+
+    g = jax.grad(loss_fn)(v["params"])
+    gn = float(sum(jnp.abs(l).sum() for l in
+                   jax.tree_util.tree_leaves(g["dn_label_embed"])))
+    assert gn > 0
+
+
+def test_ddq_trains_end_to_end():
+    """train_detector drives the full DDQ decoder (distinct queries + dn
+    groups) for two steps with finite losses — the ddq_detr_* config
+    mechanism (r4 VERDICT #2 done-criterion)."""
+    from laudnet_tpu.detection.runner import DetTrainConfig, train_detector
+
+    m = tiny_detr(query_init="ddq", dec_layers=2, dn_groups=2)
+    cfg = DetTrainConfig(num_classes=3, epochs=1, steps_per_epoch=2,
+                         warmup_steps=1, lambda_sparse=0.1)
+    _, _, hist = train_detector(m, cfg, kind="detr", image_size=64,
+                                batch_size=2, log=lambda *a: None)
+    assert np.isfinite(hist[-1]["loss"])
+    assert "loss_dn" in hist[-1] and "loss_dec_aux" in hist[-1]
+
+
 def test_detr_rect_per_axis_normalization():
     """Rectangular inputs normalize x by W and y by H (r4 fix — a single
     scalar scale left right-half x-targets > 1.0, unreachable for the
