@@ -13,6 +13,12 @@ model = dict(
 )
 train_cfg = dict(
     epochs=50,
+    # Mask2Former point-sampled mask loss + per-layer aux supervision
+    # (reference `mask2former_head.py:148-151`: 12544 points,
+    # oversample 3.0, importance 0.75)
+    mask_points=12544,
+    oversample_ratio=3.0,
+    importance_ratio=0.75,
     backbone_lr_mult=0.1,
     init_from="checkpoints/imagenet_pretrain/laud_r101_layer_t0.5",
 )

@@ -162,6 +162,10 @@ def main(argv=None):
             steps_per_epoch=args.steps_per_epoch,
             sparsity_target=float(model_cfg.get("sparsity_target", 0.5)),
             with_masks=with_masks,
+            mask_points=(int(train_cfg["mask_points"])
+                         if train_cfg.get("mask_points") else None),
+            oversample_ratio=float(train_cfg.get("oversample_ratio", 3.0)),
+            importance_ratio=float(train_cfg.get("importance_ratio", 0.75)),
         )
         data_fn = None
         if dataset is not None:

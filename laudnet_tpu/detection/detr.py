@@ -98,6 +98,47 @@ def bilinear_sample_level(value, locs):
     return top * (1 - wy) + bot * wy
 
 
+def point_sample(mask_logits, coords):
+    """Bilinear point sampling of per-mask logit grids — the mmcv
+    ``point_sample`` contract (``F.grid_sample(align_corners=False)`` on
+    [0,1]-normalized coords), which Mask2Former's point-sampled mask loss
+    is built on (`mmdetection-3.3.0/mmdet/models/dense_heads/
+    mask2former_head.py:205-213, 310-320`).
+
+    ``mask_logits``: (B, M, h, w); ``coords``: (B, M, P, 2) or (B, 1, P, 2)
+    normalized (x, y). Returns (B, M, P). Out-of-range samples clamp to the
+    border (mmcv zero-pads; the two differ only in the outer half-pixel
+    band, where no training point lands since coords are drawn in [0,1])."""
+    b, m, h, w = mask_logits.shape
+    coords = jnp.broadcast_to(coords, (b, m) + coords.shape[2:])
+    grid = mask_logits.reshape(b * m, h, w, 1)
+    pts = bilinear_sample_level(grid, coords.reshape(b * m, -1, 2))
+    return pts.reshape(b, m, -1)
+
+
+def uncertain_point_coords(rng, mask_logits, num_points: int,
+                           oversample_ratio: float = 3.0,
+                           importance_ratio: float = 0.75):
+    """``get_uncertain_point_coords_with_randomness`` (mmcv), static-shape:
+    draw ``num_points * oversample_ratio`` random points per mask, keep the
+    ``importance_ratio * num_points`` most *uncertain* ones (uncertainty =
+    -|logit|, i.e. closest to the decision boundary), fill the remainder
+    with fresh uniform points. All shapes are static so the whole sampler
+    jits; coordinates carry no gradient.
+
+    ``mask_logits``: (B, M, h, w) -> coords (B, M, num_points, 2)."""
+    b, m = mask_logits.shape[:2]
+    n_over = int(num_points * oversample_ratio)
+    n_imp = int(num_points * importance_ratio)
+    k1, k2 = jax.random.split(rng)
+    cand = jax.random.uniform(k1, (b, m, n_over, 2))
+    logits = point_sample(jax.lax.stop_gradient(mask_logits), cand)
+    _, idx = jax.lax.top_k(-jnp.abs(logits), n_imp)  # most uncertain
+    imp = jnp.take_along_axis(cand, idx[..., None], axis=2)
+    rand = jax.random.uniform(k2, (b, m, num_points - n_imp, 2))
+    return jnp.concatenate([imp, rand], axis=2)
+
+
 class MSDeformAttention(nn.Module):
     """Multi-scale deformable attention (Deformable DETR,
     `mmdetection-3.3.0/mmdet/models/layers/transformer/
@@ -463,17 +504,37 @@ class DETRDetector(nn.Module):
             return self._ddq_decode(q, x, sel_box, images, training, dn_gt,
                                     additional, model_configs, enc_aux,
                                     query_masks if self.with_masks else None)
+        # Mask2Former `_forward_head` scheme: ONE shared decoder norm +
+        # cls head + mask embed predict from the queries entering every
+        # layer (`mask2former_head.py:338-366` applies the same
+        # decoder_norm/cls_embed/mask_embed after each of the
+        # num_transformer_decoder_layers, plus once on the initial
+        # queries); the prediction both gates this layer's masked
+        # cross-attention and is supervised as an aux layer
+        # (`mask2former_head.py:380-392` loops loss_by_feat over ALL
+        # layers). Shared modules mean zero new params vs r4.
+        dec_norm = nn.LayerNorm(name="dec_norm",
+                                param_dtype=self.param_dtype)
+        cls_head = nn.Dense(self.num_classes + 1, name="cls_head",
+                            param_dtype=self.param_dtype)
+        mask_aux = []
         for i in range(self.dec_layers):
+            amask = None
+            if self.with_masks:
+                y = dec_norm(q)
+                mlog = query_masks(y)
+                mask_aux.append({"cls_logits": cls_head(y),
+                                 "mask_logits": mlog})
+                if use_masked_ca:
+                    amask = mask_attn(mlog)
             q = TransformerLayer(dim=self.dim, name=f"dec_self_{i}",
                                  param_dtype=self.param_dtype)(q)
-            amask = mask_attn(query_masks(q)) if use_masked_ca else None
             q = TransformerLayer(dim=self.dim, name=f"dec_cross_{i}",
                                  param_dtype=self.param_dtype)(
                 q, x, attn_mask=amask)
-        q = nn.LayerNorm(name="dec_norm", param_dtype=self.param_dtype)(q)
+        q = dec_norm(q)
 
-        cls_logits = nn.Dense(self.num_classes + 1, name="cls_head",
-                              param_dtype=self.param_dtype)(q)
+        cls_logits = cls_head(q)
         h = nn.relu(nn.Dense(self.dim, name="box_fc1",
                              param_dtype=self.param_dtype)(q))
         h = nn.relu(nn.Dense(self.dim, name="box_fc2",
@@ -492,6 +553,11 @@ class DETRDetector(nn.Module):
         if self.with_masks:
             # Mask2Former-style: per-query mask embedding . pixel features
             out["mask_logits"] = query_masks(q)
+            # per-layer aux predictions (layer 0 = the initial queries,
+            # then one per decoder layer entry; the final prediction above
+            # is the last supervised layer — reference supervises
+            # num_layers + 1 predictions)
+            out["mask_aux_outputs"] = tuple(mask_aux)
         return out
 
     def _ddq_decode(self, q, x, sel_box, images, training, dn_gt,
@@ -736,18 +802,106 @@ def _set_prediction_terms(cls_logits, pred_cxcywh, gt_cxcywh, gt_labels,
     return loss_cls, loss_l1, loss_giou, match
 
 
+def _point_mask_losses(matched_mlog, gt_masks, gt_valid, rng, *,
+                       num_points, oversample_ratio, importance_ratio):
+    """Point-sampled BCE + dice on matched masks (`mask2former_head.py:
+    310-335`): coordinates come from the PREDICTION's uncertainty (no
+    gradient), targets are the full-res GT sampled at the same points —
+    so supervision concentrates on boundaries at O(P) instead of O(HW).
+    Returns (loss_bce, loss_dice) already averaged over valid masks."""
+    coords = uncertain_point_coords(
+        rng, matched_mlog, num_points, oversample_ratio, importance_ratio)
+    pred_pts = point_sample(matched_mlog, coords)          # (B, M, P)
+    tgt_pts = point_sample(gt_masks.astype(jnp.float32), coords)
+    n_pos = jnp.maximum(gt_valid.sum(), 1.0)
+    bce = -(tgt_pts * jax.nn.log_sigmoid(pred_pts)
+            + (1 - tgt_pts) * jax.nn.log_sigmoid(-pred_pts)).mean(-1)
+    p = jax.nn.sigmoid(pred_pts)
+    inter = (p * tgt_pts).sum(-1)
+    dice = 1 - (2 * inter + 1) / (p.sum(-1) + tgt_pts.sum(-1) + 1)
+    return ((bce * gt_valid).sum() / n_pos,
+            (dice * gt_valid).sum() / n_pos)
+
+
+def _mask_set_terms(cls_logits, mask_logits, gt_masks, gt_labels, gt_valid,
+                    rng, *, num_classes, num_points, oversample_ratio,
+                    importance_ratio, no_object_weight):
+    """Mask2Former-style per-layer supervision: Hungarian matching on
+    (cls, point-BCE, point-dice) costs over P shared random points
+    (`mask2former_head.py:205-227` samples ONE random coord set per image
+    for the assignment), then CE + point-sampled mask losses for the
+    matched queries. Pure function of one decoder layer's predictions —
+    called once per aux layer. Returns (loss_cls, loss_bce, loss_dice)."""
+    b, qn = cls_logits.shape[:2]
+    k_match, k_loss = jax.random.split(rng)
+
+    # --- matching costs on shared random points (per image) ---
+    coords = jax.random.uniform(k_match, (b, 1, num_points, 2))
+    pred_pts = point_sample(jax.lax.stop_gradient(mask_logits), coords)
+    gt_pts = point_sample(gt_masks.astype(jnp.float32), coords)  # (B, M, P)
+    # pairwise BCE via two matmuls (B, Q, M)
+    pos = -jax.nn.log_sigmoid(pred_pts)
+    neg = -jax.nn.log_sigmoid(-pred_pts)
+    cost_mask = (jnp.einsum("bqp,bmp->bqm", pos, gt_pts)
+                 + jnp.einsum("bqp,bmp->bqm", neg, 1 - gt_pts)) / num_points
+    pr = jax.nn.sigmoid(pred_pts)
+    inter = jnp.einsum("bqp,bmp->bqm", pr, gt_pts)
+    cost_dice = 1 - (2 * inter + 1) / (
+        pr.sum(-1)[:, :, None] + gt_pts.sum(-1)[:, None, :] + 1)
+    probs = jax.nn.softmax(cls_logits.astype(jnp.float32), -1)
+    m = gt_labels.shape[1]
+    cost_cls = -jnp.take_along_axis(
+        jnp.broadcast_to(probs[:, :, None, :],
+                         (b, qn, m, probs.shape[-1])),
+        jnp.broadcast_to(gt_labels[:, None, :, None], (b, qn, m, 1)),
+        axis=-1)[..., 0]
+    # Mask2Former assigner weights: cls 2.0, mask 5.0, dice 5.0
+    cost = 2.0 * cost_cls + 5.0 * cost_mask + 5.0 * cost_dice
+    cost = jnp.where(gt_valid[:, None, :] > 0, cost, 1e6)
+    match = hungarian_match(jax.lax.stop_gradient(cost))  # (B, M)
+
+    bidx = jnp.arange(b)[:, None]
+    target_cls = jnp.full((b, qn), num_classes, jnp.int32)
+    target_cls = target_cls.at[bidx, match].set(
+        jnp.where(gt_valid > 0, gt_labels, num_classes))
+    weights = jnp.where(target_cls == num_classes, no_object_weight, 1.0)
+    logp = jax.nn.log_softmax(cls_logits, -1)
+    ce = -jnp.take_along_axis(logp, target_cls[..., None], -1)[..., 0]
+    loss_cls = (ce * weights).sum() / jnp.maximum(weights.sum(), 1.0)
+
+    matched_mlog = mask_logits[bidx, match]                # (B, M, h, w)
+    loss_bce, loss_dice = _point_mask_losses(
+        matched_mlog, gt_masks, gt_valid, k_loss,
+        num_points=num_points, oversample_ratio=oversample_ratio,
+        importance_ratio=importance_ratio)
+    return loss_cls, loss_bce, loss_dice
+
+
 def detr_loss(outputs, gt_boxes_xyxy, gt_labels, gt_valid, *,
               num_classes: int, image_size, gt_masks=None,
               sparsity_target: float = 0.5, lambda_sparse: float = 1.0,
               cls_weight: float = 1.0, l1_weight: float = 5.0,
               giou_weight: float = 2.0, no_object_weight: float = 0.1,
-              enc_aux_weight: float = 1.0):
+              enc_aux_weight: float = 1.0, mask_points: int | None = None,
+              oversample_ratio: float = 3.0, importance_ratio: float = 0.75,
+              mask_rng=None, mask_weight: float = 1.0,
+              dice_weight: float = 1.0, mask_aux_weight: float = 1.0):
     """DETR set-prediction loss + the LAUD loss_sparse injection
     (`base_detr.py:123-132`). GT boxes arrive xyxy in pixels; normalized
     internally (``image_size``: square size or ``(h, w)``). When the model emits DDQ encoder proposals
     (``enc_cls_logits``/``enc_boxes_cxcywh``), the same set loss trains
     them as an auxiliary branch (DDQ's interm supervision analog).
-    Returns (total, metrics)."""
+
+    Masks: with ``mask_points`` and ``mask_rng`` set, the mask loss is
+    Mask2Former's POINT-SAMPLED BCE + dice on ``mask_points``
+    uncertainty-sampled points (reference 12544 points, oversample 3.0,
+    importance 0.75 — `mask2former_head.py:148-213, 310-335`) instead of
+    the full prediction grid, and every entry of
+    ``outputs['mask_aux_outputs']`` (one per decoder layer) gets its own
+    Hungarian (cls, mask, dice)-cost matching + the same point loss —
+    the per-layer aux supervision of `mask2former_head.py:380-392`.
+    Without them the dense full-grid BCE+dice fallback is used
+    (deterministic; final layer only). Returns (total, metrics)."""
     cls_logits = outputs["cls_logits"]  # (B, Q, K+1)
     pred_cxcywh = outputs["boxes_cxcywh"]
     b = cls_logits.shape[0]
@@ -825,25 +979,59 @@ def detr_loss(outputs, gt_boxes_xyxy, gt_labels, gt_valid, *,
         metrics["loss_dn"] = loss_dn
         total = total + loss_dn
 
+    use_points = mask_points is not None and mask_rng is not None
     if gt_masks is not None and "mask_logits" in outputs:
         mlog = outputs["mask_logits"]  # (B, Q, h, w)
-        mh, mw = mlog.shape[2], mlog.shape[3]
         matched_mlog = mlog[bidx, match]  # (B, M, h, w)
-        # downsample GT masks to the prediction grid (average pool)
-        gm = gt_masks.reshape(
-            b, m, mh, gt_masks.shape[2] // mh, mw, gt_masks.shape[3] // mw
-        ).mean((3, 5))
-        target = (gm > 0.5).astype(jnp.float32)
-        bce = -(
-            target * jax.nn.log_sigmoid(matched_mlog)
-            + (1 - target) * jax.nn.log_sigmoid(-matched_mlog)
-        ).mean((2, 3))
-        p = jax.nn.sigmoid(matched_mlog)
-        inter = (p * target).sum((2, 3))
-        dice = 1 - (2 * inter + 1) / (p.sum((2, 3)) + target.sum((2, 3)) + 1)
-        loss_mask = ((bce + dice) * gt_valid).sum() / n_pos
+        if use_points:
+            lb, ld = _point_mask_losses(
+                matched_mlog, gt_masks, gt_valid,
+                jax.random.fold_in(mask_rng, 0),
+                num_points=mask_points, oversample_ratio=oversample_ratio,
+                importance_ratio=importance_ratio)
+            loss_mask = mask_weight * lb + dice_weight * ld
+        else:
+            mh, mw = mlog.shape[2], mlog.shape[3]
+            # downsample GT masks to the prediction grid (average pool)
+            gm = gt_masks.reshape(
+                b, m, mh, gt_masks.shape[2] // mh, mw,
+                gt_masks.shape[3] // mw
+            ).mean((3, 5))
+            target = (gm > 0.5).astype(jnp.float32)
+            bce = -(
+                target * jax.nn.log_sigmoid(matched_mlog)
+                + (1 - target) * jax.nn.log_sigmoid(-matched_mlog)
+            ).mean((2, 3))
+            p = jax.nn.sigmoid(matched_mlog)
+            inter = (p * target).sum((2, 3))
+            dice = 1 - (2 * inter + 1) / (
+                p.sum((2, 3)) + target.sum((2, 3)) + 1)
+            loss_mask = (mask_weight * (bce * gt_valid).sum()
+                         + dice_weight * (dice * gt_valid).sum()) / n_pos
         metrics["loss_mask"] = loss_mask
         total = total + loss_mask
+
+    # per-decoder-layer aux mask supervision (`mask2former_head.py:380-392`
+    # runs the full matching + loss for every layer's predictions); only
+    # active on the point-sampled path — each layer re-matches with the
+    # (cls, point-BCE, point-dice) Hungarian cost
+    if (use_points and gt_masks is not None
+            and outputs.get("mask_aux_outputs")):
+        aux_cls = aux_bce = aux_dice = 0.0
+        for j, a in enumerate(outputs["mask_aux_outputs"]):
+            ac, ab, ad = _mask_set_terms(
+                a["cls_logits"], a["mask_logits"], gt_masks, gt_labels,
+                gt_valid, jax.random.fold_in(mask_rng, j + 1),
+                num_classes=num_classes, num_points=mask_points,
+                oversample_ratio=oversample_ratio,
+                importance_ratio=importance_ratio,
+                no_object_weight=no_object_weight)
+            aux_cls, aux_bce, aux_dice = (aux_cls + ac, aux_bce + ab,
+                                          aux_dice + ad)
+        aux_total = (cls_weight * aux_cls + mask_weight * aux_bce
+                     + dice_weight * aux_dice)
+        metrics["loss_mask_aux"] = aux_total
+        total = total + mask_aux_weight * aux_total
 
     l_sparse, rate = loss_sparse(outputs["additional"], sparsity_target)
     metrics["loss_sparse"] = l_sparse

@@ -119,6 +119,12 @@ class DetTrainConfig:
     sparsity_target: float = 0.5
     lambda_sparse: float = 1.0
     with_masks: bool = False
+    # Mask2Former point-sampled mask loss (reference: 12544 points,
+    # oversample 3.0, importance 0.75 — `mask2former_head.py:148-151`);
+    # None = dense full-grid fallback, final layer only
+    mask_points: int | None = None
+    oversample_ratio: float = 3.0
+    importance_ratio: float = 0.75
 
 
 def lr_at(step, cfg: DetTrainConfig):
@@ -173,6 +179,11 @@ def make_detector_train_step(model, optimizer, cfg: DetTrainConfig,
                     gt_masks=gt_masks,
                     sparsity_target=cfg.sparsity_target,
                     lambda_sparse=cfg.lambda_sparse,
+                    mask_points=cfg.mask_points,
+                    oversample_ratio=cfg.oversample_ratio,
+                    importance_ratio=cfg.importance_ratio,
+                    mask_rng=jax.random.fold_in(
+                        jax.random.PRNGKey(seed + 2), step),
                 )
             elif kind == "retinanet":
                 out, mut = model.apply(

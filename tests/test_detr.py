@@ -432,3 +432,125 @@ def test_detr_trains_on_rectangular_images():
     _, _, hist = train_detector(m, cfg, kind="detr", image_size=(32, 64),
                                 batch_size=2, log=lambda *a: None)
     assert np.isfinite(hist[-1]["loss"])
+
+
+# --- Mask2Former point-sampled mask loss (VERDICT r4 #3) ---------------------
+
+def test_point_sample_matches_torch_grid_sample():
+    """point_sample is mmcv's contract: grid_sample(align_corners=False)
+    on [0,1] coords. Parity with torch on interior points (the border
+    half-pixel band differs by design: clamp vs zero-pad)."""
+    import torch
+    import torch.nn.functional as F
+
+    from laudnet_tpu.detection.detr import point_sample
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 3, 8, 10)).astype(np.float32)
+    # interior coords: stay >= half a pixel away from every border
+    coords = rng.uniform(0.1, 0.9, (2, 3, 17, 2)).astype(np.float32)
+
+    ours = np.asarray(point_sample(jnp.asarray(logits), jnp.asarray(coords)))
+
+    t = torch.from_numpy(logits).reshape(6, 1, 8, 10)
+    g = torch.from_numpy(coords * 2 - 1).reshape(6, 17, 1, 2)
+    ref = F.grid_sample(t, g, align_corners=False).reshape(2, 3, 17).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_uncertain_point_coords_prefers_boundary():
+    """Importance sampling concentrates points where |logit| is small
+    (the mask boundary), the mechanism of mask2former_head's
+    get_uncertain_point_coords_with_randomness."""
+    from laudnet_tpu.detection.detr import point_sample, uncertain_point_coords
+
+    # a mask whose logit is -8 left / +8 right with a sharp boundary at
+    # x=0.5: uncertainty (-|logit|) peaks in the transition column
+    xs = jnp.linspace(-8.0, 8.0, 32)
+    mlog = jnp.broadcast_to(xs[None, None, None, :], (1, 1, 32, 32))
+    coords = uncertain_point_coords(
+        jax.random.PRNGKey(0), mlog, 128, oversample_ratio=4.0,
+        importance_ratio=0.75)
+    assert coords.shape == (1, 1, 128, 2)
+    # the 96 importance points must sit near the x=0.5 boundary
+    imp_x = np.asarray(coords[0, 0, :96, 0])
+    assert np.abs(imp_x - 0.5).mean() < 0.1
+    # sampled |logit| at importance points is far below the mask average
+    imp_logit = np.asarray(point_sample(mlog, coords[:, :, :96]))
+    assert np.abs(imp_logit).mean() < 2.0
+
+
+def test_point_sampled_loss_approximates_dense():
+    """With uniform sampling (importance_ratio=0) the point-sampled BCE
+    and dice are Monte-Carlo estimates of the dense full-grid loss
+    (VERDICT r4 #3 done-criterion)."""
+    from laudnet_tpu.detection.detr import _point_mask_losses
+
+    h = w = 32
+    # smooth synthetic logit fields (iid noise would bias the estimate:
+    # bilinear interpolation between random grid points shrinks |logit|)
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    f0 = 3.0 * np.sin(4 * xx) * np.cos(3 * yy)
+    f1 = 4.0 * (xx + yy - 1.0)
+    mlog = jnp.asarray(np.stack([f0, f1])[None].astype(np.float32))
+    gm = jnp.zeros((1, 2, h, w)).at[:, 0, 4:20, 4:20].set(1.0) \
+        .at[:, 1, 10:30, 16:28].set(1.0)
+    valid = jnp.ones((1, 2))
+
+    lb, ld = _point_mask_losses(
+        mlog, gm, valid, jax.random.PRNGKey(0), num_points=8000,
+        oversample_ratio=1.0, importance_ratio=0.0)
+
+    # dense reference on the same grid (GT already at prediction res)
+    t = gm
+    bce = -(t * jax.nn.log_sigmoid(mlog)
+            + (1 - t) * jax.nn.log_sigmoid(-mlog)).mean((2, 3))
+    p = jax.nn.sigmoid(mlog)
+    dice = 1 - (2 * (p * t).sum((2, 3)) + 1) / (
+        p.sum((2, 3)) + t.sum((2, 3)) + 1)
+    assert float(lb) == pytest.approx(float(bce.mean()), rel=0.05)
+    assert float(ld) == pytest.approx(float(dice.mean()), rel=0.05)
+
+
+def test_mask_aux_point_loss_end_to_end():
+    """The mask2former path emits one aux (cls, mask) prediction per
+    decoder layer from the SHARED heads, and the point-sampled loss
+    trains them: finite total, loss_mask_aux > 0, gradient reaches
+    mask_embed through the aux branch alone."""
+    model = tiny_detr(with_masks=True, dec_layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    boxes, labels, valid = gt()
+    masks = jnp.zeros((1, 2, 64, 64)).at[:, 0, 4:24, 4:24].set(1.0) \
+        .at[:, 1, 32:60, 32:56].set(1.0)
+    v = model.init({"params": jax.random.PRNGKey(1)}, x, training=False)
+    out, _ = model.apply(v, x, training=True,
+                         rngs={"gumbel": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])
+    assert len(out["mask_aux_outputs"]) == 2
+    for a in out["mask_aux_outputs"]:
+        assert a["cls_logits"].shape == (1, 8, 4)
+        assert a["mask_logits"].shape[:2] == (1, 8)
+
+    total, metrics = detr_loss(
+        out, boxes, labels, valid, num_classes=3, image_size=64.0,
+        gt_masks=masks, mask_points=256, mask_rng=jax.random.PRNGKey(3))
+    assert np.isfinite(float(total))
+    assert float(metrics["loss_mask_aux"]) > 0
+    assert float(metrics["loss_mask"]) > 0
+
+    def aux_only(params):
+        o, _ = model.apply({"params": params,
+                            "batch_stats": v.get("batch_stats", {})},
+                           x, training=True,
+                           rngs={"gumbel": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])
+        _, mm = detr_loss(o, boxes, labels, valid, num_classes=3,
+                          image_size=64.0, gt_masks=masks, mask_points=128,
+                          mask_rng=jax.random.PRNGKey(3))
+        return mm["loss_mask_aux"]
+
+    g = jax.grad(aux_only)(v["params"])
+    gn = float(jnp.sqrt(sum(jnp.sum(x_ ** 2) for x_ in
+                            jax.tree.leaves(g["mask_embed"]))))
+    assert gn > 0
