@@ -884,6 +884,88 @@ def main_train_vit():
     }))
 
 
+def main_train_pp():
+    """Pipeline-parallel train-step bench (the --pp CLI path,
+    `parallel/pp_train.py`): pp4 x dp2 GPipe step vs the plain dp8 step at
+    the same global batch, on an 8-device mesh. The driver provides ONE
+    real chip, so this mode measures on the virtual CPU mesh (pp needs >=2
+    devices) — the number of interest is the RELATIVE schedule efficiency
+    (bubble (S-1)/(M+S-1) + rotation overhead), not absolute img/s.
+    Analytic bubble for S=4, M=8: 3/11 = 27%."""
+    import time as _t
+
+    import jax.random as jr
+    import optax
+
+    import os
+
+    # pp needs >=8 devices and the driver provides one chip: force the
+    # virtual CPU mesh BEFORE backend init (the axon site hook overrides
+    # the JAX_PLATFORMS env var, so set it via jax.config here)
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    jax.config.update("jax_platforms", "cpu")
+    if jax.device_count() < 8:
+        raise SystemExit("--train-pp needs 8 devices and could not build "
+                         "the virtual CPU mesh")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from laudnet_tpu.models.laud_vit import LAUDViT
+    from laudnet_tpu.parallel import make_mesh, make_pp_mesh, \
+        make_pp_train_step
+    from laudnet_tpu.train.trainer import (
+        TrainConfig, TrainState, make_train_step,
+    )
+
+    batch, size, micro = 64, 64, 8
+    model = LAUDViT(depth=12, dim=192, num_heads=3, patch_size=16,
+                    num_classes=100)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, size, size, 3)),
+                    jnp.float32)
+    y = jnp.asarray(rng.integers(0, 100, (batch,)), jnp.int32)
+    v = jax.jit(lambda: model.init({"params": jr.PRNGKey(0)}, x, 1.0,
+                                   training=False))()
+    cfg = TrainConfig(num_epochs=100, steps_per_epoch=100, base_lr=5e-4,
+                      full_flops=1e9)
+    opt = optax.inject_hyperparams(optax.sgd)(learning_rate=5e-4)
+    mk_state = lambda: TrainState(
+        step=jnp.int32(0), params=v["params"],
+        batch_stats=v.get("batch_stats", {}),
+        opt_state=opt.init(v["params"]))
+
+    pp_mesh = make_pp_mesh(4)
+    xs = jax.device_put(x, NamedSharding(pp_mesh, P("data")))
+    pp_step = jax.jit(make_pp_train_step(model, model, v, opt, cfg,
+                                         mesh=pp_mesh, microbatches=micro))
+    dp_mesh = make_mesh()
+    xd = jax.device_put(x, NamedSharding(dp_mesh, P("data")))
+    dp_step = jax.jit(make_train_step(model, model, v, opt, cfg))
+
+    def timed(step_fn, xx):
+        st = mk_state()
+        st, m = step_fn(st, xx, y, jr.PRNGKey(2))
+        float(m["loss"])
+        t0 = _t.perf_counter()
+        for _ in range(10):
+            st, m = step_fn(st, xx, y, jr.PRNGKey(2))
+        float(m["loss"])
+        return batch * 10 / (_t.perf_counter() - t0)
+
+    pp_ips = timed(pp_step, xs)
+    dp_ips = timed(dp_step, xd)
+    print(json.dumps({
+        "metric": ("train images/sec pp4(x dp2) GPipe LAUD-DeiT step vs "
+                   "plain dp8 step, same global batch (8-device mesh; "
+                   "bubble 3/11 analytic)"),
+        "value": round(pp_ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(pp_ips / dp_ips, 4),
+        "dp8_img_s": round(dp_ips, 1),
+        "microbatches": micro,
+    }))
+
+
 def main_detection():
     """Detection-path throughput on TPU: RetinaNet-LAUD-R101 channel-2222
     (dense-masked eval, the exact serving path) vs an all-static-backbone
@@ -935,6 +1017,9 @@ def main_detection():
 def main():
     import sys
 
+    if "--train-pp" in sys.argv:
+        main_train_pp()  # GPipe pp train step vs plain dp (8-dev mesh)
+        return
     if "--train-vit" in sys.argv:
         main_train_vit()
         return

@@ -59,6 +59,46 @@ class LAUDViTOutput:
     token_keep: Any = None
 
 
+def vit_block_bookkeeping(tok, hd, ak, mk, *, l_book: int, d: int, h: int,
+                          hidden: int, policy_flops: float):
+    """The block FLOPs model (simulator cost frame,
+    `DyNetSimulator/adavit/simulate_adavit.py:77-147`) as a standalone
+    function of the four densities: returns ``(sparse, dense)``
+    multiply-adds. Shared by the in-block bookkeeping and the
+    pipeline-parallel path (`parallel/pp_train.py`), which recomputes it
+    from globally averaged densities so pp and dp report identical
+    flops_perc."""
+    dh = d // h
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    one = f32(1.0)
+
+    def block_flops(tok, hd, ak, mk):
+        qkv_f = 3 * l_book * d * d * hd
+        attn_f = 2 * h * (l_book * tok) ** 2 * dh * hd
+        proj_f = (l_book * tok) * d * d * hd * hd
+        mlp_f = (l_book * tok) * d * hidden * (hd + 1.0)
+        return ak * (qkv_f + attn_f + proj_f) + mk * mlp_f
+
+    sparse = f32(policy_flops) + block_flops(f32(tok), f32(hd), f32(ak),
+                                             f32(mk))
+    dense = f32(policy_flops) + block_flops(one, one, one, one)
+    return sparse, dense
+
+
+def vit_policy_flops(l_book: int, d: int, h: int, *, token_skip: bool,
+                     head_skip: bool, layer_skip: bool) -> float:
+    """Multiply-adds of the AdaViT policy heads a block runs (matches the
+    in-block ``policy_flops`` accumulation)."""
+    flops = 0
+    if layer_skip:
+        flops += d * 4
+    if head_skip:
+        flops += d * 2 * h
+    if token_skip:
+        flops += l_book * d * 2
+    return flops
+
+
 class LAUDViTBlock(nn.Module):
     """Transformer block with the three gating paradigms."""
 
@@ -282,18 +322,13 @@ class LAUDViTBlock(nn.Module):
         # Accounted at the masked-graph length l_book (token_density is
         # rescaled to the same frame above), so capacity selection never
         # changes reported FLOPs: dense-shape terms use l_book and gated
-        # terms use the kept-token count l_book * tok.
-        def block_flops(tok, hd, ak, mk):
-            qkv_f = 3 * l_book * d * d * hd
-            attn_f = 2 * h * (l_book * tok) ** 2 * dh * hd
-            proj_f = (l_book * tok) * d * d * hd * hd
-            mlp_f = (l_book * tok) * d * hidden * (hd + 1.0)
-            return ak * (qkv_f + attn_f + proj_f) + mk * mlp_f
-
-        sparse = f32(policy_flops) + block_flops(
-            token_density, head_density, attn_keep, mlp_keep
+        # terms use the kept-token count l_book * tok. Formula shared with
+        # the pipeline-parallel path via vit_block_bookkeeping.
+        sparse, dense = vit_block_bookkeeping(
+            token_density, head_density, attn_keep, mlp_keep,
+            l_book=l_book, d=d, h=h, hidden=hidden,
+            policy_flops=policy_flops,
         )
-        dense = f32(policy_flops) + block_flops(one, one, one, one)
 
         stats = ViTBlockStats(
             token_density=token_density,

@@ -64,7 +64,7 @@ def stack_layer_params(params: dict, prefix: str = "block_"):
 
 def pipeline_apply(fn: Callable[[Any, Any], Any], stage_params: Any, x: Any,
                    *, mesh: Mesh, axis: str = "stage",
-                   microbatches: int) -> Any:
+                   microbatches: int, batch_axis: str | None = None) -> Any:
     """Run ``x`` through ``S = mesh.shape[axis]`` pipeline stages.
 
     ``stage_params``: pytree with leading dim S on every leaf (stage i's
@@ -75,6 +75,10 @@ def pipeline_apply(fn: Callable[[Any, Any], Any], stage_params: Any, x: Any,
     and shape (the rotating activation buffer).
     ``x``: batch pytree; every leaf's leading dim must divide evenly into
     ``microbatches``.
+    ``batch_axis``: optional second mesh axis carrying data parallelism —
+    the microbatch (second) dim of every buffer leaf is sharded over it,
+    composing pp x dp in one SPMD program (each data shard streams its
+    slice of every microbatch through the same stage rotation).
     """
     n_stages = mesh.shape[axis]
     batch = jax.tree_util.tree_leaves(x)[0].shape[0]
@@ -133,9 +137,10 @@ def pipeline_apply(fn: Callable[[Any, Any], Any], stage_params: Any, x: Any,
     stage_spec = jax.tree_util.tree_map(
         lambda a: P(axis, *([None] * (a.ndim - 1))), stage_params
     )
+    data_spec = P(None, batch_axis) if batch_axis else P()
     out_mb = shard_map(
         spmd, mesh=mesh,
-        in_specs=(stage_spec, P()), out_specs=P(),
+        in_specs=(stage_spec, data_spec), out_specs=data_spec,
     )(stage_params, x_mb)
     return jax.tree_util.tree_map(
         lambda a: a.reshape((batch,) + a.shape[2:]), out_mb

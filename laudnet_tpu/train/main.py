@@ -142,6 +142,16 @@ def parse_args(argv=None):
                    help="shard params + optimizer state over the data "
                         "axis (ZeRO-3 analog, parallel/fsdp.py) instead "
                         "of replicating them per device")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stage count (GPipe schedule, "
+                        "parallel/pp_train.py): ViT archs split their "
+                        "block trunk into --pp contiguous stages over a "
+                        "'stage' mesh axis; remaining devices carry data "
+                        "parallelism. ViT-only; exclusive with --tp/"
+                        "--fsdp. No reference analog (DDP only)")
+    p.add_argument("--pp_microbatches", type=int, default=4,
+                   help="microbatches streamed through the pipeline per "
+                        "step (bubble fraction = (S-1)/(M+S-1))")
     p.add_argument("--optimizer", default="SGD",
                    choices=["SGD", "RMSprop"],
                    help="the reference's --optimizer switch "
@@ -402,15 +412,44 @@ def main(argv=None):
     if jax.device_count() % args.tp:
         raise SystemExit(f"--tp {args.tp} must divide the device count "
                          f"({jax.device_count()})")
-    data_axis = jax.device_count() // args.tp
-    if (local_bs * n_proc) % data_axis:
+    if args.pp > 1:
+        # GPipe over the ViT trunk (parallel/pp_train.py)
+        if family != "vit":
+            raise SystemExit("--pp supports ViT archs only (the trunk "
+                             "split needs homogeneous block_* layers)")
+        if args.tp > 1 or args.fsdp:
+            raise SystemExit("--pp is exclusive with --tp/--fsdp in this "
+                             "CLI (compose via parallel/ APIs directly)")
+        if jax.device_count() % args.pp:
+            raise SystemExit(f"--pp {args.pp} must divide the device "
+                             f"count ({jax.device_count()})")
+        if model.depth % args.pp:
+            raise SystemExit(f"--pp {args.pp} must divide the model depth "
+                             f"({model.depth})")
+        if (local_bs * n_proc) % args.pp_microbatches:
+            raise SystemExit(
+                f"global batch {local_bs * n_proc} must be divisible by "
+                f"--pp_microbatches {args.pp_microbatches}")
+    data_axis = jax.device_count() // (args.tp * args.pp)
+    per_shard = ((local_bs * n_proc) // args.pp_microbatches
+                 if args.pp > 1 else local_bs * n_proc)
+    if per_shard % data_axis:
         # catch this here with a readable message instead of the opaque
         # GSPMD shard_shape error it becomes inside device_put
         raise SystemExit(
-            f"global batch {local_bs * n_proc} (--batch_size {batch_size}) "
-            f"must be divisible by the data axis "
-            f"({jax.device_count()} devices / --tp {args.tp} = {data_axis})")
-    mesh = make_mesh(model_parallel=args.tp)
+            f"{'microbatch' if args.pp > 1 else 'global batch'} "
+            f"{per_shard} (--batch_size {batch_size}) must be divisible "
+            f"by the data axis ({jax.device_count()} devices / "
+            f"tp*pp {args.tp * args.pp} = {data_axis})")
+    if args.pp > 1:
+        from laudnet_tpu.parallel import make_pp_mesh
+
+        mesh = make_pp_mesh(args.pp)
+        log(f"PP: GPipe {args.pp} stages x "
+            f"{model.depth // args.pp} layers/stage, "
+            f"{args.pp_microbatches} microbatches, dp={data_axis}")
+    else:
+        mesh = make_mesh(model_parallel=args.tp)
     if args.tp > 1 and family == "vit" and args.vit_attn == "fused":
         # partition-aware fused attention: each model-axis shard runs the
         # Pallas kernel on its local heads (parallel/tp.py)
@@ -524,10 +563,20 @@ def main(argv=None):
         state = jax.device_put(state, state_sh)
         log(f"auto-resumed from step {int(state.step)}")
 
-    train_step = jax.jit(
-        make_train_step(model, teacher, teacher_vars, optimizer, cfg),
-        donate_argnums=(0,),
-    )
+    if args.pp > 1:
+        from laudnet_tpu.parallel import make_pp_train_step
+
+        train_step = jax.jit(
+            make_pp_train_step(model, teacher, teacher_vars, optimizer,
+                               cfg, mesh=mesh,
+                               microbatches=args.pp_microbatches),
+            donate_argnums=(0,),
+        )
+    else:
+        train_step = jax.jit(
+            make_train_step(model, teacher, teacher_vars, optimizer, cfg),
+            donate_argnums=(0,),
+        )
     eval_step = jax.jit(make_eval_step(model, cfg))
 
     if args.evaluate_from:

@@ -406,3 +406,57 @@ def test_sequence_parallel_matches_and_shards_tokens():
     )(tok8)
     assert sp_act.sharding.spec == P("data", "model")
     assert {s.data.shape[1] for s in sp_act.addressable_shards} == {4}
+
+
+def test_pp_vit_forward_full_model_parity_and_grads():
+    """The FULL pipelined LAUD-ViT forward (embed + GPipe trunk at 2
+    layers/stage x 4 microbatches + head, pp4 x dp2) matches the
+    sequential model: logits, flops_perc (recomputed from globally
+    averaged densities), and parameter gradients (VERDICT r4 #7)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from laudnet_tpu.models.laud_vit import LAUDViT
+    from laudnet_tpu.parallel import make_pp_mesh, pp_vit_forward
+
+    model = LAUDViT(depth=8, dim=64, num_heads=4, patch_size=16,
+                    num_classes=10)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 32, 32, 3)),
+        jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, 1.0,
+                   training=False)
+    mesh = make_pp_mesh(4)  # dp2 x stage4 on 8 devices
+
+    ref = model.apply(v, x, 0.1, training=False)
+    out = jax.jit(lambda p, xx: pp_vit_forward(
+        model, p, xx, 0.1, mesh=mesh, microbatches=4))(v["params"], x)
+    np.testing.assert_allclose(np.asarray(out.logits),
+                               np.asarray(ref.logits),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.flops_perc),
+                               np.asarray(ref.flops_perc),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(out.flops), float(ref.flops),
+                               rtol=2e-5)
+
+    # gradient parity: CE + sparsity-style loss through both schedules
+    labels = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7])
+
+    def loss_pp(p):
+        o = pp_vit_forward(model, p, x, 0.1, mesh=mesh, microbatches=4)
+        ce = -jax.nn.log_softmax(o.logits)[jnp.arange(8), labels].mean()
+        return ce + (o.flops_perc.mean() - 0.5) ** 2
+
+    def loss_seq(p):
+        o = model.apply({"params": p}, x, 0.1, training=False)
+        ce = -jax.nn.log_softmax(o.logits)[jnp.arange(8), labels].mean()
+        return ce + (o.flops_perc.mean() - 0.5) ** 2
+
+    g_pp = jax.jit(jax.grad(loss_pp))(v["params"])
+    g_seq = jax.grad(loss_seq)(v["params"])
+    flat_pp = jax.tree_util.tree_leaves_with_path(g_pp)
+    flat_seq = dict(jax.tree_util.tree_leaves_with_path(g_seq))
+    for path, leaf in flat_pp:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_seq[path]),
+            rtol=5e-4, atol=5e-5, err_msg=str(path))

@@ -202,3 +202,22 @@ def test_tensor_parallel_specs_cover_optimizer_state():
     assert qkv_momenta and all(s.spec == P(None, "model")
                                for s in qkv_momenta)
     assert specs.step.spec == P()
+
+
+def test_train_main_pp_smoke(tmp_path):
+    """--pp 4 trains LAUD-DeiT-tiny with the trunk pipelined (GPipe, 3
+    layers/stage, 4 microbatches) composed with dp2 on the 8-device CPU
+    mesh (VERDICT r4 #7)."""
+    from laudnet_tpu.train.main import main
+
+    best = main([
+        "--arch", "laud_deit_tiny",
+        "--pp", "4", "--pp_microbatches", "4",
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+        "--input_size", "32", "--num_classes", "10",
+        "--target_rate", "0.5",
+        "--train_url", str(tmp_path), "--print_freq", "1",
+    ])
+    assert np.isfinite(best)
+    dens = np.loadtxt(tmp_path / "all_density_latest.txt")
+    assert dens.shape == (4, 12)

@@ -151,13 +151,17 @@ def build_block(params, mode):
     n_pairs = H // 2
     sm_scale = dh**-0.5
     combo = mode.startswith("combo")
-    ln = (_ln_onepass if combo else
+    fast = mode.startswith("fast")  # combo WITHOUT stackq: plain per-head
+    ln = (_ln_onepass if (combo or fast) else
           {"noln": _ln_scale_only, "ln_onepass": _ln_onepass}.get(mode, _ln))
     gelu = {"nogelu": (lambda u: u), "silu_gelu": _silu_gelu,
             "tanh_gelu": _tanh_gelu,
             "combo_exact": _gelu_exact, "combo_tanh": _tanh_gelu,
-            "combo_silu": _silu_gelu}.get(mode, _gelu_exact)
+            "combo_silu": _silu_gelu,
+            "fast_exact": _gelu_exact, "fast_tanh": _tanh_gelu,
+            "fast_silu": _silu_gelu}.get(mode, _gelu_exact)
     attn_mode = ("stackq_unnorm" if combo else
+                 "unnorm" if fast else
                  mode if mode in ("nosoftmax", "unnorm", "nomask", "stackq",
                                   "stackq_unnorm", "f32attn") else "full")
 
@@ -270,7 +274,9 @@ def main():
 
     overhead = chain_time(lambda x: x, x)
     import sys
-    if "--combos" in sys.argv:
+    if "--fast" in sys.argv:
+        modes = ["full", "fast_exact", "fast_tanh", "fast_silu"]
+    elif "--combos" in sys.argv:
         modes = ["full", "tanh_gelu", "stackq_unnorm", "combo_exact",
                  "combo_tanh", "combo_silu"]
     else:
@@ -289,7 +295,7 @@ def main():
             ref_out = fn(x)
         elif mode in ("unnorm", "ln_onepass", "stackq", "stackq_unnorm",
                       "tanh_gelu", "combo_exact", "combo_tanh",
-                      "combo_silu"):
+                      "combo_silu", "fast_exact", "fast_tanh", "fast_silu"):
             err = float(jnp.abs(fn(x).astype(jnp.float32)
                                 - ref_out.astype(jnp.float32)).max())
             results[mode + "_maxerr"] = round(err, 6)
