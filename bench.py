@@ -261,6 +261,36 @@ def main_vit():
         "flat_0.5_vs_baseline": round(flat_ips / dense_ips, 4),
         "dense_fused_block_img_s": round(dense_ips, 1),
     }
+
+    # T2T-ViT-19 select vs dense in EVERY round's artifact (VERDICT r4
+    # #9: panel (c)'s published family is T2T-ViT; previously only the
+    # --t2t mode measured it). Trunk geometry, lane-snapped caps, fused
+    # block kernels with the zero fake head for the odd 7-head layout.
+    from laudnet_tpu.models import laud_t2t_vit_19_backbone
+
+    t2t = laud_t2t_vit_19_backbone()
+    vt = _cast(
+        jax.jit(lambda: t2t.init({"params": jax.random.PRNGKey(0)},
+                                 x.astype(jnp.float32), 1.0,
+                                 training=False))(),
+        DTYPE,
+    )
+    t2t_geom = dict(depth=14, dim=448, num_heads=7)
+    t2t_caps = (1.0,) * 3 + (0.7,) * 5 + (0.5,) * 6
+    t2t_sel = _throughput(
+        build_fused_vit(vt, token_capacity=t2t_caps, snap_capacities=True,
+                        **t2t_geom), x)
+    vt_plain = _cast(
+        jax.jit(lambda: laud_t2t_vit_19_backbone(
+            token_skip=False, head_skip=False, layer_skip=False).init(
+            {"params": jax.random.PRNGKey(0)}, x.astype(jnp.float32),
+            1.0, training=False))(),
+        DTYPE,
+    )
+    t2t_dense = _throughput(build_fused_vit(vt_plain, **t2t_geom), x)
+    out["t2t_select_img_s"] = round(t2t_sel, 1)
+    out["t2t_dense_img_s"] = round(t2t_dense, 1)
+    out["t2t_vs_dense"] = round(t2t_sel / t2t_dense, 4)
     import sys
 
     if "--diagnostics" in sys.argv:

@@ -101,10 +101,19 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                     segments: bool = True,
                     block_b: int = 1,
                     vmem_limit_bytes: Optional[int] = None,
+                    fast_math: bool = True,
                     interpret: bool = False):
     """Returns ``forward(x) -> logits`` running every transformer layer as
     one fused kernel. ``token_capacity`` enables the selection path (the
-    variables must carry ``token_policy`` heads). The kernel runs
+    variables must carry ``token_policy`` heads). ``fast_math``
+    (default ON — this is the serving engine) runs the bf16 kernels with
+    deferred softmax normalization (exact math, fp reordering only),
+    one-pass LayerNorm, and tanh GELU (max abs deviation 3e-4 vs erf):
+    measured -1.5 us/img/layer of the ~7 us DeiT-S bs128 block on v5e
+    (`tools/probe_block_budget.py`), end-to-end deviation one bf16 ulp
+    on the residual stream (pinned by
+    `tests/test_fused_vit_block.py::test_fast_math_*`). Pass False for
+    the exact kernels (the test oracle). The kernel runs
     batch-block 1 (measured v5e optimum on every geometry swept) and
     auto-raises Mosaic's scoped-VMEM limit for weights-dominated
     geometries (DeiT-B: ~14.2MB bf16/layer); ``vmem_limit_bytes``
@@ -264,7 +273,7 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                 x, token_mask = fused_vit_segment(
                     x, token_mask, plist, num_heads=num_heads,
                     block_b=block_b, vmem_limit_bytes=vmem_limit_bytes,
-                    interpret=interpret)
+                    fast_math=fast_math, interpret=interpret)
                 i = j
             x = _ln(x, p["norm"])
             return (x[:, 0] @ p["head"]["kernel"].astype(x.dtype)
@@ -306,7 +315,7 @@ def build_fused_vit(variables, *, depth: int, dim: int, num_heads: int,
                     token_mask.reshape(b, cur, 1), bp, num_heads=num_heads,
                     head_gate=hg,
                     block_b=block_b, vmem_limit_bytes=vmem_limit_bytes,
-                    interpret=interpret,
+                    fast_math=fast_math, interpret=interpret,
                 )
         x = _ln(x, p["norm"])
         return (x[:, 0] @ p["head"]["kernel"].astype(x.dtype)

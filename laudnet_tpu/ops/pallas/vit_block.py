@@ -41,6 +41,19 @@ def _ln(x, scale, bias, eps=1e-6):
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
+def _ln_onepass(x, scale, bias, eps=1e-6):
+    """One-pass LayerNorm: var = E[x^2] - mu^2 (a single read of x instead
+    of two). Catastrophic cancellation needs |mu| >> std, which the
+    residual stream never exhibits; measured deviation vs the two-pass
+    form is at bf16-ulp level (probe_block_budget.py). Saves ~0.22
+    us/img/layer at DeiT-S bs128 (measured v5e)."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = (xf * xf).mean(axis=-1, keepdims=True) - mu * mu
+    y = (xf - mu) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
 def _gelu_exact(x):
     """Exact (erf) GELU with an in-kernel erf: Mosaic has no erf/erfc
     lowering, so use Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7 —
@@ -53,6 +66,16 @@ def _gelu_exact(x):
     erf_abs = 1.0 - poly * jnp.exp(-a * a)
     erf = jnp.sign(z) * erf_abs
     return 0.5 * x * (1.0 + erf)
+
+
+def _gelu_tanh(x):
+    """The canonical tanh GELU approximation (max abs deviation from the
+    erf form ~3e-4, one bf16 ulp at |x|~0.5). One tanh replaces the
+    exp + divide + polynomial of the A-S erf; measured ~0.5 us/img/layer
+    cheaper at DeiT-S bs128 (probe_block_budget.py fast_tanh vs
+    fast_exact)."""
+    return 0.5 * x * (1.0 + jnp.tanh(
+        0.7978845608028654 * (x + 0.044715 * x * x * x)))
 
 
 def _qrows(x, eps=1e-6):
@@ -68,12 +91,20 @@ _BNUMS = (((2,), (2,)), ((0,), (0,)))
 _PV_NUMS = (((2,), (1,)), ((0,), (0,)))
 
 
-def _pair_attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt):
+def _pair_attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt, fast=False):
     """Lane-masked head-PAIR attention over a packed (bb, L, 3D) qkv
     buffer (shared by the bf16 and int8 block kernels): dh=64 is half a
     128-lane tile, so heads process in pairs with constant lane masks —
     (q2*m_lo)@k2 isolates head a exactly. f32 scores/softmax in VMEM,
-    additive key mask ``neg``; returns the merged (bb, L, D) output."""
+    additive key mask ``neg``; returns the merged (bb, L, D) output.
+
+    ``fast`` defers the softmax normalization to AFTER prob @ V: the
+    (L, L) probability tensor skips its divide; the (L, 2*dh) output is
+    divided by the row sums instead — L/(2*dh) ~ 1.5x fewer VPU divides
+    and one fewer (L, L) pass. Mathematically identical (softmax(s) @ v
+    == (exp(s - max) @ v) / sum(exp(s - max))); deviation is fp
+    reordering only, bf16-ulp level (probe_block_budget.py 'unnorm',
+    measured -0.63 us/img/layer at DeiT-S bs128)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * dh), 2)
     m_lo = (lane < dh).astype(cdt)
     m_hi = (lane >= dh).astype(cdt)
@@ -89,11 +120,17 @@ def _pair_attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt):
                 q2 * msk, k2, dimension_numbers=_BNUMS,
                 preferred_element_type=jnp.float32,
             ) * sm_scale + neg
-            p = jax.nn.softmax(s, axis=-1)
+            if fast:
+                p = jnp.exp(s - jax.lax.stop_gradient(
+                    s.max(axis=-1, keepdims=True)))
+            else:
+                p = jax.nn.softmax(s, axis=-1)
             o = jax.lax.dot_general(
                 p.astype(cdt), v2 * msk, dimension_numbers=_PV_NUMS,
                 preferred_element_type=jnp.float32,
             )
+            if fast:
+                o = o / p.sum(axis=-1, keepdims=True)
             pair = o if pair is None else pair + o
         outs.append(pair.astype(cdt))
     return jnp.concatenate(outs, axis=-1)
@@ -256,8 +293,19 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
                     head_gate=None,
                     ln_eps: float = 1e-6, block_b: int = 1,
                     mlp_chunk: int = None, vmem_limit_bytes: int = None,
-                    interpret: bool = False):
+                    fast_math: bool = False, interpret: bool = False):
     """One transformer block, fully fused.
+
+    ``fast_math`` swaps three VPU-bound elementwise stages for cheaper
+    forms measured on v5e (`tools/probe_block_budget.py`): deferred
+    softmax normalization (exact math, fp reordering only), one-pass
+    LayerNorm (bf16-ulp deviation), and tanh GELU (max abs deviation
+    3e-4 vs erf). Combined: -1.5 us/img/layer of the ~7 us DeiT-S bs128
+    block (~21%); end-to-end deviation one bf16 ulp on the residual
+    stream. The MXU matmuls are untouched — the budget probe showed the
+    block is VPU-bound (stacking the head-pair score matmul to halve
+    logical MXU FLOPs measured SLOWER). Default off: the exact kernel
+    remains the test oracle; the serving engine turns it on.
 
     ``x``: (B, L, D); ``key_mask``: (B, 1, L) 1/0 over keys; ``row_mask``:
     (B, L, 1) 1/0 over token rows (the model multiplies both branch
@@ -347,6 +395,9 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
                            dimension_numbers=(((1,), (0,)), ((), ())),
                            preferred_element_type=jnp.float32)
 
+    ln = _ln_onepass if fast_math else _ln
+    gelu = _gelu_tanh if fast_math else _gelu_exact
+
     def kernel(x_ref, kmask_ref, rmask_ref, *rest):
         hg_ref = rest[0] if gated else None
         (ln1s, ln1b, wqkv, bqkv, wproj, bproj, ln2s, ln2b, w1, b1, w2,
@@ -356,12 +407,13 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
         neg = (1.0 - kmask_ref[:].astype(jnp.float32)) * NEG  # (bb,1,L)
         rmask = rmask_ref[:].astype(jnp.float32)  # (bb, L, 1)
 
-        h1 = _ln(xin, ln1s[0], ln1b[0], ln_eps).astype(cdt)
+        h1 = ln(xin, ln1s[0], ln1b[0], ln_eps).astype(cdt)
         qkv = (mm(h1.reshape(bb * l, d), wqkv[:])
                + bqkv[:].astype(jnp.float32)).astype(cdt)
         qkv = qkv.reshape(bb, l, 3 * da)
 
-        attn = _pair_attention(qkv, neg, da, dh, n_pairs, sm_scale, cdt)
+        attn = _pair_attention(qkv, neg, da, dh, n_pairs, sm_scale, cdt,
+                               fast=fast_math)
         if hg_ref is not None:
             # lane-expanded per-head gate; each head's dh lanes carry it
             attn = attn * hg_ref[:].astype(cdt)
@@ -370,11 +422,11 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
                 + bproj[:].astype(jnp.float32)).reshape(bb, l, d)
         x2 = xin.astype(jnp.float32) + proj * rmask
 
-        h2 = _ln(x2.astype(cdt), ln2s[0], ln2b[0], ln_eps).astype(cdt)
+        h2 = ln(x2.astype(cdt), ln2s[0], ln2b[0], ln_eps).astype(cdt)
         if mlp_chunk is None:
             u = (mm(h2.reshape(bb * l, d), w1[:])
                  + b1[:].astype(jnp.float32))
-            u = _gelu_exact(u).astype(cdt)
+            u = gelu(u).astype(cdt)
             y = (mm(u, w2[:]) + b2[:].astype(jnp.float32)).reshape(bb, l, d)
             out_ref[:] = (x2 + y * rmask).astype(out_ref.dtype)
         else:
@@ -386,7 +438,7 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
             for r0 in range(0, rows, mlp_chunk):
                 r1 = min(rows, r0 + mlp_chunk)
                 u = mm(h2r[r0:r1], w1[:]) + b1[:].astype(jnp.float32)
-                u = _gelu_exact(u).astype(cdt)
+                u = gelu(u).astype(cdt)
                 yc = mm(u, w2[:]) + b2[:].astype(jnp.float32)
                 oc.append((x2r[r0:r1]
                            + yc * rr[r0:r1]).astype(out_ref.dtype))
@@ -409,7 +461,7 @@ def fused_vit_block(x, key_mask, row_mask, params, *, num_heads: int,
 def fused_vit_segment(x, token_mask, params_list, *, num_heads: int,
                       ln_eps: float = 1e-6, block_b: int = 1,
                       vmem_limit_bytes: int = None,
-                      interpret: bool = False):
+                      fast_math: bool = False, interpret: bool = False):
     """A SEGMENT of transformer layers in one Pallas kernel.
 
     `fused_vit_block` pays a per-grid-step boundary (~0.8us) and an
@@ -500,6 +552,9 @@ def fused_vit_segment(x, token_mask, params_list, *, num_heads: int,
                            dimension_numbers=(((1,), (0,)), ((), ())),
                            preferred_element_type=jnp.float32)
 
+    ln = _ln_onepass if fast_math else _ln
+    gelu = _gelu_tanh if fast_math else _gelu_exact
+
     def kernel(x_ref, mkey_ref, mrow_ref, *rest):
         refs = list(rest[:-2])
         out_ref, mask_out_ref = rest[-2], rest[-1]
@@ -531,21 +586,21 @@ def fused_vit_segment(x, token_mask, params_list, *, num_heads: int,
             neg = (1.0 - mask_key) * NEG  # (bb, 1, L)
             rmask = mask_row              # (bb, L, 1)
 
-            h1 = _ln(xin, w["ln1_s"][0], w["ln1_b"][0], ln_eps).astype(cdt)
+            h1 = ln(xin, w["ln1_s"][0], w["ln1_b"][0], ln_eps).astype(cdt)
             qkv = (mm(h1.reshape(bb * l, d), w["qkv_k"][:])
                    + w["qkv_b"][:].astype(jnp.float32)).astype(cdt)
             qkv = qkv.reshape(bb, l, 3 * da)
             attn = _pair_attention(qkv, neg, da, dh, n_pairs, sm_scale,
-                                   cdt)
+                                   cdt, fast=fast_math)
             proj = (mm(attn.reshape(bb * l, da), w["proj_k"][:])
                     + w["proj_b"][:].astype(jnp.float32)).reshape(bb, l, d)
             x2 = xin.astype(jnp.float32) + proj * rmask
 
-            h2 = _ln(x2.astype(cdt), w["ln2_s"][0], w["ln2_b"][0],
-                     ln_eps).astype(cdt)
+            h2 = ln(x2.astype(cdt), w["ln2_s"][0], w["ln2_b"][0],
+                    ln_eps).astype(cdt)
             u = (mm(h2.reshape(bb * l, d), w["fc1_k"][:])
                  + w["fc1_b"][:].astype(jnp.float32))
-            u = _gelu_exact(u).astype(cdt)
+            u = gelu(u).astype(cdt)
             y = (mm(u, w["fc2_k"][:])
                  + w["fc2_b"][:].astype(jnp.float32)).reshape(bb, l, d)
             xin = (x2 + y * rmask).astype(cdt)
