@@ -133,20 +133,30 @@ class ServingEngine:
     def calibrate(self, batches: Iterable, *, quantile: float = 0.99,
                   margin: float = 0.05,
                   allow_static_export: bool = False,
-                  allow_int8: bool = False):
-        """Measure the policy on ``batches`` and rank execution paths on
-        the TPU latency model. For ViTs the winner is compiled (token
-        selection or dense-masked); for CNNs the engine keeps serving the
-        exact dense-masked graph and the ranking — priced at the measured
-        activation rate — is a recommendation (``plan.served`` names the
-        compiled path, ``plan.mode`` the recommended one). Returns the
+                  allow_int8: bool = False,
+                  fidelity_threshold: float = 0.85):
+        """Measure the policy on ``batches``, rank execution paths on the
+        TPU latency model, and COMPILE the winner — after this returns,
+        ``plan.served == plan.mode`` (the calibrate -> predict -> compile
+        -> serve loop is closed for every choosable mode). Returns the
         :class:`~laudnet_tpu.sim.plan.ExecutionPlan`.
 
         ``allow_int8`` lets the plan CHOOSE the W8A8 block-engine
         variants (always ranked when the block engine prices): inexact —
         quantization error, ``plan.exact`` flips False — so it is opt-in
         like ``allow_static_export``; report agreement vs the exact
-        engine (``bench.py --int8`` shows how)."""
+        engine (``bench.py --int8`` shows how).
+
+        ``allow_static_export`` admits the static channel export
+        (`infer/export_pruned.py`) for channel-paradigm CNNs. It freezes
+        an input-dependent policy, so it is additionally gated on
+        MEASURED calibration fidelity: the majority-vote static masks
+        must agree with the dynamic per-image masks on at least
+        ``fidelity_threshold`` of channel groups (mean over blocks,
+        `infer/calibrate.calibration_fidelity` on the calibration
+        batches). Below the threshold the plan DEMOTES to dense-masked
+        and records the rejection in ``plan.notes``; the measured
+        fidelity always lands in ``plan.fidelity``."""
         from laudnet_tpu.sim.plan import plan_resnet_serving, plan_vit_serving
 
         if self._kind == "vit":
@@ -216,14 +226,17 @@ class ServingEngine:
             else:
                 self.plan.served = self.plan.mode
         else:
-            # CNN paths: the engine compiles the recommended path when it
-            # exists in-process — dense-masked (always), layer-skip at
-            # batch 1 (`infer/layerskip.py`), spatial fixed-capacity
-            # gather execution (`LAUDResNet(execution='sparse')`). The
-            # Pallas wide-block kernel and static export remain
-            # recommendations (separate pipelines; export is inexact).
+            # CNN paths: the engine compiles WHATEVER the plan chooses —
+            # dense-masked (always), layer-skip at batch 1
+            # (`infer/layerskip.py`), spatial fixed-capacity gather
+            # execution (`LAUDResNet(execution='sparse')`), and the
+            # static channel export behind its fidelity gate
+            # (`infer/export_pruned.py`). Only 'pallas' stays rank-only
+            # (`sim/plan.py`: no full-model integration, loses at stock
+            # R101 widths).
             from laudnet_tpu.sim.plan import ExecutionPlan
 
+            batches = list(batches)  # consumed up to three times below
             modes = (set(self.model.dyn_mode)
                      if hasattr(self.model, "dyn_mode") else {"channel"})
             dyn = next(iter(modes)) if len(modes) == 1 else None
@@ -289,6 +302,59 @@ class ServingEngine:
                         self.variables, self.model.layers)
                     self._fwd = self._jit(lambda x: ls(x)[0])
                     self.plan.served = "layerskip"
+                elif self.plan.mode in ("static-export",
+                                        "static-export-int8"):
+                    # freeze the calibrated majority-vote channel masks
+                    # into a real slim network — but only when the
+                    # measured per-image fidelity clears the gate
+                    # (freezing an input-dependent policy is the one
+                    # approximation the engine must quantify, not hide)
+                    from laudnet_tpu.infer.calibrate import (
+                        calibrate_channel_masks, calibration_fidelity,
+                        make_channel_mask_fn,
+                    )
+                    from laudnet_tpu.infer.export_pruned import (
+                        calibrate_export_act_scales, export_pruned_resnet,
+                    )
+
+                    mask_fn = make_channel_mask_fn(
+                        self.model, self.variables, self.temperature)
+                    masks = calibrate_channel_masks(mask_fn, batches)
+                    fid = calibration_fidelity(mask_fn, masks, batches)
+                    self.plan.fidelity = fid
+                    if fid["mean_agreement"] >= fidelity_threshold:
+                        in_size = int(jnp.asarray(batches[0]).shape[1])
+                        kw = dict(
+                            layers=tuple(self.model.layers),
+                            channel_dyn_granularity=tuple(
+                                self.model.channel_dyn_granularity),
+                            input_size=in_size,
+                        )
+                        if self.plan.mode.endswith("-int8"):
+                            scales = calibrate_export_act_scales(
+                                self.variables, masks, batches,
+                                quantile=1.0, margin=margin, **kw)
+                            fwd = export_pruned_resnet(
+                                self.variables, masks, int8=True,
+                                act_scales=scales, **kw)
+                        else:
+                            fwd = export_pruned_resnet(
+                                self.variables, masks, **kw)
+                        self._fwd = self._jit(fwd)
+                        self.plan.served = self.plan.mode
+                    else:
+                        self.plan.notes = (
+                            f"static-export rejected: mean mask "
+                            f"agreement {fid['mean_agreement']:.3f} < "
+                            f"fidelity_threshold {fidelity_threshold}")
+                        self.plan.mode = "dense-masked"
+                        self.plan.exact = True
+                        self.plan.predicted_latency = (
+                            self.plan.ranking["dense-masked"])
+                        self.plan.predicted_speedup = (
+                            self.plan.dense_latency
+                            / self.plan.predicted_latency)
+                        self.plan.served = "dense-masked"
                 elif self.plan.mode == "spatial-capacity" and s3_img:
                     # fixed patch budgets covering the calibration
                     # quantile of the PER-IMAGE worst-block density per

@@ -29,15 +29,23 @@ _S8_EXPORT_DERATE = 0.72
 class ExecutionPlan:
     """A chosen serving configuration with its predicted economics.
 
-    ``mode`` is the RECOMMENDED path under the latency model; ``served``
-    is what the caller actually compiled (ServingEngine serves the exact
-    in-process paths — dense-masked / token-select; the Pallas kernel,
-    layer-skip engine and static export are separate pipelines the plan
-    can recommend but the engine does not swap in automatically).
+    ``mode`` is the path chosen under the latency model and ``served`` the
+    path ServingEngine actually compiled. Every CHOOSABLE mode is served
+    in-process (dense-masked, token select/snapped, their int8 variants,
+    layer-skip at batch 1, spatial-capacity, and — behind the opt-in +
+    calibration-fidelity gate — the static channel export), so after
+    ``ServingEngine.calibrate`` the invariant is ``served == mode``; the
+    one exception is a static export whose measured fidelity fails the
+    threshold, which DEMOTES ``mode`` back to dense-masked and records
+    why in ``notes`` (the rejected candidate stays in ``ranking``).
+    ``ranking`` may carry rank-only entries that can never be chosen
+    (``pallas``: the wide-geometry masked-conv kernel has no full-model
+    serving integration and loses at stock R101 shapes — BASELINE.md
+    appendix).
     """
 
     kind: str  # 'vit' | 'resnet' | ...
-    mode: str  # winning paradigm / execution path (recommendation)
+    mode: str  # winning paradigm / execution path
     token_capacity: Optional[Sequence[float]] = None
     predicted_latency: float = 0.0  # seconds / batch
     dense_latency: float = 0.0
@@ -45,6 +53,8 @@ class ExecutionPlan:
     ranking: dict = field(default_factory=dict)  # mode -> predicted seconds
     exact: bool = True  # bit-equivalent to the masked graph?
     served: Optional[str] = None  # path actually compiled (None = mode)
+    fidelity: Optional[dict] = None  # static-export calibration fidelity
+    notes: str = ""
 
 
 def rank_vit_paradigms(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
@@ -338,7 +348,11 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
             ranking["static-export"] / _S8_EXPORT_DERATE
         )
     inexact = {"static-export", "static-export-int8", "dense-masked-int8"}
-    exact_modes = {k: v for k, v in ranking.items() if k not in inexact}
+    # rank-only: no full-model serving integration (the masked-conv kernel
+    # wins only at widths stock R101 never reaches — BASELINE.md appendix)
+    rank_only = {"pallas"}
+    exact_modes = {k: v for k, v in ranking.items()
+                   if k not in inexact and k not in rank_only}
     mode = min(exact_modes, key=exact_modes.get)
     if allow_static_export and "static-export" in ranking and (
             ranking["static-export"] < exact_modes[mode]):

@@ -482,3 +482,64 @@ def test_layerskip_mesh_gates_per_image(monkeypatch):
     ref = m.apply(v, x, 0.1, training=False).logits
     np.testing.assert_allclose(np.asarray(engine(x)), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_serving_engine_compiles_static_export_with_fidelity_gate():
+    """VERDICT r4 #5: the engine COMPILES its static-export
+    recommendation (served == mode) and gates it on measured calibration
+    fidelity — a threshold above the measured agreement demotes the plan
+    to dense-masked with the rejection recorded."""
+    from laudnet_tpu.models import LAUDResNet
+
+    m = LAUDResNet(layers=(3, 4, 6, 3), num_classes=10, input_size=64,
+                   dyn_mode=("channel",) * 4,
+                   channel_dyn_granularity=(2, 2, 2, 2),
+                   channel_masker=("MLP",) * 4,
+                   channel_masker_layers=(2, 2, 2, 2))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    # input-dependent ~50% policy (bench.py --r101-static scheme): zero
+    # the masker biases, scale the final kernel so per-image margins
+    # dominate — the majority-vote mask is then a real approximation
+    params = jax.device_get(v["params"])
+    for s, d in enumerate((3, 4, 6, 3)):
+        for b in range(d):
+            fc2 = params[f"layer{s + 1}_{b}"]["masker_channel"]["fc2"]
+            params[f"layer{s + 1}_{b}"]["masker_channel"]["fc2"] = {
+                "kernel": fc2["kernel"] * 30.0,
+                "bias": np.zeros_like(fc2["bias"]),
+            }
+    v = {"params": params, "batch_stats": v["batch_stats"]}
+
+    engine = ServingEngine(m, v)
+    plan = engine.calibrate([x], allow_static_export=True,
+                            fidelity_threshold=0.5)
+    assert plan.mode == "static-export"
+    assert plan.served == plan.mode  # the loop is CLOSED
+    assert not plan.exact
+    assert plan.fidelity is not None
+    assert 0.5 <= plan.fidelity["mean_agreement"] <= 1.0
+    y = engine(x)
+    assert y.shape == (4, 10) and np.isfinite(np.asarray(y)).all()
+
+    # impossible threshold: the same recommendation is REJECTED and the
+    # plan demotes honestly
+    engine2 = ServingEngine(m, v)
+    plan2 = engine2.calibrate([x], allow_static_export=True,
+                              fidelity_threshold=1.01)
+    assert plan2.mode == "dense-masked" and plan2.served == "dense-masked"
+    assert plan2.exact and "rejected" in plan2.notes
+    assert "static-export" in plan2.ranking  # candidate stays visible
+    ref = m.apply(v, x, 0.1, training=False).logits
+    np.testing.assert_allclose(np.asarray(engine2(x)), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_plan_pallas_is_rank_only():
+    """'pallas' appears in the spatial ranking for transparency but can
+    never be CHOSEN (no full-model serving integration; loses at stock
+    R101 widths — BASELINE.md appendix)."""
+    plan = plan_resnet_serving("resnet101", dyn_mode="spatial",
+                               act_rate=0.05)
+    assert "pallas" in plan.ranking
+    assert plan.mode != "pallas"
