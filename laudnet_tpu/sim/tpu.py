@@ -39,6 +39,46 @@ from laudnet_tpu.sim.tiles import ceil_eff
 _INT8_MM_MULT = 1.8
 _INT8_STEP_OVERHEAD = 0.4e-6
 
+# fast_math serving-kernel calibration (`fused_vit_block(fast_math=True)`,
+# the `build_fused_vit` serving default since r5). Jointly fitted r5 over
+# nine measured v5e anchors (DeiT-S dense/nominal/snapped/flat-0.5,
+# DeiT-B dense/nominal/snapped, T2T dense/snapped select; max |err| 8.3%,
+# 7 of 9 within 6%). The measured kernel ablations say the fast stages
+# save MORE than their op-count deltas (exact GELU costs 1.10 us/img/layer
+# at DeiT-S where pure elems/vpu_flops prices 0.61 us; swapping in the
+# tanh GELU saves only 0.51 us but deferred-softmax + one-pass LN save
+# 0.99 us — beyond the removed passes alone), i.e. the real win is
+# SHORTER DEPENDENCY STALLS between the VPU stages and the MXU matmuls,
+# not fewer VPU flops. The fit therefore expresses fast_math as: reduced
+# *effective* VPU op counts, its own (higher, flatter) sustained-MXU
+# curve — small dims gain most because they were stall-bound —
+# and a halved per-grid-step boundary (less pipeline fill per step).
+# These are end-to-end effective constants, not per-stage attributions.
+_FM_SOFTMAX_OPS = 1.5   # exact: 6.0 — the (L,L) divide pass moves out
+_FM_SOFTMAX_DIV_OPS = 2.0  # ...to the (rows, 2dh) output (div + row sums)
+_FM_LN_OPS = 3.0        # exact: 6.0 — var = E[x^2] - mu^2, one data pass
+_FM_GELU_OPS = 3.0      # exact: 8.0 — tanh poly vs erf
+# sustained MXU fraction for the fast kernel: min(.99, BASE+SLOPE*log2(d/192))
+_FM_MM_EFF_BASE = 1.05
+_FM_MM_EFF_SLOPE = -0.06
+_FM_BOUNDARY = 0.5      # multiplier on the per-grid-step boundary cost
+
+# Unfused (reference-graph) ViT calibration, re-measured r5 against five
+# fresh bs128 anchors (the r2 select anchors had gone stale: the unfused
+# select path measures ~11% slower than r2, dense unchanged).
+# _UF_WIDE_MM: the unfused graph's weight matmuls sustain LESS of peak as
+# layers widen (measured us/layer: 1363 at D=384, ~1807 at 448, 4333 at
+# 768 — the per-op model tracked 384 but under-priced 768 by 16%; wide
+# layers' bias/activation fusions keep larger f32 working sets, degrading
+# XLA's scheduling). Modeled as a derate on the block's weight matmuls:
+# 1 / (1 + _UF_WIDE_MM * log2(dim/384)) for dim > 384. The fused block
+# engine does NOT inherit this (its weights are VMEM-resident; its own
+# mm_eff curve is calibrated separately above).
+# _SORT_RATE: effective sorted elems/s of XLA's top_k lowering
+# (token_select docstring).
+_UF_WIDE_MM = 0.275
+_SORT_RATE = 2e8
+
 
 class TPUPredictor:
     """Analytic latency model of this framework's ops on one TPU chip."""
@@ -321,8 +361,8 @@ class TPUPredictor:
         )
 
     def fused_block(self, l: int, dim: int, heads: int,
-                    mlp_ratio: float, int8: bool = False
-                    ) -> SimulationReport:
+                    mlp_ratio: float, int8: bool = False,
+                    fast_math: bool = False) -> SimulationReport:
         """The fully fused transformer block kernel
         (`ops/pallas/vit_block.py`): per layer, HBM touches only x
         in/out + one weight fetch; LN/softmax/gelu run on the VPU in
@@ -336,7 +376,17 @@ class TPUPredictor:
         bf16 when unset) with per-row quantize (~5 VPU ops/operand elem)
         and rank-1 dequantize (~3 ops/output elem) passes added, and the
         weight DMA halved; attention stays bf16. STRUCTURAL pricing —
-        not yet calibrated against measured int8 anchors."""
+        not yet calibrated against measured int8 anchors.
+
+        ``fast_math`` prices the serving-default fast-math kernel body
+        (deferred softmax normalization, one-pass LN, tanh GELU — see
+        `ops/pallas/vit_block.py` and the _FM_* calibration note above);
+        False prices the exact kernel the r3 anchors pinned. int8
+        IGNORES the flag: measured r5, the int8 engine is insensitive to
+        fast_math (11247 vs the r3 exact-era 11276 img/s at DeiT-S dense
+        — its bottleneck is the quant/dequant VPU chain and s8 MXU work,
+        not the stages fast_math cheapens), so the r3-calibrated int8
+        pricing stays valid for both kernel bodies."""
         s = self.spec
         b = s.batch_size
         dh = dim // heads
@@ -346,6 +396,8 @@ class TPUPredictor:
         n_up = heads + heads % 2
         da = n_up * dh
         hidden = int(dim * mlp_ratio)
+        if int8:
+            fast_math = False  # measured insensitive (docstring)
         peak = s.peak_bf16 if self.dtype_bytes == 2 else s.peak_fp32
         # MXU tile quantization: token counts pad to 8 sublanes in matmul
         # rows and to 128 lanes in the score/prob tiles — this is why
@@ -362,6 +414,9 @@ class TPUPredictor:
         # fit: ~0.85 at K=384/DeiT-S, ~0.95 at K=768/DeiT-B — deeper
         # accumulation chains hide more pipeline bubbles)
         mm_eff = min(0.97, max(0.75, 0.75 + 0.1 * math.log2(dim / 192)))
+        if fast_math:
+            mm_eff = min(0.99, max(0.70, _FM_MM_EFF_BASE
+                                   + _FM_MM_EFF_SLOPE * math.log2(dim / 192)))
         mm_peak = peak
         w_bytes = self.dtype_bytes
         if int8:
@@ -369,9 +424,15 @@ class TPUPredictor:
             w_bytes = 1
         mxu = (mm_flops / (mm_peak * mm_eff)
                + attn_flops / (peak * s.sustained_frac))
-        vpu_ops = (6.0 * b * n_up * l_sub * l_lane  # softmax
-                   + 2 * 6.0 * rows * dim        # two LayerNorms
-                   + 8.0 * rows * hidden)        # gelu
+        if fast_math:
+            vpu_ops = (_FM_SOFTMAX_OPS * b * n_up * l_sub * l_lane
+                       + _FM_SOFTMAX_DIV_OPS * rows * da  # deferred divide
+                       + 2 * _FM_LN_OPS * rows * dim      # one-pass LNs
+                       + _FM_GELU_OPS * rows * hidden)    # tanh gelu
+        else:
+            vpu_ops = (6.0 * b * n_up * l_sub * l_lane  # softmax
+                       + 2 * 6.0 * rows * dim        # two LayerNorms
+                       + 8.0 * rows * hidden)        # gelu
         if int8:
             # per-row operand quantize (abs/max-reduce/div/round/clip) and
             # rank-1 dequantize + bias on every matmul output
@@ -392,7 +453,7 @@ class TPUPredictor:
         # dispatches at ~0.97x dense where the served engine measures
         # 1.10x (1.16x snapped) — XLA fuses those tiny ops more cheaply
         # than the per-op floors assume.
-        boundary = 3.3e-6 + 0.8e-6 * b
+        boundary = 3.3e-6 + (_FM_BOUNDARY if fast_math else 1.0) * 0.8e-6 * b
         if int8:
             boundary += _INT8_STEP_OVERHEAD * b
         return SimulationReport(
@@ -402,13 +463,22 @@ class TPUPredictor:
         )
 
     def token_select(self, l_from: int, l_to: int, d: int) -> SimulationReport:
-        """Fixed-capacity top-k token selection: rank + top_k over the mask
-        (VPU over B*L) + gathers of x/mask/score rows. This lowers to ~4
-        fused regions (rank build, sort, two gathers), so the dispatch
-        overhead is charged 4x — negligible at bs128, decisive at batch 1
-        where every matmul is tiny."""
+        """Fixed-capacity top-k token selection: rank build + top_k over the
+        mask + gathers of x/mask/score rows, lowering to ~4 fused regions
+        (so dispatch overhead is charged 4x — negligible at bs128, decisive
+        at batch 1 where every matmul is tiny).
+
+        The dominant term at batch is the SORT: XLA lowers top_k to a
+        variadic bitonic sort that runs nearly scalar on the VPU —
+        re-measured r5 (the r2 anchors flattered it): the unfused select
+        path costs ~23% more end-to-end than rank+gather traffic alone
+        explains, which backs out to ~_SORT_RATE sorted elements/s. The
+        fused engines dodge most of this by selecting once per capacity
+        stage on a (B, L) score vector, but the cost is real in the
+        reference-graph path this op prices."""
         b = self.spec.batch_size
-        comp = 8.0 * b * l_from / self.spec.vpu_flops
+        comp = (8.0 * b * l_from / self.spec.vpu_flops
+                + b * l_from / _SORT_RATE)
         bytes_moved = 2.0 * b * l_to * d * self.dtype_bytes
         mem = bytes_moved / self.spec.mem_bandwidth
         return SimulationReport(
@@ -432,6 +502,9 @@ def tpu_vit_block(p: TPUPredictor, l: int, dim: int, heads: int,
     dh = dim // heads
     hidden = int(dim * mlp_ratio)
     rows = b * l
+    # wide-layer derate on the unfused graph's weight matmuls (see the
+    # _UF_WIDE_MM calibration note at the top of the module)
+    wide = 1.0 + _UF_WIDE_MM * max(0.0, math.log2(dim / 384.0))
     rep = SimulationReport()
     if layer_policy:
         rep = rep + p.matmul(b, dim, 4)
@@ -446,8 +519,21 @@ def tpu_vit_block(p: TPUPredictor, l: int, dim: int, heads: int,
             latency=p.spec.fusion_overhead + gate_mem,
             memory_latency=gate_mem, cfg=[dict(op="token_gate")],
         )
+        if not fused_attention:
+            # the attention KEY mask: XLA materializes the broadcast
+            # (B, H, L, L) f32 additive mask before the softmax region
+            # instead of fusing the (B, 1, 1, L) source row — one f32
+            # write + one f32 read of the full score shape. Re-measured
+            # r5: this is the bulk of the unfused select path's cost over
+            # dense (the fused kernels build the same mask in VMEM for
+            # free), and the 8-bytes/elem traffic fit lands all five
+            # fresh select anchors; see the _UF_* calibration note.
+            km = 8.0 * b * heads * l * l / p.spec.mem_bandwidth
+            rep = rep + SimulationReport(
+                latency=km, memory_latency=km, cfg=[dict(op="key_mask")],
+            )
     rep = rep + p.layernorm(rows * dim)  # norm1
-    rep = rep + p.matmul(rows, dim, 3 * dim)  # qkv
+    rep = rep + p.matmul(rows, dim, 3 * dim).scaled(wide)  # qkv
     if fused_attention:
         rep = rep + p.fused_attention(l, dim, heads)
     else:
@@ -456,12 +542,12 @@ def tpu_vit_block(p: TPUPredictor, l: int, dim: int, heads: int,
         rep = rep + p.softmax(b * heads * l * l)
         rep = rep + p.batched_matmul(b * heads, l, l, dh)  # attn * values
         rep = rep + p.transpose(rows * dim)  # (B,H,L,dh)->(B,L,D) merge
-    rep = rep + p.matmul(rows, dim, dim)  # proj
+    rep = rep + p.matmul(rows, dim, dim).scaled(wide)  # proj
     rep = rep + p.residual_add(rows * dim)  # x + attn branch
     rep = rep + p.layernorm(rows * dim)  # norm2
-    rep = rep + p.matmul(rows, dim, hidden)  # fc1
+    rep = rep + p.matmul(rows, dim, hidden).scaled(wide)  # fc1
     rep = rep + p.gelu(rows * hidden)
-    rep = rep + p.matmul(rows, hidden, dim)  # fc2
+    rep = rep + p.matmul(rows, hidden, dim).scaled(wide)  # fc2
     rep = rep + p.residual_add(rows * dim)  # x + mlp branch
     return rep
 
@@ -474,6 +560,7 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
                     fused_attention: bool = False,
                     fused_block: bool = False,
                     int8: bool = False,
+                    fast_math: bool = True,
                     ) -> SimulationReport:
     """LAUD-ViT serving latency on TPU (the op set `models/laud_vit.py`
     actually executes; VERDICT r1 missing #5).
@@ -491,6 +578,9 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
         the finding (these paradigms don't pay off on TPU under batching).
 
     ``int8`` prices the W8A8 block engine (requires ``fused_block``).
+    ``fast_math`` (default True, matching `build_fused_vit`'s serving
+    default) prices the fast-math kernel body; only meaningful with
+    ``fused_block``.
 
     Aggregation is the SUM of per-op latencies: unlike the CNN conv stack,
     the transformer alternates MXU matmuls with HBM/VPU-bound softmax and
@@ -521,7 +611,7 @@ def tpu_predict_vit(p: TPUPredictor, *, depth: int = 12, dim: int = 384,
                 # gate itself is a lane-expanded multiply inside the kernel
                 total = total + p.matmul(b, dim, 2 * num_heads)
             total = total + p.fused_block(l, dim, num_heads, mlp_ratio,
-                                          int8=int8)
+                                          int8=int8, fast_math=fast_math)
         else:
             total = total + tpu_vit_block(
                 p, l, dim, num_heads, mlp_ratio,

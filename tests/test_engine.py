@@ -35,10 +35,17 @@ def test_plan_vit_dense_when_keeps_full():
     plan = plan_vit_serving((1.0,) * 12)
     assert plan.mode == "dense"
     # "dense" for a token-gated model serves the masked graph (the gates
-    # stay); the predicted speedup vs the pure ungated baseline is
-    # therefore marginally below 1.0 — the honest policy-head cost
-    assert 0.97 < plan.predicted_speedup <= 1.0
+    # stay); on the UNFUSED graph the r5 recalibration prices the
+    # policy heads plus the materialized f32 (B,H,L,L) attention key
+    # mask (sim/tpu.py key_mask term), so the predicted speedup vs the
+    # pure ungated baseline is ~0.8
+    assert 0.75 < plan.predicted_speedup <= 1.0
     assert plan.predicted_latency == plan.ranking["mask"]
+    # the fused block engine builds the key mask in VMEM for ~free: the
+    # same decision there stays marginally below 1.0
+    fused = plan_vit_serving((1.0,) * 12, fused_block=True)
+    assert fused.mode == "dense"
+    assert 0.95 < fused.predicted_speedup <= 1.0
 
 
 def test_rank_paradigms_orders_token_first():
@@ -129,8 +136,13 @@ def test_serving_engine_resnet_plan():
 
 def test_plan_vit_int8_opt_in():
     """int8 variants are always RANKED when the block engine prices, but
-    CHOSEN only on allow_int8 (inexact -> plan.exact False); dense-int8
-    carries no token_capacity."""
+    CHOSEN only when allow_int8 opts in AND int8 actually predicts
+    faster. Since the r5 fast-math bf16 calibration that is geometry-
+    dependent — MEASURED on v5e: at DeiT-S the fast bf16 engine beats
+    int8 (20.6k vs 14.9k img/s snapped; int8 is insensitive to
+    fast_math), at DeiT-B int8 still wins (4894 vs 4509 dense). The
+    plan must decline int8 at S and choose it at B; dense-int8 carries
+    no token_capacity."""
     from laudnet_tpu.sim.plan import plan_vit_serving
 
     keeps = (1.0,) * 3 + (0.7,) * 4 + (0.5,) * 5
@@ -138,32 +150,43 @@ def test_plan_vit_int8_opt_in():
     assert {"dense-int8", "token-int8"} <= base.ranking.keys()
     assert base.exact and not base.mode.endswith("-int8")
 
+    # DeiT-S: allow_int8 opts in but bf16-fast wins -> stays exact token
     q = plan_vit_serving(keeps, fused_block=True, allow_int8=True)
-    assert q.mode.endswith("-int8") and not q.exact
-    assert q.ranking[q.mode] < base.ranking[base.mode]
+    assert q.mode == "token" and q.exact
+    assert q.ranking["token"] < q.ranking["token-int8"]
 
-    qd = plan_vit_serving((1.0,) * 12, fused_block=True, allow_int8=True)
+    # DeiT-B: int8 wins and is chosen (inexact)
+    geo_b = dict(dim=768, num_heads=12)
+    qb = plan_vit_serving(keeps, fused_block=True, allow_int8=True,
+                          **geo_b)
+    assert qb.mode == "token-int8" and not qb.exact
+    qd = plan_vit_serving((1.0,) * 12, fused_block=True, allow_int8=True,
+                          **geo_b)
     assert qd.mode == "dense-int8" and qd.token_capacity is None
 
-    # snapped-int8 needs BOTH opt-ins
+    # snapped-int8 needs BOTH opt-ins (B geometry, where int8 wins)
     snap = plan_vit_serving(keeps, fused_block=True, allow_int8=True,
-                            snap_capacities=True)
+                            snap_capacities=True, **geo_b)
     assert snap.mode == "token-snapped-int8"
+    # ...and at S the same opt-ins still serve exact snapped bf16
+    snap_s = plan_vit_serving(keeps, fused_block=True, allow_int8=True,
+                              snap_capacities=True)
+    assert snap_s.mode == "token-snapped" and snap_s.exact
     # without the block engine there is nothing to quantize
     attn = plan_vit_serving(keeps, fused_attention=True, allow_int8=True)
     assert "dense-int8" not in attn.ranking and attn.exact
 
 
 def test_serving_engine_allow_int8_serves_int8(monkeypatch):
-    """calibrate(allow_int8=True) on a block-engine-eligible geometry
-    chooses and compiles an int8 mode (plan.exact False, served==mode).
-    The backend gate is monkeypatched open; the compiled pallas closure
-    is never executed on CPU. DeiT-S geometry (L=197): the calibrated
-    int8 pricing only wins at real token counts — at tiny L the
-    per-step int8 overhead dominates and the plan correctly declines."""
+    """calibrate(allow_int8=True) on a geometry where int8 actually wins
+    (DeiT-B width — r5 measured: int8 beats bf16-fast at dim 768 but
+    LOSES at DeiT-S, where the fast-math bf16 engine is quicker) chooses
+    and compiles an int8 mode (plan.exact False, served==mode). The
+    backend gate is monkeypatched open; the compiled pallas closure is
+    never executed on CPU."""
     import laudnet_tpu.infer.engine as engine_mod
 
-    kw = dict(depth=2, dim=384, num_heads=6, mlp_ratio=4.0, patch_size=16,
+    kw = dict(depth=2, dim=768, num_heads=12, mlp_ratio=4.0, patch_size=16,
               num_classes=10, head_skip=False, layer_skip=False)
     m = LAUDViT(**kw)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 224, 224, 3))
@@ -178,6 +201,15 @@ def test_serving_engine_allow_int8_serves_int8(monkeypatch):
     # without the opt-in the same engine stays exact
     plan2 = engine.calibrate([x])
     assert plan2.exact and not plan2.mode.endswith("-int8")
+    # at DeiT-S width the same opt-in correctly DECLINES int8: the
+    # measured fast-math bf16 engine out-runs it there
+    ms = LAUDViT(depth=2, dim=384, num_heads=6, mlp_ratio=4.0,
+                 patch_size=16, num_classes=10, head_skip=False,
+                 layer_skip=False)
+    vs = jax.jit(lambda: ms.init({"params": jax.random.PRNGKey(1)}, x, 1.0,
+                                 training=False))()
+    plan_s = ServingEngine(ms, vs).calibrate([x], allow_int8=True)
+    assert plan_s.exact and not plan_s.mode.endswith("-int8")
 
 
 def test_plan_resnet_serving_mixed_stage_modes():
