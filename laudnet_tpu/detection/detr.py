@@ -236,7 +236,7 @@ class DeformableEncoderLayer(nn.Module):
         return x + y
 
 
-def nms_keep_mask(boxes_xyxy, scores, iou_threshold: float):
+def nms_keep_mask(boxes_xyxy, scores, iou_threshold: float, eligible=None):
     """Greedy NMS as a static-shape KEEP MASK (the TPU reduction of
     `batched_nms` with one class, which is what DDQ's class-agnostic
     distinct-query selection calls —
@@ -250,6 +250,13 @@ def nms_keep_mask(boxes_xyxy, scores, iou_threshold: float):
     the one-shot "any higher-scored overlap" approximation, so chains
     (A suppresses B, B would have suppressed C -> C survives) match
     torch's NMS bit-for-bit. Returns (Q,) bool in the ORIGINAL order.
+
+    ``eligible`` is the static-shape analog of the reference's
+    ``ori_index`` pool restriction (`ddq_detr_layers.py:64-71`: each
+    layer's NMS runs only over the queries still distinct after the
+    previous layer): ineligible boxes start dead, so they neither
+    suppress others nor appear in the returned keep mask — exactly a
+    greedy sweep over the eligible subset.
     """
     n = boxes_xyxy.shape[0]
     order = jnp.argsort(-scores)
@@ -270,7 +277,9 @@ def nms_keep_mask(boxes_xyxy, scores, iou_threshold: float):
         suppress = suppress.at[i].set(False)
         return alive & ~suppress
 
-    alive = jax.lax.fori_loop(0, n, body, jnp.ones((n,), bool))
+    alive0 = (jnp.ones((n,), bool) if eligible is None
+              else eligible[order].astype(bool))
+    alive = jax.lax.fori_loop(0, n, body, alive0)
     return jnp.zeros((n,), bool).at[order].set(alive)
 
 
@@ -637,6 +646,7 @@ class DETRDetector(nn.Module):
 
         aux_outputs = []
         distinct_keep = []
+        keep_prev = jnp.ones((b, qn), bool)  # cumulative distinct pool
         cls_i = boxes_i = None
         for i in range(self.dec_layers):
             q = TransformerLayer(dim=self.dim, name=f"dec_self_{i}",
@@ -666,8 +676,14 @@ class DETRDetector(nn.Module):
                 # head's analog is 1 - p(no-object))
                 obj = 1.0 - jax.nn.softmax(
                     cls_i[:, :qn].astype(jnp.float32), -1)[..., -1]
-                keep = jax.vmap(nms_keep_mask, in_axes=(0, 0, None))(
-                    cxcywh_to_xyxy(ref[:, :qn]), obj, self.ddq_nms_iou)
+                # the NMS pool shrinks monotonically: each layer's sweep
+                # runs only over the queries still distinct after the
+                # previous layer (`ddq_detr_layers.py:64-71` ori_index),
+                # so a duplicate suppressed once never re-enters
+                keep = jax.vmap(nms_keep_mask, in_axes=(0, 0, None, 0))(
+                    cxcywh_to_xyxy(ref[:, :qn]), obj, self.ddq_nms_iou,
+                    keep_prev)
+                keep_prev = keep
                 distinct_keep.append(keep)
                 # reference semantics: mask cells where NEITHER endpoint
                 # is a distinct query (`ddq_detr_layers.py:90-91`); the

@@ -6,9 +6,12 @@ object. For a trained LAUD-ViT it measures the policy's realized per-block
 keeps on calibration data, asks the TPU latency model whether fixed-capacity
 token selection beats the dense-masked graph, and compiles the winner; for
 a LAUD-ResNet it ranks dense-masked vs layer-skip vs (opt-in, inexact)
-static channel export. Every path served by default is bit-equivalent to
-the masked training graph on inputs whose realized keeps the calibrated
-budgets cover.
+static channel export. Every path served by default is policy-exact —
+nothing is dropped, frozen or quantized relative to the masked training
+graph on inputs whose realized keeps the calibrated budgets cover. The
+ViT block kernels default to fast-math bodies (~5e-4 bounded logit
+deviation, recorded on ``plan.fast_math``; pass ``fast_math=False`` for
+the bit-exact bodies).
 
 Typical use::
 
@@ -37,7 +40,7 @@ class ServingEngine:
 
     def __init__(self, model, variables, *, temperature: float = 0.1,
                  spec: str = "v5e", batch_size: int = 128, mesh=None,
-                 snap_capacities: bool = False):
+                 snap_capacities: bool = False, fast_math: bool = True):
         """``mesh``: optional 1-D :class:`jax.sharding.Mesh` — serve
         data-parallel over its devices (the TPU-native scale-out: batch
         sharded on the mesh axis, params replicated, each device runs the
@@ -49,8 +52,17 @@ class ServingEngine:
         MXU tile grid (`fused_vit.snap_capacity_to_tiles`, measured +8%
         on the DeiT-S schedule) — opt-in because it keeps slightly fewer
         tokens than the model's nominal budgets.
+        ``fast_math`` (default ON) serves the block engine with the
+        fast-math kernel bodies (deferred softmax normalization, one-pass
+        LN, tanh GELU — measured +37% on the dense DeiT-S block,
+        `ops/pallas/vit_block.py`): bounded ~5e-4 logit deviation from
+        the bit-exact bodies, argmax-preserving on test batches, and
+        recorded on ``plan.fast_math``. Pass False for the bit-exact
+        kernels (it does NOT affect ``plan.exact``, which tracks policy
+        approximations — selection/quantization/freezing).
         """
         self.snap_capacities = snap_capacities
+        self.fast_math = fast_math
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -113,7 +125,7 @@ class ServingEngine:
                 token_capacity=model.token_capacity,
                 snap_capacities=self.snap_capacities,
                 head_gating=getattr(model, "head_skip", False),
-                int8=int8,
+                int8=int8, fast_math=self.fast_math,
             ))
         assert not int8, "int8 serving requires the block engine"
         # otherwise ViTs serve the fused attention kernel on TPU
@@ -154,9 +166,9 @@ class ServingEngine:
         must agree with the dynamic per-image masks on at least
         ``fidelity_threshold`` of channel groups (mean over blocks,
         `infer/calibrate.calibration_fidelity` on the calibration
-        batches). Below the threshold the plan DEMOTES to dense-masked
-        and records the rejection in ``plan.notes``; the measured
-        fidelity always lands in ``plan.fidelity``."""
+        batches). Below the threshold the plan DEMOTES to the fastest
+        exact choosable path and records the rejection in ``plan.notes``;
+        the measured fidelity always lands in ``plan.fidelity``."""
         from laudnet_tpu.sim.plan import plan_resnet_serving, plan_vit_serving
 
         if self._kind == "vit":
@@ -213,18 +225,20 @@ class ServingEngine:
                     if getattr(m, "token_skip", False) else m, int8=True)
                 self.plan.served = self.plan.mode
             elif getattr(m, "token_skip", False):
-                # "dense" for a token-gated model means NO selection, not
-                # no gates: the served graph keeps the eval token gates.
-                # The block engine runs that bit-equivalently at full
+                # "dense-masked" for a token-gated model means NO
+                # selection, not no gates: the served graph keeps the
+                # eval token gates. The block engine runs that at full
                 # capacity (gates multiply inside the kernel, nothing is
                 # dropped) and measurably faster than the attention-fused
                 # flax graph, so swap it in when the geometry qualifies.
                 if block:
                     self._fwd = self._compile(
                         m.clone(token_capacity=(1.0,) * m.depth))
-                self.plan.served = "dense-masked"
+                self.plan.served = self.plan.mode
             else:
                 self.plan.served = self.plan.mode
+            self.plan.fast_math = bool(self.fast_math and block
+                                       and not int8)
         else:
             # CNN paths: the engine compiles WHATEVER the plan chooses —
             # dense-masked (always), layer-skip at batch 1
@@ -343,18 +357,32 @@ class ServingEngine:
                         self._fwd = self._jit(fwd)
                         self.plan.served = self.plan.mode
                     else:
+                        # demote to the fastest exact CHOOSABLE path in
+                        # the ranking. static export only exists for the
+                        # channel paradigm, whose exact choosable set is
+                        # {dense-masked} (layerskip/spatial-capacity
+                        # belong to the layer/spatial paradigms), so the
+                        # min is computed for robustness, not dispatch:
+                        # the engine's init-compiled dense-masked graph
+                        # is the fallback it serves
+                        exact_choosable = {
+                            k: v for k, v in self.plan.ranking.items()
+                            if k == "dense-masked"
+                            or (k == "layerskip" and self.batch_size == 1)
+                            or k == "spatial-capacity"}
+                        fb = min(exact_choosable, key=exact_choosable.get)
                         self.plan.notes = (
                             f"static-export rejected: mean mask "
                             f"agreement {fid['mean_agreement']:.3f} < "
-                            f"fidelity_threshold {fidelity_threshold}")
-                        self.plan.mode = "dense-masked"
+                            f"fidelity_threshold {fidelity_threshold}; "
+                            f"demoted to {fb}")
+                        self.plan.mode = fb
                         self.plan.exact = True
-                        self.plan.predicted_latency = (
-                            self.plan.ranking["dense-masked"])
+                        self.plan.predicted_latency = exact_choosable[fb]
                         self.plan.predicted_speedup = (
                             self.plan.dense_latency
                             / self.plan.predicted_latency)
-                        self.plan.served = "dense-masked"
+                        self.plan.served = fb
                 elif self.plan.mode == "spatial-capacity" and s3_img:
                     # fixed patch budgets covering the calibration
                     # quantile of the PER-IMAGE worst-block density per

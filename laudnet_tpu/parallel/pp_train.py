@@ -55,10 +55,10 @@ def pp_vit_forward(model, params, images, temperature, *, mesh: Mesh,
     execution schedule differs, so the data-parallel step remains the
     correctness oracle.
 
-    Gumbel noise: block ``i`` on microbatch ``m`` draws from
-    ``fold_in(fold_in(rng, m), i)`` — independent streams per (block,
-    microbatch), like the flax path's per-module folding (different draws,
-    same distribution)."""
+    Gumbel noise: block ``i`` on microbatch ``m`` of data shard ``s``
+    draws from ``fold_in(fold_in(fold_in(rng, s), m), i)`` — independent
+    streams per (data shard, microbatch, block), like the flax path's
+    per-module folding (different draws, same distribution)."""
     from laudnet_tpu.models.laud_vit import (
         LAUDViTBlock, LAUDViTOutput, vit_block_bookkeeping,
         vit_policy_flops,
@@ -81,7 +81,7 @@ def pp_vit_forward(model, params, images, temperature, *, mesh: Mesh,
         stem_flops = float(t2t_stem_flops(d))
     else:
         p = model.patch_size
-        x = nn.Conv(d, (p, p), strides=p,
+        x = nn.Conv(d, (p, p), strides=p, dtype=model.dtype,
                     param_dtype=model.param_dtype).apply(
             {"params": params["patch_embed"]}, images)
         n = x.shape[1] * x.shape[2]
@@ -90,6 +90,10 @@ def pp_vit_forward(model, params, images, temperature, *, mesh: Mesh,
     x = jnp.concatenate(
         [jnp.broadcast_to(params["cls_token"], (b, 1, d)), x], axis=1)
     x = x + params["pos_embed"]
+    if model.dtype is not None:
+        # mirror the dp path: cls/pos are f32 masters, the residual
+        # stream re-enters the AMP compute dtype (laud_vit.py __call__)
+        x = x.astype(model.dtype)
     l = n + 1
     token_mask = jnp.ones((b, l), jnp.float32)
 
@@ -97,6 +101,7 @@ def pp_vit_forward(model, params, images, temperature, *, mesh: Mesh,
         dim=d, num_heads=model.num_heads, mlp_ratio=model.mlp_ratio,
         token_skip=model.token_skip, head_skip=model.head_skip,
         layer_skip=model.layer_skip, book_len=l, attn_impl=model.attn_impl,
+        linear_impl=model.linear_impl, dtype=model.dtype,
         param_dtype=model.param_dtype,
     )
     stacked, n_layers = stack_layer_params(params)
@@ -115,6 +120,12 @@ def pp_vit_forward(model, params, images, temperature, *, mesh: Mesh,
     def stage_fn(p_stage, buf):
         y, m, stats = buf["x"], buf["mask"], buf["stats"]
         sid = jax.lax.axis_index("stage")
+        # fold the data-shard index in too: without it every 'data' shard
+        # would draw bit-identical Gumbel noise for its local rows
+        # (correlated gates, effective noise samples / dp), unlike the dp
+        # oracle which draws iid over the global batch
+        did = (jax.lax.axis_index("data") if "data" in mesh.shape
+               else jnp.int32(0))
         mb_id = buf["mbid"][0]
         mb = y.shape[0]
         for j in range(per_stage):
@@ -122,8 +133,8 @@ def pp_vit_forward(model, params, images, temperature, *, mesh: Mesh,
             gidx = sid * per_stage + j
             rngs = None
             if training and rng is not None:
-                rngs = {"gumbel": jax.random.fold_in(
-                    jax.random.fold_in(rng, mb_id), gidx)}
+                rngs = {"gumbel": jax.random.fold_in(jax.random.fold_in(
+                    jax.random.fold_in(rng, did), mb_id), gidx)}
             y, m, st = block.apply({"params": pj}, y, m, temperature,
                                    training=training, rngs=rngs)
             row = jnp.stack([

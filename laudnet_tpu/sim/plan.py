@@ -36,12 +36,22 @@ class ExecutionPlan:
     calibration-fidelity gate — the static channel export), so after
     ``ServingEngine.calibrate`` the invariant is ``served == mode``; the
     one exception is a static export whose measured fidelity fails the
-    threshold, which DEMOTES ``mode`` back to dense-masked and records
-    why in ``notes`` (the rejected candidate stays in ``ranking``).
-    ``ranking`` may carry rank-only entries that can never be chosen
-    (``pallas``: the wide-geometry masked-conv kernel has no full-model
-    serving integration and loses at stock R101 shapes — BASELINE.md
-    appendix).
+    threshold, which DEMOTES ``mode`` back to the fastest exact choosable
+    path and records why in ``notes`` (the rejected candidate stays in
+    ``ranking``). ``ranking`` may carry rank-only entries that can never
+    be chosen: ``pallas`` (the wide-geometry masked-conv kernel has no
+    full-model serving integration and loses at stock R101 shapes —
+    BASELINE.md appendix) and ``dense`` (the ungated teacher — the
+    ``predicted_speedup`` frame; a gated model's no-selection serving
+    form is ``dense-masked``).
+
+    ``exact`` means no POLICY approximation: nothing is dropped, frozen
+    or quantized relative to the masked training graph (int8 and static
+    export flip it False). The fused serving kernels themselves default
+    to fast-math bodies whose numeric reordering / tanh GELU deviate by
+    ~5e-4 in the logits; that is recorded separately in ``fast_math``
+    (build with ``ServingEngine(..., fast_math=False)`` for the
+    bit-exact kernel bodies).
     """
 
     kind: str  # 'vit' | 'resnet' | ...
@@ -51,9 +61,10 @@ class ExecutionPlan:
     dense_latency: float = 0.0
     predicted_speedup: float = 1.0
     ranking: dict = field(default_factory=dict)  # mode -> predicted seconds
-    exact: bool = True  # bit-equivalent to the masked graph?
+    exact: bool = True  # no policy/quantization approximation?
     served: Optional[str] = None  # path actually compiled (None = mode)
     fidelity: Optional[dict] = None  # static-export calibration fidelity
+    fast_math: bool = False  # served kernels use fast-math bodies (~5e-4)
     notes: str = ""
 
 
@@ -186,7 +197,12 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
     served_dense = ranking.get(dense_mode, dense)
     token = ranking.get("token", served_dense)
     snap_lat = ranking.get("token-snapped", float("inf"))
-    mode = "token" if token < served_dense else "dense"
+    # the no-selection decision is named by what it SERVES: the masked
+    # graph ('dense-masked') for a gated model, the truly ungated graph
+    # ('dense') otherwise — so ServingEngine's served == mode holds on
+    # the common no-win path too
+    no_sel = "dense" if dense_mode == "dense" else "dense-masked"
+    mode = "token" if token < served_dense else no_sel
     chosen = min(token, served_dense)
     chosen_caps = caps
     if snap_capacities and snap_lat < chosen:
@@ -202,8 +218,8 @@ def plan_vit_serving(keeps: Sequence[float], *, depth: int = 12,
                     name, ranking[name], c, False)
     return ExecutionPlan(
         kind="vit", mode=mode,
-        token_capacity=(chosen_caps
-                        if mode not in ("dense", "dense-int8") else None),
+        token_capacity=(chosen_caps if mode not in (
+            "dense", "dense-masked", "dense-int8") else None),
         predicted_latency=chosen, dense_latency=dense,
         predicted_speedup=dense / chosen, ranking=ranking, exact=exact,
     )
@@ -348,9 +364,12 @@ def plan_resnet_serving(model_name: str = "resnet101", *,
             ranking["static-export"] / _S8_EXPORT_DERATE
         )
     inexact = {"static-export", "static-export-int8", "dense-masked-int8"}
-    # rank-only: no full-model serving integration (the masked-conv kernel
-    # wins only at widths stock R101 never reaches — BASELINE.md appendix)
-    rank_only = {"pallas"}
+    # rank-only: 'pallas' has no full-model serving integration (the
+    # masked-conv kernel wins only at widths stock R101 never reaches —
+    # BASELINE.md appendix), and 'dense' is the ungated TEACHER — the
+    # speedup frame, not a servable path for a gated model (its masker
+    # heads exist; dense-masked is the no-selection serving form)
+    rank_only = {"pallas", "dense"}
     exact_modes = {k: v for k, v in ranking.items()
                    if k not in inexact and k not in rank_only}
     mode = min(exact_modes, key=exact_modes.get)

@@ -296,6 +296,33 @@ def test_nms_keep_mask_matches_greedy_oracle():
     np.testing.assert_array_equal(got, [True, False, True])
 
 
+def test_nms_keep_mask_eligible_restricts_pool():
+    """The ``eligible`` mask is the static-shape analog of the reference's
+    ori_index pool restriction (`ddq_detr_layers.py:64-71`): ineligible
+    boxes neither suppress nor get kept — the sweep over the eligible
+    subset matches the oracle run on that subset alone."""
+    from laudnet_tpu.detection.detr import nms_keep_mask
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = 32
+        cx = rng.uniform(0.2, 0.8, n)
+        cy = rng.uniform(0.2, 0.8, n)
+        w = rng.uniform(0.05, 0.5, n)
+        h = rng.uniform(0.05, 0.5, n)
+        boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                         -1).astype(np.float32)
+        scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        eligible = rng.uniform(size=n) < 0.6
+        sub = np.flatnonzero(eligible)
+        want = np.zeros(n, bool)
+        want[sub] = _greedy_nms_ref(boxes[sub], scores[sub], 0.5)
+        got = np.asarray(nms_keep_mask(jnp.asarray(boxes),
+                                       jnp.asarray(scores), 0.5,
+                                       jnp.asarray(eligible)))
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
 def test_ddq_distinct_query_selection_per_layer():
     """The DDQ decoder applies per-layer distinct-query selection: the
     distinct keep masks are emitted per intermediate layer, duplicates
@@ -308,6 +335,10 @@ def test_ddq_distinct_query_selection_per_layer():
     assert out["distinct_keep"].shape == (2, 2, 8)  # (L-1, B, Q)
     keep = np.asarray(out["distinct_keep"])
     assert keep.any(axis=-1).all()  # at least one distinct query per image
+    # the distinct set shrinks monotonically: a query suppressed at layer
+    # k never re-enters at k+1 (the reference restricts each layer's NMS
+    # pool to ori_index — ddq_detr_layers.py:64-71)
+    assert not (keep[1] & ~keep[0]).any()
     assert len(out["aux_outputs"]) == 2
     assert out["aux_outputs"][0]["cls_logits"].shape == (2, 8, 4)
 

@@ -33,19 +33,25 @@ def test_plan_vit_serving_monotone_clamp():
 
 def test_plan_vit_dense_when_keeps_full():
     plan = plan_vit_serving((1.0,) * 12)
-    assert plan.mode == "dense"
-    # "dense" for a token-gated model serves the masked graph (the gates
-    # stay); on the UNFUSED graph the r5 recalibration prices the
-    # policy heads plus the materialized f32 (B,H,L,L) attention key
-    # mask (sim/tpu.py key_mask term), so the predicted speedup vs the
-    # pure ungated baseline is ~0.8
+    # the no-selection decision on a token-GATED model is named by what
+    # it serves: the masked graph (the gates stay) — so ServingEngine's
+    # served == mode invariant holds on the no-win path too
+    assert plan.mode == "dense-masked"
+    assert plan.token_capacity is None
+    # on the UNFUSED graph the r5 recalibration prices the policy heads
+    # plus the materialized f32 (B,H,L,L) attention key mask
+    # (sim/tpu.py key_mask term), so the predicted speedup vs the pure
+    # ungated baseline is ~0.8
     assert 0.75 < plan.predicted_speedup <= 1.0
     assert plan.predicted_latency == plan.ranking["mask"]
     # the fused block engine builds the key mask in VMEM for ~free: the
     # same decision there stays marginally below 1.0
     fused = plan_vit_serving((1.0,) * 12, fused_block=True)
-    assert fused.mode == "dense"
+    assert fused.mode == "dense-masked"
     assert 0.95 < fused.predicted_speedup <= 1.0
+    # an UNGATED model's no-selection decision is genuinely 'dense'
+    ungated = plan_vit_serving((1.0,) * 12, dense_mode="dense")
+    assert ungated.mode == "dense"
 
 
 def test_rank_paradigms_orders_token_first():
@@ -76,8 +82,11 @@ def test_rank_paradigms_prices_each_mode_at_its_served_engine():
 
 def test_plan_resnet_serving_channel():
     plan = plan_resnet_serving("resnet101", dyn_mode="channel")
-    # on TPU the exact channel path is the dense-masked graph (~1.0x)
-    assert plan.mode in ("dense", "dense-masked")
+    # on TPU the exact channel path is the dense-masked graph (~1.0x);
+    # 'dense' (the ungated teacher) is rank-only — the speedup frame,
+    # never a servable path for a gated model
+    assert plan.mode == "dense-masked"
+    assert "dense" in plan.ranking
     assert plan.exact
     p2 = plan_resnet_serving("resnet101", dyn_mode="channel",
                              act_rate=0.5, allow_static_export=True)
@@ -335,8 +344,34 @@ def test_serving_engine_resnet101_ranked_plan():
     engine = ServingEngine(m, v)
     plan = engine.calibrate([x])
     assert "dense-masked" in plan.ranking
-    assert plan.served == "dense-masked"
+    # served == mode holds on the default no-win path too: the plan's
+    # no-selection decision is NAMED dense-masked ('dense' is rank-only,
+    # the ungated speedup frame)
+    assert plan.served == plan.mode == "dense-masked"
     assert plan.exact
+
+
+def test_serving_engine_served_eq_mode_and_fast_math_recorded():
+    """The served == mode invariant holds for the ViT no-selection
+    decision (a token-gated model whose keeps stay ~1.0), and
+    plan.fast_math records whether the compiled path runs the fast-math
+    kernel bodies (False here: on CPU the block engine does not engage,
+    so the flax masked graph serves)."""
+    kw = dict(depth=2, dim=64, num_heads=4, mlp_ratio=2.0, patch_size=8,
+              num_classes=10, head_skip=False, layer_skip=False)
+    m = LAUDViT(**kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, 1.0, training=False)
+    # default init: gates stay ~open -> keeps ~1.0 -> no-selection wins
+    engine = ServingEngine(m, v, batch_size=128)
+    plan = engine.calibrate([x], quantile=1.0, margin=0.5)
+    assert plan.mode == "dense-masked"
+    assert plan.served == plan.mode
+    assert plan.exact
+    assert plan.fast_math is False  # CPU: attention/flax path, not fused
+    ref = m.apply(v, x, 0.1, training=False).logits
+    np.testing.assert_allclose(np.asarray(engine(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_serving_engine_mesh_data_parallel():

@@ -460,3 +460,43 @@ def test_pp_vit_forward_full_model_parity_and_grads():
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat_seq[path]),
             rtol=5e-4, atol=5e-5, err_msg=str(path))
+
+
+def test_pp_vit_forward_honors_amp_dtype():
+    """--pp composes with --amp: pp_vit_forward must build the stem, the
+    blocks and the head with model.dtype (bf16 AMP) exactly like the dp
+    path — a pipelined trunk silently running f32 would misreport the
+    AMP speedup the README measures. Parity vs the dp bf16 apply stays
+    at bf16 tolerance; a true f32 trunk would match the f32 reference
+    instead (caught by the dtype assert on the residual stream)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from laudnet_tpu.models.laud_vit import LAUDViT
+    from laudnet_tpu.parallel import make_pp_mesh, pp_vit_forward
+
+    model = LAUDViT(depth=8, dim=64, num_heads=4, patch_size=16,
+                    num_classes=10, dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((8, 32, 32, 3)),
+        jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, 1.0,
+                   training=False)
+    mesh = make_pp_mesh(4)
+
+    ref = model.apply(v, x, 0.1, training=False)          # dp bf16 oracle
+    f32 = model.clone(dtype=None).apply(v, x, 0.1, training=False)
+    out = jax.jit(lambda p, xx: pp_vit_forward(
+        model, p, xx, 0.1, mesh=mesh, microbatches=4))(v["params"], x)
+    np.testing.assert_allclose(np.asarray(out.logits, np.float32),
+                               np.asarray(ref.logits, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # the pp trunk really ran bf16: it must sit MUCH closer to the bf16
+    # oracle than the f32 graph does (an f32 pp trunk would produce
+    # d_bf16 == d_f32)
+    d_bf16 = float(jnp.abs(out.logits.astype(jnp.float32)
+                           - ref.logits.astype(jnp.float32)).max())
+    d_f32 = float(jnp.abs(f32.logits.astype(jnp.float32)
+                          - ref.logits.astype(jnp.float32)).max())
+    assert d_f32 > 0.0  # bf16 rounding is visible at this depth
+    assert d_bf16 < 0.5 * d_f32, (d_bf16, d_f32)
+    assert out.logits.dtype == ref.logits.dtype
