@@ -104,7 +104,17 @@ def _pair_attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt, fast=False):
     and one fewer (L, L) pass. Mathematically identical (softmax(s) @ v
     == (exp(s - max) @ v) / sum(exp(s - max))); deviation is fp
     reordering only, bf16-ulp level (probe_block_budget.py 'unnorm',
-    measured -0.63 us/img/layer at DeiT-S bs128)."""
+    measured -0.63 us/img/layer at DeiT-S bs128).
+
+    V is NOT masked: prob @ v2 computes each half's valid output in its
+    own head's lanes (the other lanes carry the cross-head garbage), and
+    the merge lane-SELECTS half a's lo lanes and half b's hi lanes —
+    bit-identical to masking v before the matmul (the selected lanes are
+    the same f32 contraction) but two fewer (L, 128) VPU multiplies per
+    pair (probe 'post_vselect', measured -0.13 us/img/layer). Folding
+    the q mask into zeroed weight columns was also probed and measured
+    SLOWER ('post_premask': the widened q matmul costs more than the
+    mask multiply it removes), so q keeps the lane-mask multiply."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * dh), 2)
     m_lo = (lane < dh).astype(cdt)
     m_hi = (lane >= dh).astype(cdt)
@@ -114,7 +124,7 @@ def _pair_attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt, fast=False):
         q2 = qkv[:, :, off:off + 2 * dh]
         k2 = qkv[:, :, d + off:d + off + 2 * dh]
         v2 = qkv[:, :, 2 * d + off:2 * d + off + 2 * dh]
-        pair = None
+        halves = []
         for msk in (m_lo, m_hi):
             s = jax.lax.dot_general(
                 q2 * msk, k2, dimension_numbers=_BNUMS,
@@ -126,13 +136,14 @@ def _pair_attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt, fast=False):
             else:
                 p = jax.nn.softmax(s, axis=-1)
             o = jax.lax.dot_general(
-                p.astype(cdt), v2 * msk, dimension_numbers=_PV_NUMS,
+                p.astype(cdt), v2, dimension_numbers=_PV_NUMS,
                 preferred_element_type=jnp.float32,
             )
             if fast:
                 o = o / p.sum(axis=-1, keepdims=True)
-            pair = o if pair is None else pair + o
-        outs.append(pair.astype(cdt))
+            halves.append(o)
+        outs.append(jnp.where(lane < dh, halves[0],
+                              halves[1]).astype(cdt))
     return jnp.concatenate(outs, axis=-1)
 
 

@@ -36,6 +36,8 @@ sys.path.insert(0, "/root/repo")
 
 from laudnet_tpu.ops.pallas.vit_block import (  # noqa: E402
     NEG, _gelu_exact, _ln, _pick_bb, _spec_for,
+    _gelu_tanh as _shipped_gelu_tanh,
+    _ln_onepass as _shipped_ln_onepass,
 )
 
 BATCH, L, D, H = 128, 197, 384, 6
@@ -47,23 +49,15 @@ def _ln_scale_only(x, scale, bias, eps):
     return x.astype(jnp.float32) * scale.astype(jnp.float32)
 
 
-def _ln_onepass(x, scale, bias, eps=1e-6):
-    xf = x.astype(jnp.float32)
-    mu = xf.mean(axis=-1, keepdims=True)
-    var = (xf * xf).mean(axis=-1, keepdims=True) - mu * mu
-    y = (xf - mu) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
-    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-
-
 def _silu_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _tanh_gelu(x):
-    # the canonical tanh approximation (max abs err ~3e-4, an order
-    # below silu's ~1e-2)
-    return 0.5 * x * (1.0 + jnp.tanh(
-        0.7978845608028654 * (x + 0.044715 * x * x * x)))
+# the fast-math candidates that SHIPPED must be measured as the served
+# kernel bodies, not private copies — import them so a change to the
+# shipped forms (tanh constants, the var clamp) re-measures truthfully
+_ln_onepass = _shipped_ln_onepass
+_tanh_gelu = _shipped_gelu_tanh
 
 
 _BNUMS = (((2,), (2,)), ((0,), (0,)))
@@ -74,6 +68,32 @@ def _attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt, mode):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * dh), 2)
     m_lo = (lane < dh).astype(cdt)
     m_hi = (lane >= dh).astype(cdt)
+    if mode == "premask":
+        # q arrives PRE-MASKED from zeroed weight columns (two 128-lane
+        # copies per pair); v stays unmasked — the merge selects each
+        # head's valid lanes instead of masking v before the matmul
+        outs = []
+        for hp in range(n_pairs):
+            halves = []
+            k2 = qkv[:, :, 2 * d + 2 * dh * hp:2 * d + 2 * dh * (hp + 1)]
+            v2 = qkv[:, :, 3 * d + 2 * dh * hp:3 * d + 2 * dh * (hp + 1)]
+            for half in (0, 1):
+                off = 4 * dh * hp + 2 * dh * half
+                qh = qkv[:, :, off:off + 2 * dh]
+                s = jax.lax.dot_general(
+                    qh, k2, dimension_numbers=_BNUMS,
+                    preferred_element_type=jnp.float32,
+                ) * sm_scale + neg
+                p = jnp.exp(s - jax.lax.stop_gradient(
+                    s.max(axis=-1, keepdims=True)))
+                o = jax.lax.dot_general(
+                    p.astype(cdt), v2, dimension_numbers=_PV_NUMS,
+                    preferred_element_type=jnp.float32,
+                )
+                halves.append(o / p.sum(axis=-1, keepdims=True))
+            outs.append(jnp.where(lane < dh, halves[0],
+                                  halves[1]).astype(cdt))
+        return jnp.concatenate(outs, axis=-1)
     outs = []
     for hp in range(n_pairs):
         off = 2 * dh * hp
@@ -111,9 +131,30 @@ def _attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt, mode):
                 pair = o if pair is None else pair + o
             outs.append(pair.astype(cdt))
             continue
+        if mode == "vselect":
+            # q masked as shipped; v UNMASKED — the merge lane-selects
+            # each head's valid half instead of pre-masking v (bit-exact:
+            # the selected lanes carry the identical f32 contraction)
+            halves = []
+            for msk in (m_lo, m_hi):
+                s = jax.lax.dot_general(
+                    q2 * msk, k2, dimension_numbers=_BNUMS,
+                    preferred_element_type=jnp.float32,
+                ) * sm_scale + neg
+                p = jnp.exp(s - jax.lax.stop_gradient(
+                    s.max(axis=-1, keepdims=True)))
+                o = jax.lax.dot_general(
+                    p.astype(cdt), v2, dimension_numbers=_PV_NUMS,
+                    preferred_element_type=jnp.float32,
+                )
+                halves.append(o / p.sum(axis=-1, keepdims=True))
+            outs.append(jnp.where(lane < dh, halves[0],
+                                  halves[1]).astype(cdt))
+            continue
         pair = None
+        nomask = mode in ("nomask", "unnorm_nomask")
         for msk in (m_lo, m_hi):
-            qh = q2 if mode == "nomask" else q2 * msk
+            qh = q2 if nomask else q2 * msk
             if mode == "f32attn":
                 qh = qh.astype(jnp.float32)
                 kh = k2.astype(jnp.float32)
@@ -123,21 +164,23 @@ def _attention(qkv, neg, d, dh, n_pairs, sm_scale, cdt, mode):
                 qh, kh, dimension_numbers=_BNUMS,
                 preferred_element_type=jnp.float32,
             ) * sm_scale + neg
-            if mode == "nosoftmax":
+            if mode in ("nosoftmax", "noexp"):
                 p = s * 1e-4
-            elif mode == "unnorm":
+            elif mode == "unnorm_nosub":
+                p = jnp.exp(s)  # skip the row-max reduce + subtract
+            elif mode in ("unnorm", "unnorm_nomask"):
                 p = jnp.exp(s - jax.lax.stop_gradient(
                     s.max(axis=-1, keepdims=True)))
             else:
                 p = jax.nn.softmax(s, axis=-1)
-            vh = v2 if mode == "nomask" else v2 * msk
+            vh = v2 if nomask else v2 * msk
             if mode == "f32attn":
                 vh = vh.astype(jnp.float32)
             o = jax.lax.dot_general(
                 p.astype(vh.dtype), vh, dimension_numbers=_PV_NUMS,
                 preferred_element_type=jnp.float32,
             )
-            if mode == "unnorm":
+            if mode in ("unnorm", "unnorm_nomask", "unnorm_nosub"):
                 o = o / p.sum(axis=-1, keepdims=True)
             pair = o if pair is None else pair + o
         outs.append(pair.astype(cdt))
@@ -152,18 +195,30 @@ def build_block(params, mode):
     sm_scale = dh**-0.5
     combo = mode.startswith("combo")
     fast = mode.startswith("fast")  # combo WITHOUT stackq: plain per-head
-    ln = (_ln_onepass if (combo or fast) else
+    post = mode.startswith("post")  # ablations ON TOP of the shipped
+    #                                 fast-math body (what remains?)
+    ln = (_ln_scale_only if mode == "post_noln" else
+          _ln_onepass if (combo or fast or post) else
           {"noln": _ln_scale_only, "ln_onepass": _ln_onepass}.get(mode, _ln))
-    gelu = {"nogelu": (lambda u: u), "silu_gelu": _silu_gelu,
-            "tanh_gelu": _tanh_gelu,
-            "combo_exact": _gelu_exact, "combo_tanh": _tanh_gelu,
-            "combo_silu": _silu_gelu,
-            "fast_exact": _gelu_exact, "fast_tanh": _tanh_gelu,
-            "fast_silu": _silu_gelu}.get(mode, _gelu_exact)
+    gelu = ((lambda u: u) if mode == "post_nogelu" else
+            _tanh_gelu if post else
+            {"nogelu": (lambda u: u), "silu_gelu": _silu_gelu,
+             "tanh_gelu": _tanh_gelu,
+             "combo_exact": _gelu_exact, "combo_tanh": _tanh_gelu,
+             "combo_silu": _silu_gelu,
+             "fast_exact": _gelu_exact, "fast_tanh": _tanh_gelu,
+             "fast_silu": _silu_gelu}.get(mode, _gelu_exact))
     attn_mode = ("stackq_unnorm" if combo else
                  "unnorm" if fast else
+                 {"post_noexp": "noexp", "post_nosub": "unnorm_nosub",
+                  "post_nomask": "unnorm_nomask",
+                  "post_premask": "premask",
+                  "post_vselect": "vselect"}.get(mode, "unnorm")
+                 if post else
                  mode if mode in ("nosoftmax", "unnorm", "nomask", "stackq",
                                   "stackq_unnorm", "f32attn") else "full")
+    bf16res = mode == "post_bf16res"
+    norowmask = mode == "post_norowmask"
 
     def fn(x):
         b, l, _ = x.shape
@@ -182,8 +237,28 @@ def build_block(params, mode):
         key_mask = jnp.ones((b, 1, l), x.dtype)
         row_mask = jnp.ones((b, l, 1), x.dtype)
         w = params
+        wqkv_a, bqkv_a = w["wqkv"], w["bqkv"]
+        if attn_mode == "premask":
+            # fold the q lane masks into ZEROED WEIGHT COLUMNS: per pair,
+            # two 128-lane q copies (lo-masked, hi-masked) — the mask
+            # multiply becomes free MXU zeros; bias masked identically
+            wq, wk, wv = (wqkv_a[:, :da], wqkv_a[:, da:2 * da],
+                          wqkv_a[:, 2 * da:])
+            bq, bk, bv = (bqkv_a[:, :da], bqkv_a[:, da:2 * da],
+                          bqkv_a[:, 2 * da:])
+            lane = np.arange(2 * dh)
+            mlo = jnp.asarray(lane < dh, wqkv_a.dtype)
+            mhi = jnp.asarray(lane >= dh, wqkv_a.dtype)
+            qc, bc = [], []
+            for hp in range(n_pairs):
+                c = wq[:, 2 * dh * hp:2 * dh * (hp + 1)]
+                bcol = bq[:, 2 * dh * hp:2 * dh * (hp + 1)]
+                qc += [c * mlo, c * mhi]
+                bc += [bcol * mlo, bcol * mhi]
+            wqkv_a = jnp.concatenate(qc + [wk, wv], axis=1)
+            bqkv_a = jnp.concatenate(bc + [bk, bv], axis=1)
         args = [x, key_mask, row_mask,
-                w["ln1s"], w["ln1b"], w["wqkv"], w["bqkv"], w["wproj"],
+                w["ln1s"], w["ln1b"], wqkv_a, bqkv_a, w["wproj"],
                 w["bproj"], w["ln2s"], w["ln2b"], w["w1"], w["b1"],
                 w["w2"], w["b2"]]
         in_specs = [_spec_for(a, k < 3, bb) for k, a in enumerate(args)]
@@ -201,17 +276,22 @@ def build_block(params, mode):
             h1 = ln(xin, ln1s[0], ln1b[0], 1e-6).astype(cdt)
             qkv = (mm(h1.reshape(bb * l, d), wqkv[:])
                    + bqkv[:].astype(jnp.float32)).astype(cdt)
-            qkv = qkv.reshape(bb, l, 3 * da)
+            qkv = qkv.reshape(bb, l, -1)  # 3*da (4*da when premasked)
             attn = _attention(qkv, neg, da, dh, n_pairs, sm_scale, cdt,
                               attn_mode)
             proj = (mm(attn.reshape(bb * l, da), wproj[:])
                     + bproj[:].astype(jnp.float32)).reshape(bb, l, d)
-            x2 = xin.astype(jnp.float32) + proj * rmask
+            if bf16res:
+                x2 = (xin + (proj * rmask).astype(cdt)).astype(jnp.float32)
+            else:
+                x2 = xin.astype(jnp.float32) + (proj * rmask
+                                                if not norowmask else proj)
             h2 = ln(x2.astype(cdt), ln2s[0], ln2b[0], 1e-6).astype(cdt)
             u = mm(h2.reshape(bb * l, d), w1[:]) + b1[:].astype(jnp.float32)
             u = gelu(u).astype(cdt)
             y = (mm(u, w2[:]) + b2[:].astype(jnp.float32)).reshape(bb, l, d)
-            out_ref[:] = (x2 + y * rmask).astype(out_ref.dtype)
+            out_ref[:] = (x2 + (y * rmask if not norowmask else y)
+                          ).astype(out_ref.dtype)
 
         return pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs,
@@ -276,6 +356,12 @@ def main():
     import sys
     if "--fast" in sys.argv:
         modes = ["full", "fast_exact", "fast_tanh", "fast_silu"]
+    elif "--post" in sys.argv:
+        # what remains AFTER the shipped fast-math body: ablate each
+        # surviving VPU stage on top of fast_tanh (deltas vs fast_tanh)
+        modes = ["full", "fast_tanh", "post_vselect", "post_premask",
+                 "post_noexp", "post_nosub", "post_nomask", "post_noln",
+                 "post_nogelu", "post_norowmask", "post_bf16res"]
     elif "--combos" in sys.argv:
         modes = ["full", "tanh_gelu", "stackq_unnorm", "combo_exact",
                  "combo_tanh", "combo_silu"]
@@ -295,7 +381,8 @@ def main():
             ref_out = fn(x)
         elif mode in ("unnorm", "ln_onepass", "stackq", "stackq_unnorm",
                       "tanh_gelu", "combo_exact", "combo_tanh",
-                      "combo_silu", "fast_exact", "fast_tanh", "fast_silu"):
+                      "combo_silu", "fast_exact", "fast_tanh", "fast_silu",
+                      "post_premask", "post_vselect"):
             err = float(jnp.abs(fn(x).astype(jnp.float32)
                                 - ref_out.astype(jnp.float32)).max())
             results[mode + "_maxerr"] = round(err, 6)
